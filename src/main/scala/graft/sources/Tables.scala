@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table catalog over a scale-factor directory
+  * (`/root/testdata/sf*`; see TESTDATA.md).
+  *
+  * At 100 TB these reads become partitioned-parquet scans on a real
+  * cluster; every accessor is a plain `spark.read.parquet` so that
+  * Catalyst's column pruning + predicate pushdown reach the files
+  * untouched. No caching here — the callers decide what to persist.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Canonical time-series view of `events`: the engine's "trial"
+    * substrate. `user_id` plays the reference's trial axis
+    * (one independent series per user — SURVEY.md §2 "series-scope"),
+    * `t` is a double seconds axis like the reference's
+    * `normalized_time` (/root/reference/data_model.py:85-91).
+    *
+    * `t` is derived from microseconds since epoch so the Spark and
+    * DuckDB sides compute bit-identical doubles (both floor parquet
+    * ns → µs, both do int64→double→÷1e6). Ordering ties are broken by
+    * `event_id` so every window is total-ordered and deterministic.
+    */
+  def series(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id"),
+      col("event_id"),
+      (unix_micros(col("ts")) / lit(1e6)).as("t"),
+      col("value"),
+      col("event_type"))
+
+  /** SQL fragment producing the identical series view in DuckDB. */
+  val seriesSql: String =
+    "SELECT user_id, event_id, epoch_us(ts) / 1000000.0 AS t, value, event_type FROM events"
+
+  /** Series with a per-user zero-based time axis `tn` (seconds since
+    * the user's first event). Computed with a window min so it stays
+    * one pass; at scale this is a single shuffle by user_id that all
+    * downstream per-series ops reuse.
+    */
+  def seriesNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    series(spark, dir).withColumn("tn", col("t") - min("t").over(w))
+  }
+
+  val seriesNormSql: String =
+    s"SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn FROM ($seriesSql)"
+}
