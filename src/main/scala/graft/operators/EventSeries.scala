@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Dsp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's series operators (SURVEY.md §2.2-§2.4) declared as
+  * verifiable queries over the `events` table: `user_id` is the
+  * series (trial) axis, `tn` the per-series zero-based seconds axis.
+  *
+  * Float-determinism policy (hash-compared against DuckDB):
+  *   - pure navigation/arithmetic (lag/lead, +, -, ×, ÷, %, sqrt, abs)
+  *     is IEEE-correctly-rounded and bit-identical across engines →
+  *     emitted unrounded;
+  *   - anything downstream of an engine-ordered reduction (avg, sum,
+  *     stddev, covar) is rounded, typically at 6 dp, so ulp-level
+  *     reduction-order noise can't flip the hash.
+  */
+object EventSeries {
+
+  private val s = SeriesOps.Series(Seq("user_id"), "tn", Seq("event_id"))
+
+  /** Shared oracle prefix: the canonical normalized series view. */
+  private val S =
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM (${Tables.seriesSql}))""".stripMargin
+
+  private val OW = "PARTITION BY user_id ORDER BY tn, event_id"
+
+  // selection window used by slice/delete/mark queries: day 2
+  private val selStart = 86400.0
+  private val selEnd = 172800.0
+
+  val q10TimeSlice: QueryDef = QueryDef.sql(
+    "q10_time_slice",
+    s"""$S SELECT user_id, event_id, tn, value FROM s
+       |WHERE tn BETWEEN $selStart AND $selEnd
+       |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.timeSlice(Tables.seriesNorm(spark, dir), s, selStart, selEnd)
+      .select("user_id", "event_id", "tn", "value")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q11DeleteCollapse: QueryDef = QueryDef.sql(
+    "q11_delete_collapse",
+    s"""$S, surv AS (SELECT * FROM s WHERE tn < $selStart OR tn > $selEnd),
+       |d AS (SELECT user_id, event_id, value, tn,
+       |  tn - lag(tn) OVER ($OW) AS dt FROM surv),
+       |m AS (SELECT user_id, round(quantile_cont(dt, 0.5), 3) AS dtm
+       |  FROM d WHERE dt > 0 GROUP BY user_id),
+       |r AS (SELECT user_id, event_id, value,
+       |  row_number() OVER ($OW) AS rn FROM d)
+       |SELECT r.user_id, r.event_id,
+       |  round((rn - 1) * coalesce(m.dtm, 1.0), 3) AS new_t, r.value
+       |FROM r LEFT JOIN m ON r.user_id = m.user_id
+       |ORDER BY r.user_id, r.event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.deleteCollapse(Tables.seriesNorm(spark, dir), s, selStart, selEnd)
+      .select(col("user_id"), col("event_id"), col("tn").as("new_t"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q12MarkBad: QueryDef = QueryDef.sql(
+    "q12_mark_bad",
+    s"""$S SELECT user_id, event_id, tn, value,
+       |  tn BETWEEN $selStart AND $selEnd AS is_bad_segment
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.markBad(Tables.seriesNorm(spark, dir), s, selStart, selEnd)
+      .select("user_id", "event_id", "tn", "value", "is_bad_segment")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q13Zscore: QueryDef = QueryDef.sql(
+    "q13_zscore",
+    s"""$S SELECT user_id, event_id, tn,
+       |  round((value - avg(value) OVER (PARTITION BY user_id)) /
+       |    (CASE WHEN coalesce(stddev_pop(value) OVER (PARTITION BY user_id), 0) = 0
+       |     THEN 1 ELSE stddev_pop(value) OVER (PARTITION BY user_id) END), 6) AS z
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.zscore(Tables.seriesNorm(spark, dir), s, "value", "z")
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("z"), 6).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q14PercentNorm: QueryDef = QueryDef.sql(
+    "q14_percent_norm",
+    s"""$S SELECT user_id, event_id, tn,
+       |  value / (CASE WHEN coalesce(max(abs(value)) OVER (PARTITION BY user_id), 0) = 0
+       |    THEN 1 ELSE max(abs(value)) OVER (PARTITION BY user_id) END) * 100.0 AS pct
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.percentNormalize(Tables.seriesNorm(spark, dir), s, "value", "pct")
+      .select("user_id", "event_id", "tn", "pct")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q15MovingAvg: QueryDef = QueryDef.sql(
+    "q15_moving_avg",
+    s"""$S SELECT user_id, event_id, tn,
+       |  round(avg(value) OVER ($OW ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS ma
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.movingAverage(Tables.seriesNorm(spark, dir), s, "value", "ma", 5)
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("ma"), 6).as("ma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q16RollingMedian: QueryDef = QueryDef.sql(
+    "q16_rolling_median",
+    s"""$S SELECT user_id, event_id, tn,
+       |  round(median(value) OVER ($OW ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS med
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.rollingMedian(Tables.seriesNorm(spark, dir), s, "value", "med", 7)
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("med"), 6).as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q17Savgol: QueryDef = {
+    val window = 11; val poly = 2; val h = window / 2
+    val coefs = Dsp.savgolCoefficients(window, poly)
+    // identical left-associated FIR on both sides, coefficients
+    // printed at full double precision
+    val firSql = coefs.zipWithIndex.map { case (c, i) =>
+      val off = i - h
+      val term =
+        if (off < 0) s"lag(value, ${-off}) OVER ($OW)"
+        else if (off > 0) s"lead(value, $off) OVER ($OW)"
+        else "value"
+      s"(${java.lang.Double.toString(c)}) * $term"
+    }.mkString(" + ")
+    QueryDef.sql(
+      "q17_savgol",
+      s"""$S SELECT user_id, event_id, tn,
+         |  round(CASE WHEN row_number() OVER ($OW) > $h
+         |    AND row_number() OVER ($OW) <= count(*) OVER (PARTITION BY user_id) - $h
+         |    THEN $firSql ELSE value END, 6) AS sg
+         |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      SeriesOps.savgolInterior(Tables.seriesNorm(spark, dir), s, "value", "sg", window, poly)
+        .select(col("user_id"), col("event_id"), col("tn"), round(col("sg"), 6).as("sg"))
+        .orderBy("user_id", "event_id")
+    }
+  }
+
+  val q18Detrend: QueryDef = QueryDef.sql(
+    "q18_detrend",
+    s"""$S, st AS (SELECT user_id, event_id, tn, value,
+       |  covar_pop(tn, value) OVER (PARTITION BY user_id) /
+       |    (CASE WHEN var_pop(tn) OVER (PARTITION BY user_id) = 0 THEN 1
+       |     ELSE var_pop(tn) OVER (PARTITION BY user_id) END) AS slope,
+       |  avg(value) OVER (PARTITION BY user_id) AS mv,
+       |  avg(tn) OVER (PARTITION BY user_id) AS mt FROM s)
+       |SELECT user_id, event_id, tn,
+       |  round(value - ((mv - slope * mt) + slope * tn), 6) AS detrended
+       |FROM st ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.detrend(Tables.seriesNorm(spark, dir), s, "value", "detrended")
+      .select(col("user_id"), col("event_id"), col("tn"),
+        round(col("detrended"), 6).as("detrended"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q19Derivative: QueryDef = QueryDef.sql(
+    "q19_derivative",
+    s"""$S, d AS (SELECT user_id, event_id, tn, value,
+       |  lag(value) OVER ($OW) AS vp, lag(tn) OVER ($OW) AS tp,
+       |  lead(value) OVER ($OW) AS vn, lead(tn) OVER ($OW) AS tf FROM s)
+       |SELECT user_id, event_id, tn,
+       |  CASE
+       |    WHEN vp IS NOT NULL AND vn IS NOT NULL THEN (vn - vp) / (tf - tp)
+       |    WHEN vp IS NULL AND vn IS NOT NULL THEN (vn - value) / (tf - tn)
+       |    WHEN vn IS NULL AND vp IS NOT NULL THEN (value - vp) / (tn - tp)
+       |    ELSE 0.0 END AS deriv
+       |FROM d ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.derivative(Tables.seriesNorm(spark, dir), s, "value", "deriv")
+      .select("user_id", "event_id", "tn", "deriv")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q20Integrate: QueryDef = QueryDef.sql(
+    "q20_integrate",
+    s"""$S SELECT user_id, event_id, tn,
+       |  round(sum(value) OVER ($OW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    * 1.0, 4) AS integral
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.integrate(Tables.seriesNorm(spark, dir), s, "value", "integral", 1.0)
+      .select(col("user_id"), col("event_id"), col("tn"),
+        round(col("integral"), 4).as("integral"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q21MovingRms: QueryDef = QueryDef.sql(
+    "q21_moving_rms",
+    s"""$S SELECT user_id, event_id, tn,
+       |  round(sqrt(avg(value * value)
+       |    OVER ($OW ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), 6) AS rms
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.movingRms(Tables.seriesNorm(spark, dir), s, "value", "rms", 5)
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("rms"), 6).as("rms"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Spike threshold `mean(|Δx|) + 3·std_pop(|Δx|)` per series
+    * (main.py:1285-1287).
+    */
+  val q22SpikeThreshold: QueryDef = QueryDef.sql(
+    "q22_spike_threshold",
+    s"""$S, d AS (SELECT user_id, abs(value - lag(value) OVER ($OW)) AS ad FROM s)
+       |SELECT user_id, round(avg(ad) + 3 * stddev_pop(ad), 6) AS threshold
+       |FROM d WHERE ad IS NOT NULL GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.seriesNorm(spark, dir)
+      .withColumn("ad", abs(col("value") - lag(col("value"), 1).over(s.ordered)))
+      .filter(col("ad").isNotNull)
+    d.groupBy("user_id")
+      .agg(round(avg("ad") + lit(3) * stddev_pop("ad"), 6).as("threshold"))
+      .orderBy("user_id")
+  }
+
+  /** Calibration offset `mean(src - ref)` over a time window per
+    * series (main.py:627-646), with `ref = lag(src)`.
+    */
+  val q23Calibration: QueryDef = QueryDef.sql(
+    "q23_calibration",
+    s"""$S, d AS (SELECT user_id, tn, value - lag(value) OVER ($OW) AS diff FROM s)
+       |SELECT user_id, round(avg(diff), 6) AS offset
+       |FROM d WHERE diff IS NOT NULL AND tn BETWEEN 0 AND $selEnd
+       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables.seriesNorm(spark, dir)
+      .withColumn("diff", col("value") - lag(col("value"), 1).over(s.ordered))
+      .filter(col("diff").isNotNull && col("tn").between(0, selEnd))
+      .groupBy("user_id")
+      .agg(round(avg("diff"), 6).as("offset"))
+      .orderBy("user_id")
+  }
+
+  /** Angular frame transform R6 (main.py:604-625) with
+    * `dst = lag(src)` and a 15° offset; pure IEEE arithmetic →
+    * unrounded.
+    */
+  val q24FrameTransform: QueryDef = QueryDef.sql(
+    "q24_frame_transform",
+    s"""$S SELECT user_id, event_id, tn,
+       |  ((value - lag(value) OVER ($OW) - 15.0 + 180.0) % 360.0 + 360.0)
+       |    % 360.0 - 180.0 AS wrapped
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+    df.withColumn("wrapped",
+        SeriesOps.frameTransform(col("value"), lag(col("value"), 1).over(s.ordered), 15.0))
+      .select("user_id", "event_id", "tn", "wrapped")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Derived expression channel R7 (main.py:810-819): the reference's
+    * `pd.eval` mini-language maps onto Spark SQL `expr(...)` so
+    * Catalyst is the expression compiler.
+    */
+  val q25DerivedExpr: QueryDef = QueryDef.sql(
+    "q25_derived_expr",
+    s"""$S SELECT user_id, event_id, tn,
+       |  value * 2.0 + sqrt(abs(value)) AS derived
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    Tables.seriesNorm(spark, dir)
+      .withColumn("derived", expr("value * 2.0 + sqrt(abs(value))"))
+      .select("user_id", "event_id", "tn", "derived")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Episode extents A4 (main.py:1233-1277): per-series per-label
+    * min/max time + count + mean value.
+    */
+  val q26EpisodeExtents: QueryDef = QueryDef.sql(
+    "q26_episode_extents",
+    s"""$S SELECT user_id, event_type, min(tn) AS t_start, max(tn) AS t_end,
+       |  count(*) AS n, round(avg(value), 6) AS mean_value
+       |FROM s GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    Tables.seriesNorm(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min("tn").as("t_start"), max("tn").as("t_end"),
+        count(lit(1)).as("n"), round(avg("value"), 6).as("mean_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Selection-scoped apply R4 (filter_engine.py:30-37): moving
+    * average computed over ONLY the rows inside the selection
+    * (partitioning by the selection flag confines the frame, matching
+    * the reference's masked-subframe semantics for a contiguous
+    * selection), identity outside.
+    */
+  val q27SelectionScoped: QueryDef = {
+    val s5 = selStart * 5; val s10 = selStart * 10
+    QueryDef.sql(
+      "q27_selection_scoped",
+      s"""$S, f AS (SELECT *, tn BETWEEN $s5 AND $s10 AS insel FROM s)
+         |SELECT user_id, event_id, tn,
+         |  CASE WHEN insel THEN round(avg(value) OVER (PARTITION BY user_id, insel
+         |    ORDER BY tn, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+         |  ELSE value END AS v
+         |FROM f ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      val inSel = col("tn").between(s5, s10)
+      val w = Window.partitionBy(col("user_id"), inSel)
+        .orderBy(col("tn"), col("event_id")).rowsBetween(-2, 2)
+      Tables.seriesNorm(spark, dir)
+        .withColumn("v", when(inSel, round(avg(col("value")).over(w), 6))
+          .otherwise(col("value")))
+        .select("user_id", "event_id", "tn", "v")
+        .orderBy("user_id", "event_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q10TimeSlice, q11DeleteCollapse, q12MarkBad, q13Zscore, q14PercentNorm,
+    q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
+    q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
+    q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped)
+}

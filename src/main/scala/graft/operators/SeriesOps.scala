@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.functions.Dsp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Ordered-window series operators — the Spark re-expression of the
+  * reference's `FilterEngine` (/root/reference/filter_engine.py:25-91)
+  * and `DataModel` mutators (/root/reference/data_model.py:170-206).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` parameterized by
+  * a [[Series]] descriptor. The reference processes ONE in-memory
+  * trial at a time; here each op runs under
+  * `Window.partitionBy(seriesCols)` so one job applies the operator
+  * to millions of independent series (trials / users / sensors) —
+  * that per-key parallelism is the whole 100 TB story: series are
+  * embarrassingly parallel, one hash shuffle by key co-locates a
+  * series, and every subsequent window op reuses that partitioning
+  * without reshuffling (Spark recognizes the identical
+  * partitioning+ordering and plans a single Exchange+Sort).
+  *
+  * Determinism: all windows order by `(timeCol, tieCols…)` — the tie
+  * columns make the total order unique so results are reproducible
+  * run-to-run and hash-comparable against an external oracle.
+  */
+object SeriesOps {
+
+  /** Descriptor of the series axes within a flat table.
+    *
+    * @param keyCols  columns identifying one independent series
+    *                 (the reference's single implicit trial)
+    * @param timeCol  ordering axis (double seconds, like the
+    *                 reference's `normalized_time`)
+    * @param tieCols  deterministic tie-break for equal timestamps
+    */
+  final case class Series(keyCols: Seq[String], timeCol: String, tieCols: Seq[String] = Nil) {
+    def orderCols: Seq[Column] = (timeCol +: tieCols).map(col)
+    def ordered: WindowSpec = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    def whole: WindowSpec = Window.partitionBy(keyCols.map(col): _*)
+    def centered(window: Int): WindowSpec = {
+      val h = window / 2
+      ordered.rowsBetween(-h, h)
+    }
+    def running: WindowSpec = ordered.rowsBetween(Window.unboundedPreceding, 0)
+  }
+
+  // ---------------------------------------------------------------
+  // Whole-series normalizations (reference filter_engine.py:66-79)
+  // ---------------------------------------------------------------
+
+  /** z-score: `(x - mean)/std` with population std (numpy `nanstd` is
+    * population — filter_engine.py:66-69) and std==0 → divide by 1.
+    */
+  def zscore(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val m = avg(col(value)).over(s.whole)
+    val sd = stddev_pop(col(value)).over(s.whole)
+    df.withColumn(out, (col(value) - m) / when(sd === 0.0 || sd.isNull, 1.0).otherwise(sd))
+  }
+
+  /** percent-of-max: `x / max(|x|) * 100`, max==0 → divide by 1
+    * (filter_engine.py:70-73).
+    */
+  def percentNormalize(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val mx = max(abs(col(value))).over(s.whole)
+    df.withColumn(out, col(value) / when(mx === 0.0 || mx.isNull, 1.0).otherwise(mx) * 100.0)
+  }
+
+  /** `abs(x)` (filter_engine.py:78-79). */
+  def absolute(df: DataFrame, value: String, out: String): DataFrame =
+    df.withColumn(out, abs(col(value)))
+
+  // ---------------------------------------------------------------
+  // Rolling windows (reference filter_engine.py:38-49, 74-77)
+  // ---------------------------------------------------------------
+
+  /** Centered rolling mean, `min_periods=1` (filter_engine.py:38-40).
+    * Spark rows-frames auto-shrink at partition edges, which is
+    * exactly pandas' `min_periods=1` semantics.
+    */
+  def movingAverage(df: DataFrame, s: Series, value: String, out: String, window: Int = 5): DataFrame =
+    df.withColumn(out, avg(col(value)).over(s.centered(window)))
+
+  /** Centered rolling median, exact (interpolating) — pandas
+    * `rolling().median()` parity (filter_engine.py:41-43). Uses
+    * Spark's exact `percentile` aggregate over a rows frame; for the
+    * window sizes the domain uses (5-31 samples) the per-row cost is
+    * trivial and stays inside WindowExec.
+    */
+  def rollingMedian(df: DataFrame, s: Series, value: String, out: String, window: Int = 5): DataFrame =
+    df.withColumn(out, percentile(col(value), lit(0.5)).over(s.centered(window)))
+
+  /** Centered rolling RMS: `sqrt(rolling_mean(x²))`
+    * (filter_engine.py:74-77).
+    */
+  def movingRms(df: DataFrame, s: Series, value: String, out: String, window: Int = 5): DataFrame =
+    df.withColumn(out, sqrt(avg(col(value) * col(value)).over(s.centered(window))))
+
+  /** Savitzky–Golay FIR smoothing (filter_engine.py:44-49). The SG
+    * convolution weights are computed once on the driver ([[Dsp]])
+    * and unrolled into a codegen-friendly left-associated sum of
+    * `lag`/`lead` terms — a fixed FIR is just a linear combination of
+    * neighbors, no UDF needed. Rows within `halfWindow` of a series
+    * edge keep the original value (the exact scipy edge polynomial
+    * fit lives in the [[SignalKernels]] path).
+    */
+  def savgolInterior(df: DataFrame, s: Series, value: String, out: String,
+      window: Int = 11, polyorder: Int = 2): DataFrame = {
+    val coefs = Dsp.savgolCoefficients(window, polyorder)
+    val h = window / 2
+    val fir = coefs.zipWithIndex.map { case (c, i) =>
+      val off = i - h
+      val term = if (off < 0) lag(col(value), -off).over(s.ordered)
+                 else if (off > 0) lead(col(value), off).over(s.ordered)
+                 else col(value)
+      lit(c) * term
+    }.reduceLeft(_ + _)
+    val rn = row_number().over(s.ordered)
+    val n = count(lit(1)).over(s.whole)
+    df.withColumn(out, when(rn > h && rn <= n - h, fir).otherwise(col(value)))
+  }
+
+  // ---------------------------------------------------------------
+  // Calculus (filter_engine.py:59-65)
+  // ---------------------------------------------------------------
+
+  /** Remove the least-squares linear trend (filter_engine.py:59-60,
+    * 136-146). Closed form — `slope = covar_pop(t,x)/var_pop(t)` —
+    * so it's two built-in window aggregates, no fitting kernel.
+    */
+  def detrend(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val t = col(s.timeCol)
+    val slope = covar_pop(t, col(value)).over(s.whole) /
+      when(var_pop(t).over(s.whole) === 0.0, 1.0).otherwise(var_pop(t).over(s.whole))
+    val intercept = avg(col(value)).over(s.whole) - slope * avg(t).over(s.whole)
+    df.withColumn(out, col(value) - (intercept + slope * t))
+  }
+
+  /** Derivative by central differences with one-sided edges — the
+    * `np.gradient` scheme (filter_engine.py:61-62) generalized to a
+    * non-uniform time axis: `(x[i+1]-x[i-1])/(t[i+1]-t[i-1])`.
+    */
+  def derivative(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val v = col(value); val t = col(s.timeCol)
+    val vp = lag(v, 1).over(s.ordered);  val tp = lag(t, 1).over(s.ordered)
+    val vn = lead(v, 1).over(s.ordered); val tn = lead(t, 1).over(s.ordered)
+    df.withColumn(out,
+      when(vp.isNotNull && vn.isNotNull, (vn - vp) / (tn - tp))
+        .when(vp.isNull && vn.isNotNull, (vn - v) / (tn - t))
+        .when(vn.isNull && vp.isNotNull, (v - vp) / (t - tp))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Running integral `cumsum(x)·dt` (filter_engine.py:63-65). `dt`
+    * is a constant sample spacing exactly as in the reference (which
+    * uses `1/fs`).
+    */
+  def integrate(df: DataFrame, s: Series, value: String, out: String, dt: Double = 1.0): DataFrame =
+    df.withColumn(out, sum(col(value)).over(s.running) * lit(dt))
+
+  // ---------------------------------------------------------------
+  // Row mutations (data_model.py:170-206, main.py:604-625)
+  // ---------------------------------------------------------------
+
+  /** Rows inside `[start, end]` on the time axis (data_model.py:359-363). */
+  def timeSlice(df: DataFrame, s: Series, start: Double, end: Double): DataFrame =
+    df.filter(col(s.timeCol).between(start, end))
+
+  /** Flag `[start, end]` as bad, duration preserved
+    * (data_model.py:196-206).
+    */
+  def markBad(df: DataFrame, s: Series, start: Double, end: Double,
+      flag: String = "is_bad_segment"): DataFrame = {
+    val existing = if (df.columns.contains(flag)) col(flag) else lit(false)
+    df.withColumn(flag, when(col(s.timeCol).between(start, end), true).otherwise(existing))
+  }
+
+  /** Delete `[start, end]` and collapse the time axis
+    * (data_model.py:170-194): survivors are re-indexed onto a uniform
+    * grid `round(i·dt, 3)` where `dt = round(median positive Δt of
+    * the survivors, 3)` — millisecond rounding reproduced exactly.
+    * Returns the surviving rows with `timeCol` rebuilt.
+    */
+  def deleteCollapse(df: DataFrame, s: Series, start: Double, end: Double): DataFrame = {
+    val t = col(s.timeCol)
+    val surv = df.filter(t < start || t > end)
+    val dtCol = t - lag(t, 1).over(s.ordered)
+    val withDt = surv.withColumn("__dt", dtCol)
+    val med = withDt.filter(col("__dt") > 0)
+      .groupBy(s.keyCols.map(col): _*)
+      .agg(round(percentile(col("__dt"), lit(0.5)), 3).as("__dtm"))
+    // dt medians: one row per series — broadcast back, no second shuffle
+    // of the fact side beyond the window's own partitioning.
+    val rn = row_number().over(s.ordered)
+    withDt.join(broadcast(med), s.keyCols, "left")
+      .withColumn(s.timeCol, round((rn - 1).cast("double") * coalesce(col("__dtm"), lit(1.0)), 3))
+      .drop("__dt", "__dtm")
+  }
+
+  /** Angular frame transform with wrap to [-180, 180)
+    * (main.py:604-625; formula main.py:621). Python's `%` on
+    * negatives ≡ `pmod`, hence the double-mod normalization.
+    */
+  def frameTransform(src: Column, dst: Column, offsetDeg: Double): Column = {
+    val x = src - dst - lit(offsetDeg) + lit(180.0)
+    ((x % 360.0) + 360.0) % 360.0 - 180.0
+  }
+
+  /** Gaps-and-islands: merge contiguous flagged rows into segments
+    * (main.py:1290-1302). `flag` must be non-null boolean. Returns
+    * one row per island: series keys + islandId + min/max time +
+    * count.
+    */
+  def islands(df: DataFrame, s: Series, flag: Column): DataFrame = {
+    val fl = flag.cast("int")
+    val prev = lag(fl, 1, 0).over(s.ordered)
+    val edge = when(fl === 1 && prev === 0, 1).otherwise(0)
+    val islandId = sum(edge).over(s.running)
+    df.withColumn("__f", fl).withColumn("__island", islandId)
+      .filter(col("__f") === 1)
+      .groupBy((s.keyCols.map(col) :+ col("__island").as("island_id")): _*)
+      .agg(min(col(s.timeCol)).as("seg_start"), max(col(s.timeCol)).as("seg_end"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Forward-fill (`Series.ffill`, main.py:1240). */
+  def ffill(df: DataFrame, s: Series, value: String, out: String): DataFrame =
+    df.withColumn(out, last(col(value), ignoreNulls = true)
+      .over(s.ordered.rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** Linear interpolation of nulls with `limit_direction="both"`
+    * (filter_engine.py:85-87): interior nulls lerp between the
+    * bracketing non-nulls on the time axis; leading/trailing nulls
+    * clamp to the nearest non-null value.
+    */
+  def interpolateLinear(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val v = col(value); val t = col(s.timeCol)
+    val before = s.ordered.rowsBetween(Window.unboundedPreceding, 0)
+    val after = s.ordered.rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    val lerp = pv + (nv - pv) * (t - pt) / (nt - pt)
+    df.withColumn(out,
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull && nt =!= pt, lerp)
+        .when(pv.isNotNull && nv.isNotNull, pv) // degenerate same-time bracket
+        .when(pv.isNotNull, pv)                 // trailing edge
+        .otherwise(nv))                         // leading edge
+  }
+}

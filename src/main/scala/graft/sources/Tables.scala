@@ -22,7 +22,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * by default; read it as a raw nanosecond long instead. DuckDB
+    * truncates the same column to microseconds on read, so the
+    * canonical time axis below floors ns → µs to stay bit-identical.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
@@ -41,7 +49,7 @@ object Tables {
     events(spark, dir).select(
       col("user_id"),
       col("event_id"),
-      (unix_micros(col("ts")) / lit(1e6)).as("t"),
+      (expr("ts div 1000") / lit(1e6)).as("t"),
       col("value"),
       col("event_type"))
 
