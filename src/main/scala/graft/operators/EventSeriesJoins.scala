@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cardinality-changing and join-shaped series operators
+  * (SURVEY.md §2.6, §2.9, W10-W11): interpolation, resample-to-grid,
+  * sessionization, gaps-and-islands, interval join, nearest-row,
+  * as-of join, forward-fill, and the `flatMapGroups` IIR kernels.
+  */
+object EventSeriesJoins {
+
+  private val s = SeriesOps.Series(Seq("user_id"), "tn", Seq("event_id"))
+
+  private val S =
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM (${Tables.seriesSql}))""".stripMargin
+
+  private val OW = "PARTITION BY user_id ORDER BY tn, event_id"
+  private val PW = s"$OW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+  private val FW = s"$OW ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+  /** W10: linear interpolation of nulls, limit_direction=both.
+    * Nulls are injected deterministically (`event_type = 'error'`).
+    */
+  val q28Interpolate: QueryDef = QueryDef.sql(
+    "q28_interpolate",
+    s"""$S, n AS (SELECT user_id, event_id, tn,
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM s),
+       |b AS (SELECT *,
+       |  last_value(v IGNORE NULLS) OVER ($PW) AS pv,
+       |  last_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($PW) AS pt,
+       |  first_value(v IGNORE NULLS) OVER ($FW) AS nv,
+       |  first_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($FW) AS nt
+       |FROM n)
+       |SELECT user_id, event_id, tn,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+       |         THEN pv + (nv - pv) * (tn - pt) / (nt - pt)
+       |       WHEN pv IS NOT NULL THEN pv
+       |       ELSE nv END AS vi
+       |FROM b ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    SeriesOps.interpolateLinear(df, s, "v", "vi")
+      .select("user_id", "event_id", "tn", "vi")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W11: resample onto a uniform 6-hour grid per series, linear
+    * interp, ends clamped — the reference's one cardinality-changing
+    * operator.
+    */
+  val q29Resample: QueryDef = {
+    val step = 21600.0
+    QueryDef.sql(
+      "q29_resample",
+      s"""$S, m AS (SELECT user_id, max(tn) AS mt FROM s GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(0,
+         |    CAST(floor(mt / $step) AS BIGINT))) * $step AS tn FROM m),
+         |u AS (SELECT user_id, tn, value AS v, 0 AS gg, event_id FROM s
+         |  UNION ALL SELECT user_id, tn, NULL, 1, NULL FROM g),
+         |w AS (SELECT *,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |FROM u)
+         |SELECT user_id, tn AS tg,
+         |  CASE WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       WHEN nt = pt THEN pv
+         |       ELSE pv + (nv - pv) * (tn - pt) / (nt - pt) END AS v
+         |FROM w WHERE gg = 1 ORDER BY user_id, tg""".stripMargin) { (spark, dir) =>
+      Resample.toUniformGrid(Tables.seriesNorm(spark, dir), s, "value", "v", step)
+        .withColumnRenamed("tn", "tg")
+        .orderBy("user_id", "tg")
+    }
+  }
+
+  /** Sessionization: gap > 12 h starts a new session — the scalable
+    * generalization of the reference's suggestion-segment merging.
+    */
+  val q30Sessionize: QueryDef = QueryDef.sql(
+    "q30_sessionize",
+    s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
+       |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
+       |x AS (SELECT *, sum(brk) OVER ($PW) AS session_id FROM g)
+       |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
+       |  count(*) AS n, round(sum(value), 4) AS total
+       |FROM x GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    val lagT = lag(col("tn"), 1).over(s.ordered)
+    val brk = when(lagT.isNull || col("tn") - lagT > 43200.0, 1).otherwise(0)
+    Tables.seriesNorm(spark, dir)
+      .withColumn("session_id", sum(brk).over(s.running))
+      .groupBy("user_id", "session_id")
+      .agg(min("tn").as("s_start"), max("tn").as("s_end"),
+        count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** §2.9 gaps-and-islands: contiguous spike rows (|Δx| above the
+    * per-series mean+3σ threshold, A5) merged into segments.
+    */
+  val q31SpikeIslands: QueryDef = QueryDef.sql(
+    "q31_spike_islands",
+    s"""$S, d AS (SELECT user_id, event_id, tn,
+       |  abs(value - lag(value) OVER ($OW)) AS ad FROM s),
+       |th AS (SELECT user_id, avg(ad) + 3 * stddev_pop(ad) AS thr
+       |  FROM d WHERE ad IS NOT NULL GROUP BY user_id),
+       |f AS (SELECT d.user_id, event_id, tn,
+       |  (ad IS NOT NULL AND ad > thr) AS fl FROM d JOIN th ON d.user_id = th.user_id),
+       |e AS (SELECT *, CASE WHEN fl AND NOT coalesce(
+       |    lag(fl) OVER (PARTITION BY user_id ORDER BY tn, event_id), false)
+       |    THEN 1 ELSE 0 END AS edge FROM f),
+       |i AS (SELECT *, sum(edge) OVER (PARTITION BY user_id ORDER BY tn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id FROM e)
+       |SELECT user_id, island_id, min(tn) AS seg_start, max(tn) AS seg_end,
+       |  count(*) AS n_rows
+       |FROM i WHERE fl GROUP BY user_id, island_id
+       |ORDER BY user_id, island_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.seriesNorm(spark, dir)
+      .withColumn("ad", abs(col("value") - lag(col("value"), 1).over(s.ordered)))
+    val th = d.filter(col("ad").isNotNull).groupBy("user_id")
+      .agg((avg("ad") + lit(3) * stddev_pop("ad")).as("thr"))
+    val flagged = d.join(broadcast(th), Seq("user_id"))
+      .withColumn("fl", col("ad").isNotNull && col("ad") > col("thr"))
+    SeriesOps.islands(flagged, s, col("fl"))
+      .orderBy("user_id", "island_id")
+  }
+
+  /** Interval (range) join: session spans re-joined to the points
+    * they cover — the reference's annotations-to-samples lookup shape
+    * (main.py:1052-1057). Spans are derived, then the join is an
+    * equi-join on the series key + range predicate, so Catalyst plans
+    * a hash join (never a nested-loop over all pairs).
+    */
+  val q32IntervalJoin: QueryDef = QueryDef.sql(
+    "q32_interval_join",
+    s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
+       |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
+       |x AS (SELECT *, sum(brk) OVER ($PW) AS session_id FROM g),
+       |iv AS (SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end
+       |  FROM x GROUP BY user_id, session_id)
+       |SELECT iv.user_id, iv.session_id, count(*) AS n_in,
+       |  round(avg(e.value), 6) AS mean_v
+       |FROM iv JOIN s e ON e.user_id = iv.user_id
+       |  AND e.tn BETWEEN iv.s_start AND iv.s_end
+       |GROUP BY iv.user_id, iv.session_id
+       |ORDER BY iv.user_id, iv.session_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.seriesNorm(spark, dir)
+    val lagT = lag(col("tn"), 1).over(s.ordered)
+    val brk = when(lagT.isNull || col("tn") - lagT > 43200.0, 1).otherwise(0)
+    val intervals = events
+      .withColumn("session_id", sum(brk).over(s.running))
+      .groupBy("user_id", "session_id")
+      .agg(min("tn").as("s_start"), max("tn").as("s_end"))
+    events.as("e")
+      .join(broadcast(intervals.as("iv")),
+        col("e.user_id") === col("iv.user_id") &&
+          col("e.tn").between(col("iv.s_start"), col("iv.s_end")))
+      .groupBy(col("iv.user_id").as("user_id"), col("iv.session_id").as("session_id"))
+      .agg(count(lit(1)).as("n_in"), round(avg(col("e.value")), 6).as("mean_v"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** A7 nearest-row lookup: the sample closest to t₀ per series. */
+  val q33NearestRow: QueryDef = QueryDef.sql(
+    "q33_nearest_row",
+    s"""$S, r AS (SELECT user_id, event_id, tn, value,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY abs(tn - 1296000.0), event_id) AS rn FROM s)
+       |SELECT user_id, event_id, tn, value FROM r WHERE rn = 1
+       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(abs(col("tn") - 1296000.0), col("event_id"))
+    Tables.seriesNorm(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "tn", "value")
+      .orderBy("user_id")
+  }
+
+  /** Backward as-of join onto a daily grid: latest observed value
+    * at-or-before each grid instant (union-trick, not a range join).
+    */
+  val q34AsofJoin: QueryDef = {
+    val step = 86400.0
+    QueryDef.sql(
+      "q34_asof_join",
+      s"""$S, m AS (SELECT user_id, max(tn) AS mt FROM s GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(0,
+         |    CAST(floor(mt / $step) AS BIGINT))) * $step AS tn FROM m),
+         |u AS (SELECT user_id, tn, value AS v, 0 AS gg, event_id FROM s
+         |  UNION ALL SELECT user_id, tn, NULL, 1, NULL FROM g),
+         |w AS (SELECT *, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_v FROM u)
+         |SELECT user_id, tn AS tg, asof_v FROM w WHERE gg = 1
+         |ORDER BY user_id, tg""".stripMargin) { (spark, dir) =>
+      val samples = Tables.seriesNorm(spark, dir)
+      val grid = Resample.uniformGrid(samples, s, step)
+      Resample.asofBackward(samples, grid, s, "value", "asof_v")
+        .withColumnRenamed("tn", "tg")
+        .orderBy("user_id", "tg")
+    }
+  }
+
+  /** Forward-fill (episode ffill, main.py:1240): carry the last
+    * 'purchase' value forward.
+    */
+  val q35Ffill: QueryDef = QueryDef.sql(
+    "q35_ffill",
+    s"""$S SELECT user_id, event_id, tn,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+       |    OVER ($PW) AS last_purchase
+       |FROM s ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("p", when(col("event_type") === "purchase", col("value")))
+    SeriesOps.ffill(df, s, "p", "last_purchase")
+      .select("user_id", "event_id", "tn", "last_purchase")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W4 zero-phase Butterworth low-pass — sequential IIR recurrence,
+    * not SQL-expressible: rows-only check.
+    */
+  val q36ButterLowpass: QueryDef = QueryDef.rowsOnly("q36_butter_lowpass") { (spark, dir) =>
+    SignalKernels.butterLowpass(spark, Tables.seriesNorm(spark, dir), 4, 0.2)
+      .toDF()
+      .withColumn("filtered", round(col("filtered"), 6))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W5 band-pass (detrend-style composition of two low-passes). */
+  val q37ButterBandpass: QueryDef = QueryDef.rowsOnly("q37_butter_bandpass") { (spark, dir) =>
+    SignalKernels.butterBandpass(spark, Tables.seriesNorm(spark, dir), 4, 0.05, 0.4)
+      .toDF()
+      .withColumn("filtered", round(col("filtered"), 6))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W3 exact Savitzky–Golay with scipy edge semantics (polynomial
+    * re-fit on shrunken edge windows) — kernel path.
+    */
+  val q38SavgolExact: QueryDef = QueryDef.rowsOnly("q38_savgol_exact") { (spark, dir) =>
+    SignalKernels.savgolExact(spark, Tables.seriesNorm(spark, dir), 11, 2)
+      .toDF()
+      .withColumn("filtered", round(col("filtered"), 6))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
+    q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
+    q36ButterLowpass, q37ButterBandpass, q38SavgolExact)
+}

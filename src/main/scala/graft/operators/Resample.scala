@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Resampling onto a uniform grid (reference W11,
+  * filter_engine.py:80-84, 148-170) and the general as-of pattern it
+  * is built from.
+  *
+  * Strategy ("union trick"): instead of a range join (which Catalyst
+  * would plan as a broadcast nested-loop join), grid points and
+  * samples are unioned into ONE ordered stream per series; the
+  * bracketing sample before/after each grid point then falls out of
+  * two `last/first ignoreNulls` running windows. That is a single
+  * shuffle by series key + one sort — O(n log n) per series, no
+  * quadratic join, and it reuses the same partitioning every other
+  * series op uses. This is the 100 TB-safe shape for as-of joins with
+  * high-cardinality keys; DuckDB's native ASOF JOIN is the same idea.
+  */
+object Resample {
+
+  import SeriesOps.Series
+
+  /** `np.interp`-style linear resample of `value` onto the uniform
+    * per-series grid `{0, step, 2·step, … ≤ max(t)}`, ends clamped to
+    * the nearest sample (filter_engine.py:165). Returns one row per
+    * grid point: series keys + `timeCol` (grid time) + `out`.
+    */
+  /** Per-series uniform probe grid `{0, step, …, ≤ max(t)}` — one
+    * `sequence`+`explode` per series, built from a single agg pass.
+    */
+  def uniformGrid(samples: DataFrame, s: Series, step: Double): DataFrame = {
+    val keys = s.keyCols.map(col)
+    samples.groupBy(keys: _*).agg(max(col(s.timeCol)).as("__mt"))
+      .select((keys :+ explode(sequence(lit(0L), floor(col("__mt") / step).cast("long"))).as("__i")): _*)
+      .withColumn(s.timeCol, col("__i") * lit(step))
+      .drop("__i")
+  }
+
+  def toUniformGrid(samples: DataFrame, s: Series, value: String, out: String,
+      step: Double): DataFrame =
+    interpolateAt(samples, uniformGrid(samples, s, step), s, value, out)
+
+  /** Linear interpolation of `value` at each probe row's time. The
+    * probe side must have the series keys + time column; sample-side
+    * ties sort before probes at equal times so a probe exactly on a
+    * sample returns that sample's value (np.interp semantics).
+    */
+  def interpolateAt(samples: DataFrame, probes: DataFrame, s: Series, value: String,
+      out: String): DataFrame = {
+    val keyNames = s.keyCols
+
+    val sPart = samples
+      .select((keyNames.map(col) :+ col(s.timeCol) :+ col(value).as("__v") :+
+        lit(0).as("__g")) ++ s.tieCols.map(col): _*)
+    val pPart = probes
+      .select((keyNames.map(col) :+ col(s.timeCol) :+ lit(null).cast("double").as("__v") :+
+        lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
+      .toDF(sPart.columns: _*)
+
+    val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+    val before = w.rowsBetween(Window.unboundedPreceding, 0)
+    val after = w.rowsBetween(0, Window.unboundedFollowing)
+
+    val v = col("__v"); val tt = col(s.timeCol)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val pt = last(when(v.isNotNull, tt), ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    val nt = first(when(v.isNotNull, tt), ignoreNulls = true).over(after)
+
+    sPart.unionAll(pPart)
+      .withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .filter(col("__g") === 1)
+      .withColumn(out,
+        when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .when(col("__nt") === col("__pt"), col("__pv"))
+          .otherwise(col("__pv") +
+            (col("__nv") - col("__pv")) * (tt - col("__pt")) / (col("__nt") - col("__pt"))))
+      .select((keyNames.map(col) :+ tt.as(s.timeCol) :+ col(out)): _*)
+  }
+
+  /** Backward as-of join: for each probe row, the latest sample value
+    * at-or-before its time (per series). Same union trick, prev-only.
+    */
+  def asofBackward(samples: DataFrame, probes: DataFrame, s: Series, value: String,
+      out: String): DataFrame = {
+    val keyNames = s.keyCols
+    val sPart = samples
+      .select((keyNames.map(col) :+ col(s.timeCol) :+ col(value).as("__v") :+
+        lit(0).as("__g")) ++ s.tieCols.map(col): _*)
+    val pPart = probes
+      .select((keyNames.map(col) :+ col(s.timeCol) :+ lit(null).cast("double").as("__v") :+
+        lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
+      .toDF(sPart.columns: _*)
+
+    val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    sPart.unionAll(pPart)
+      .withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__g") === 1)
+      .select((keyNames.map(col) :+ col(s.timeCol) :+ col(out)): _*)
+  }
+}
