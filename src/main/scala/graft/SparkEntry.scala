@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared capabilities, grouped by module. */
   def allQueries: Seq[QueryDef] =
     operators.Relational.all ++ operators.EventSeries.all ++
-      operators.EventSeriesJoins.all
+      operators.EventSeriesJoins.all ++ operators.Dedup.all ++
+      operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

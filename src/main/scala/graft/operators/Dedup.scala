@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextHash
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash signatures, LSH candidate pairs,
+  * exact n-gram Jaccard verification, and SimHash — all over the
+  * `documents` table.
+  *
+  * Scale design: signatures/simhash are computed per-row with array
+  * expressions (no explode, no shuffle — one narrow projection over
+  * the corpus); the only shuffles are the ones dedup fundamentally
+  * needs (group-by text hash for exact dedup, the LSH bucket join for
+  * candidate generation). At 100 TB the bucket join is an equi-join
+  * on (band, key) — hash-partitionable, skew handled by AQE — never
+  * an all-pairs comparison.
+  */
+object Dedup {
+
+  import TextHash._
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** doc_id → shingle-hash array (docs shorter than k words drop). */
+  private def hashed(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Per-doc MinHash signature rows (doc_id, perm, mh) — shuffle-free
+    * signature computation, exploded only for the declared output.
+    */
+  private def signatureRows(spark: SparkSession, dir: String): DataFrame =
+    hashed(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        s"""transform($permsArraySql, q -> struct(q.p as perm,
+           |  array_min(transform(hs, h -> (q.a * h + q.b) % ${Prime}L)) as mh))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.perm").as("perm"), col("s.mh").as("mh"))
+
+  /** Per-doc LSH band keys: 4 bands × 4 signature rows, key = CSV of
+    * the band's minhashes in perm order.
+    */
+  private def bandKeys(spark: SparkSession, dir: String): DataFrame =
+    hashed(spark, dir)
+      .withColumn("sig", expr(
+        s"""transform($permsArraySql, q ->
+           |  cast(array_min(transform(hs, h -> (q.a * h + q.b) % ${Prime}L)) as string))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  struct(b as band, concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows)) as key))""".stripMargin)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Candidate near-dup pairs: docs sharing any full LSH band. */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = bandKeys(spark, dir)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val duckSig =
+    s"""${duckShingleCte()}, $duckPermsValues,
+       |sig AS (SELECT doc_id, p, min((a * h + b) % $Prime) AS mh
+       |  FROM sh, perms GROUP BY doc_id, p)""".stripMargin
+
+  private val duckPairs =
+    s"""bnd AS (SELECT doc_id, p // $BandRows AS band,
+       |    string_agg(mh, ',' ORDER BY p) AS key
+       |  FROM sig GROUP BY doc_id, band),
+       |prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Exact dedup: identical text collapses to the minimum doc_id. */
+  val q40ExactDedup: QueryDef = QueryDef.sql(
+    "q40_exact_dedup",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    docs(spark, dir).groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** MinHash signatures: 16 affine permutations over 3-word shingle
+    * hashes (doc_id, perm, mh).
+    */
+  val q41MinhashSignature: QueryDef = QueryDef.sql(
+    "q41_minhash_signature",
+    s"""WITH $duckSig
+       |SELECT doc_id, p AS perm, mh FROM sig
+       |ORDER BY doc_id, perm""".stripMargin) { (spark, dir) =>
+    signatureRows(spark, dir).orderBy("doc_id", "perm")
+  }
+
+  /** LSH candidate pairs: any shared (band, 4-row key) bucket. */
+  val q42LshPairs: QueryDef = QueryDef.sql(
+    "q42_lsh_pairs",
+    s"""WITH $duckSig, $duckPairs
+       |SELECT doc_a, doc_b FROM prs ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    lshPairs(spark, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity of each LSH candidate pair,
+    * computed on distinct shingle-hash sets with array intersection
+    * (no second explode-join).
+    */
+  val q43JaccardVerify: QueryDef = QueryDef.sql(
+    "q43_jaccard_verify",
+    s"""WITH $duckSig, $duckPairs,
+       |ds AS (SELECT DISTINCT doc_id, h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM prs p JOIN ds x ON x.doc_id = p.doc_a
+       |  JOIN ds y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+       |FROM prs p
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN cnt ca ON ca.doc_id = p.doc_a
+       |JOIN cnt cb ON cb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
+    val sets = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(shingleHashes(col("text"))).as("hset"))
+      .filter(size(col("hset")) > 0)
+    lshPairs(spark, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ha"), col("hb"))) /
+          size(array_union(col("ha"), col("hb"))), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash over shingle hashes (frequency-weighted): bit j
+    * is set when strictly more than half the shingles have bit j set.
+    * Computed per-row with nested higher-order functions — zero
+    * shuffle.
+    */
+  val q44Simhash: QueryDef = QueryDef.sql(
+    "q44_simhash",
+    s"""WITH ${duckShingleCte()},
+       |bits AS (SELECT doc_id, j,
+       |    count(*) FILTER (WHERE (h >> j) & 1 = 1) AS cnt1, count(*) AS tot
+       |  FROM sh, range(0, 32) t(j) GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  sum(CASE WHEN 2 * cnt1 > tot THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    hashed(spark, dir)
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+          |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
+          |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify, q44Simhash)
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.VectorMath
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast,
+  * so the scan side streams once with no shuffle until the final
+  * per-query top-k (a window over q_id). Scale path: random-
+  * hyperplane LSH — each vector gets an 8-bit bucket from sign(w·v)
+  * (a per-row projection, zero shuffle), and search joins only within
+  * a bucket: candidate count drops ~2^8 while the join stays a plain
+  * hash equi-join on the bucket key.
+  *
+  * All dot products fold left in doubles (`aggregate`/`zip_with`), so
+  * results are deterministic and bit-identical to the DuckDB oracle's
+  * `list_reduce`/`list_transform` evaluation.
+  */
+object Similarity {
+
+  import VectorMath._
+
+  /** Left-fold dot product of two float-array SQL expressions. */
+  private def dotSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |  cast(0 as double), (s, x) -> s + x)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"""aggregate($a, cast(0 as double),
+       |  (s, x) -> s + cast(x as double) * cast(x as double))""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x::DOUBLE * $b[i]::DOUBLE), (s, x) -> s + x)"
+
+  private def duckNorm(a: String): String =
+    s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (s, x) -> s + x)"
+
+  /** 8-bit random-hyperplane bucket of an embedding column (Spark). */
+  private def bucketCol: Column = expr(
+    s"""aggregate(sequence(0, ${NumPlanes - 1}), cast(0 as bigint), (acc, p) ->
+       |  acc + if(
+       |    aggregate(zip_with(embedding, element_at($planesSparkLit, p + 1),
+       |        (x, w) -> cast(x as double) * w),
+       |      cast(0 as double), (s, x) -> s + x) > 0,
+       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
+
+  /** DuckDB CTE: vec_id → 8-bit hyperplane bucket. */
+  private val duckBuckets =
+    s"""bk AS (
+       |  SELECT vec_id, embedding,
+       |    sum(CASE WHEN list_reduce(
+       |        list_transform(embedding, (x, i) -> x::DOUBLE * (($planesDuckLit)[p + 1])[i]),
+       |        (s, x) -> s + x) > 0
+       |      THEN 1::BIGINT << p ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings, range(0, $NumPlanes) t(p)
+       |  GROUP BY vec_id, embedding)""".stripMargin
+
+  /** Brute-force cosine top-5 neighbors for query vectors
+    * (vec_id < 10) — the exact baseline every ANN variant is judged
+    * against.
+    */
+  val q45CosineTopK: QueryDef = QueryDef.sql(
+    "q45_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT q_id, vec_id,
+       |    round(${duckDot("qe", "embedding")} /
+       |      (sqrt(${duckNorm("qe")}) * sqrt(${duckNorm("embedding")})), 6) AS cos_sim
+       |  FROM q, embeddings WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(
+        expr(dotSql("qe", "embedding")) /
+          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucket assignment — the per-row, shuffle-
+    * free bucketing step of the ANN scale path.
+    */
+  val q46AnnBuckets: QueryDef = QueryDef.sql(
+    "q46_ann_buckets",
+    s"""WITH $duckBuckets
+       |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bucketCol.as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  /** Bucketed ANN top-3: cosine search restricted to the query's LSH
+    * bucket — the join is an equi-join on (bucket), never all-pairs.
+    */
+  val q47AnnTopK: QueryDef = QueryDef.sql(
+    "q47_ann_topk",
+    s"""WITH $duckBuckets,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bk WHERE vec_id < 10),
+       |c AS (SELECT q.q_id, bk.vec_id,
+       |    round(${duckDot("qe", "bk.embedding")} /
+       |      (sqrt(${duckNorm("qe")}) * sqrt(${duckNorm("bk.embedding")})), 6) AS cos_sim
+       |  FROM q JOIN bk ON bk.bucket = q.bucket AND bk.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val bk = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+    val q = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    bk.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(
+        expr(dotSql("qe", "embedding")) /
+          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK)
+}
