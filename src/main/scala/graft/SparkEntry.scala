@@ -15,7 +15,8 @@ object SparkEntry {
   def allQueries: Seq[QueryDef] =
     operators.Relational.all ++ operators.EventSeries.all ++
       operators.EventSeriesJoins.all ++ operators.Dedup.all ++
-      operators.Similarity.all
+      operators.Similarity.all ++ operators.TextOps.all ++
+      operators.Multimodal.all ++ operators.RecipeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.engine
+
+import graft.operators.{Resample, SeriesOps, SignalKernels}
+import graft.operators.SeriesOps.Series
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed filter specification — one case per operator the reference's
+  * `FilterEngine.available_filters()` declares
+  * (/root/reference/filter_engine.py:173-189), with the same default
+  * parameters (/root/reference/dialogs.py:15-30).
+  */
+sealed trait FilterSpec { def name: String }
+object FilterSpec {
+  final case class MovingAverage(window: Int = 5) extends FilterSpec { val name = "moving_average" }
+  final case class Median(window: Int = 5) extends FilterSpec { val name = "median" }
+  final case class Savgol(window: Int = 11, polyorder: Int = 2) extends FilterSpec { val name = "savgol" }
+  final case class ButterLowpass(cutoffWn: Double = 0.2, order: Int = 4) extends FilterSpec { val name = "butter_lowpass" }
+  final case class ButterBandpass(lowWn: Double = 0.05, highWn: Double = 0.4, order: Int = 4) extends FilterSpec { val name = "butter_bandpass" }
+  case object Detrend extends FilterSpec { val name = "detrend" }
+  case object Derivative extends FilterSpec { val name = "derivative" }
+  final case class Integrate(dt: Double = 1.0) extends FilterSpec { val name = "integrate" }
+  case object Zscore extends FilterSpec { val name = "zscore" }
+  case object PercentNormalize extends FilterSpec { val name = "percent_normalize" }
+  final case class MovingRms(window: Int = 5) extends FilterSpec { val name = "moving_rms" }
+  case object Absolute extends FilterSpec { val name = "absolute" }
+  case object Interpolate extends FilterSpec { val name = "interpolate" }
+  final case class ResampleTo(step: Double) extends FilterSpec { val name = "resample" }
+
+  /** name + params map → spec (the reference's string dispatch). */
+  def fromParams(name: String, p: Map[String, Double]): FilterSpec = name match {
+    case "moving_average" => MovingAverage(p.getOrElse("window", 5.0).toInt)
+    case "median" => Median(p.getOrElse("window", 5.0).toInt)
+    case "savgol" => Savgol(p.getOrElse("window", 11.0).toInt, p.getOrElse("polyorder", 2.0).toInt)
+    case "butter_lowpass" => ButterLowpass(p.getOrElse("cutoff_wn", 0.2), p.getOrElse("order", 4.0).toInt)
+    case "butter_bandpass" => ButterBandpass(p.getOrElse("low_wn", 0.05), p.getOrElse("high_wn", 0.4), p.getOrElse("order", 4.0).toInt)
+    case "detrend" => Detrend
+    case "derivative" => Derivative
+    case "integrate" => Integrate(p.getOrElse("dt", 1.0))
+    case "zscore" => Zscore
+    case "percent_normalize" => PercentNormalize
+    case "moving_rms" => MovingRms(p.getOrElse("window", 5.0).toInt)
+    case "absolute" => Absolute
+    case "interpolate" => Interpolate
+    case "resample" => ResampleTo(p.getOrElse("step", 1.0))
+    case other => throw new IllegalArgumentException(s"unknown filter: $other")
+  }
+}
+
+/** The name-dispatched filter engine
+  * (/root/reference/filter_engine.py:25-91), Spark-first: every
+  * filter is a lazy `DataFrame => DataFrame`; `selection` confines
+  * the window to the selected rows and leaves everything else
+  * untouched (filter_engine.py:30-37) by partitioning on
+  * (seriesKeys, inSelection) — the distributed form of the
+  * reference's masked-subframe semantics.
+  */
+object FilterEngine {
+
+  val availableFilters: Seq[String] = Seq(
+    "moving_average", "median", "savgol", "butter_lowpass", "butter_bandpass",
+    "detrend", "derivative", "integrate", "zscore", "percent_normalize",
+    "moving_rms", "absolute", "interpolate", "resample")
+
+  /** Apply `spec` to each channel in place (out column = channel),
+    * optionally scoped to a `[start, end]` time selection.
+    */
+  def apply(spark: SparkSession, df: DataFrame, s: Series, channels: Seq[String],
+      spec: FilterSpec, selection: Option[(Double, Double)] = None): DataFrame =
+    channels.foldLeft(df)((d, ch) => applyOne(spark, d, s, ch, spec, selection))
+
+  private def applyOne(spark: SparkSession, df: DataFrame, s: Series, ch: String,
+      spec: FilterSpec, selection: Option[(Double, Double)]): DataFrame =
+    selection match {
+      case None =>
+        whole(spark, df, s, ch, spec)
+      case Some((start, end)) =>
+        // partition by (keys, inSel): windows see only selection rows
+        val flagged = df.withColumn("__insel", col(s.timeCol).between(start, end))
+        val scopedSeries = s.copy(keyCols = s.keyCols :+ "__insel")
+        val out = whole(spark, flagged, scopedSeries, "__selout", spec,
+          srcOverride = Some(ch))
+        out.withColumn(ch, when(col("__insel"), col("__selout")).otherwise(col(ch)))
+          .drop("__insel", "__selout")
+    }
+
+  /** Whole-series application writing `out` (defaults to in-place on
+    * the source channel when `srcOverride` is empty).
+    */
+  private def whole(spark: SparkSession, df: DataFrame, s: Series, out: String,
+      spec: FilterSpec, srcOverride: Option[String] = None): DataFrame = {
+    val src = srcOverride.getOrElse(out)
+    import FilterSpec._
+    spec match {
+      case MovingAverage(w) => SeriesOps.movingAverage(df, s, src, out, w)
+      case Median(w) => SeriesOps.rollingMedian(df, s, src, out, w)
+      case Savgol(w, p) => SeriesOps.savgolInterior(df, s, src, out, w, p)
+      case Detrend => SeriesOps.detrend(df, s, src, out)
+      case Derivative => SeriesOps.derivative(df, s, src, out)
+      case Integrate(dt) => SeriesOps.integrate(df, s, src, out, dt)
+      case Zscore => SeriesOps.zscore(df, s, src, out)
+      case PercentNormalize => SeriesOps.percentNormalize(df, s, src, out)
+      case MovingRms(w) => SeriesOps.movingRms(df, s, src, out, w)
+      case Absolute => SeriesOps.absolute(df, src, out)
+      case Interpolate => SeriesOps.interpolateLinear(df, s, src, out)
+      case ButterLowpass(wn, ord) =>
+        kernelJoin(spark, df, s, src, out)(SignalKernels.butterLowpass(spark, _, ord, wn).toDF())
+      case ButterBandpass(lo, hi, ord) =>
+        kernelJoin(spark, df, s, src, out)(SignalKernels.butterBandpass(spark, _, ord, lo, hi).toDF())
+      case ResampleTo(step) =>
+        // cardinality-changing: replaces the frame with the new grid
+        Resample.toUniformGrid(df, s, src, out, step)
+    }
+  }
+
+  /** Run a per-series kernel (expects user_id/event_id/tn/value) and
+    * join the filtered channel back by key+tie columns.
+    */
+  private def kernelJoin(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String)(k: DataFrame => DataFrame): DataFrame = {
+    val in = df.select(
+      col(s.keyCols.head).as("user_id"),
+      col(s.tieCols.headOption.getOrElse(s.timeCol)).as("event_id"),
+      col(s.timeCol).as("tn"), col(src).cast("double").as("value"))
+    val filtered = k(in).select(
+      col("user_id").as(s.keyCols.head),
+      col("event_id").as(s.tieCols.headOption.getOrElse(s.timeCol)),
+      col("filtered").as(out))
+    val keys = Seq(s.keyCols.head, s.tieCols.headOption.getOrElse(s.timeCol))
+    (if (df.columns.contains(out)) df.drop(out) else df).join(filtered, keys)
+  }
+}

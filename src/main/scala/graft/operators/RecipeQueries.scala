@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.engine.Recipes
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end recipe replay (§2.10): a reference-shaped JSON recipe
+  * parsed, compiled to one lazy transform chain, and folded over ALL
+  * series in a single job — derived expression → full-series moving
+  * average → selection-scoped z-score → mark-bad. The oracle SQL
+  * replays the identical chain in DuckDB.
+  */
+object RecipeQueries {
+
+  private val s = SeriesOps.Series(Seq("user_id"), "tn", Seq("event_id"))
+
+  private val SelStart = 86400.0
+  private val SelEnd = 864000.0
+  private val BadStart = 1728000.0
+  private val BadEnd = 2592000.0
+
+  private val recipeJson =
+    s"""[{"type":"derived","name":"v2","expr":"value * 2.0 + 1.0"},
+       | {"type":"filter","filter":"moving_average","params":{"window":5},"channels":["v2"]},
+       | {"type":"filter","filter":"zscore","params":{},"channels":["v2"],"start":$SelStart,"end":$SelEnd},
+       | {"type":"mark_bad","start":$BadStart,"end":$BadEnd}]""".stripMargin
+
+  val q39RecipeReplay: QueryDef = QueryDef.sql(
+    "q39_recipe_replay",
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |  FROM (${Tables.seriesSql})),
+       |d AS (SELECT *, value * 2.0 + 1.0 AS v2 FROM s),
+       |m AS (SELECT *, avg(v2) OVER (PARTITION BY user_id
+       |    ORDER BY tn, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS v2m FROM d),
+       |f AS (SELECT *, tn BETWEEN $SelStart AND $SelEnd AS insel FROM m),
+       |z AS (SELECT *, CASE WHEN insel THEN
+       |    (v2m - avg(v2m) OVER (PARTITION BY user_id, insel)) /
+       |    (CASE WHEN coalesce(stddev_pop(v2m) OVER (PARTITION BY user_id, insel), 0) = 0
+       |          THEN 1.0 ELSE stddev_pop(v2m) OVER (PARTITION BY user_id, insel) END)
+       |  ELSE v2m END AS v2z FROM f)
+       |SELECT user_id, event_id, tn, round(v2z, 6) AS v2,
+       |  tn BETWEEN $BadStart AND $BadEnd AS is_bad_segment
+       |FROM z ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val replay = Recipes.compile(spark, s, Recipes.fromJson(recipeJson))
+    replay(Tables.seriesNorm(spark, dir))
+      .select(col("user_id"), col("event_id"), col("tn"),
+        round(col("v2"), 6).as("v2"), col("is_bad_segment"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q39RecipeReplay)
+}

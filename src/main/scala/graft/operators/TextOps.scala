@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextHash
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over `documents`:
+  * language ID (word-n-gram marker voting), quality scoring, token
+  * counting, and winnowing document fingerprints.
+  *
+  * Every operator here is a per-row projection over the corpus — no
+  * shuffle at all (the plan is scan → project → sort-for-output), so
+  * at 100 TB these run at full scan throughput with column pruning
+  * down to (doc_id, text).
+  */
+object TextOps {
+
+  /** Marker vocabulary per language — the word-level stand-in for a
+    * character-n-gram language profile (a real profile is the same
+    * shape: a small broadcast dictionary scored per document). Scored
+    * in a fixed priority order so argmax ties are deterministic.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "dans"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  private def sqlList(ws: Seq[String], l: String, r: String): String =
+    ws.map(w => s"'$w'").mkString(l, ", ", r)
+
+  /** Language ID: count marker hits per language over the word list,
+    * predict the first language (fixed order) achieving the max; all
+    * zero → 'und'.
+    */
+  val q50LangId: QueryDef = {
+    val sparkScores = langMarkers.map { case (l, ms) =>
+      l -> s"size(filter(ws, w -> array_contains(${sqlList(ms, "array(", ")")}, w)))"
+    }
+    val duckScores = langMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter(ws, w -> list_contains(${sqlList(ms, "[", "]")}, w)))"
+    }
+    def inlineCase(scores: Seq[(String, String)]): String = {
+      val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val whens = scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }.mkString("\n  ")
+      s"CASE WHEN $m = 0 THEN 'und'\n  $whens END"
+    }
+    QueryDef.sql(
+      "q50_lang_id",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |SELECT doc_id, ${inlineCase(duckScores)} AS lang_pred
+         |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.sources.Tables.documents(spark, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), expr(inlineCase(sparkScores)).as("lang_pred"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Quality score: word count, mean word length, stopword ratio →
+    * bounded composite in [0, 1].
+    */
+  val q51QualityScore: QueryDef = QueryDef.sql(
+    "q51_quality_score",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |m AS (SELECT doc_id, len(ws) AS n_words,
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
+       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |  FROM w)
+       |SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_wlen,
+       |  round(stop_ratio, 6) AS stop_ratio,
+       |  round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
+       |    + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("mean_wlen",
+        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))") /
+          col("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_wlen"), 6).as("mean_wlen"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
+          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, regex word/punct tokens, and
+    * the chars/4 BPE-size estimate.
+    */
+  val q52TokenCount: QueryDef = QueryDef.sql(
+    "q52_token_count",
+    raw"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,
+         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(raw"\w+|[^\w\s]"), lit(0)))
+          .cast("long").as("re_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprint: min shingle-hash per 4-window over the
+    * shingle-hash sequence, deduplicated — summarized as count, min,
+    * max, xor (order-insensitive, so Spark/DuckDB list-op ordering
+    * differences can't flip the hash).
+    */
+  val q53Fingerprint: QueryDef = QueryDef.sql(
+    "q53_fingerprint",
+    s"""WITH shl AS (SELECT doc_id, list_transform(
+       |    generate_series(1, len(ws) - 2),
+       |    i -> ${TextHash.duckBase32("array_to_string(ws[i:i+2], ' ')")}) AS hl
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |fp AS (SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(hl) - 3),
+       |    i -> list_aggregate(hl[i:i+3], 'min'))) AS fps
+       |  FROM shl)
+       |SELECT doc_id, len(fps) AS n_fp,
+       |  list_aggregate(fps, 'min') AS fp_min,
+       |  list_aggregate(fps, 'max') AS fp_max,
+       |  CASE WHEN len(fps) = 0 THEN 0
+       |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (s, x) -> xor(s, x)) END AS fp_xor
+       |FROM fp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .withColumn("hs", TextHash.shingleHashes(col("text")))
+      .withColumn("fps", expr(
+        """array_distinct(case when size(hs) >= 4 then
+          |  transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))
+          |  else cast(array() as array<bigint>) end)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("array_min(fps)").as("fp_min"),
+        expr("array_max(fps)").as("fp_max"),
+        expr("aggregate(fps, cast(0 as bigint), (s, x) -> s ^ x)").as("fp_xor"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount, q53Fingerprint)
+}
