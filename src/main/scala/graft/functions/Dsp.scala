@@ -117,12 +117,21 @@ object Dsp {
     sections
   }
 
-  /** One forward pass of a biquad cascade (direct form II transposed). */
+  /** One forward pass of a biquad cascade (direct form II transposed),
+    * with each section's state initialized at its steady-state
+    * response to the first sample — scipy `filtfilt`'s
+    * `zi = lfilter_zi(...) * x[0]`, which removes the startup
+    * transient (a constant signal passes through exactly).
+    */
   def sosFilter(sos: Array[Biquad], x: Array[Double]): Array[Double] = {
     var y = x
     for (s <- sos) {
       val out = new Array[Double](y.length)
-      var z1 = 0.0; var z2 = 0.0
+      val x0 = if (y.nonEmpty) y(0) else 0.0
+      val dc = (s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2)
+      val y0 = dc * x0
+      var z2 = s.b2 * x0 - s.a2 * y0
+      var z1 = s.b1 * x0 - s.a1 * y0 + z2
       var i = 0
       while (i < y.length) {
         val xi = y(i)

@@ -1,0 +1,102 @@
+package graft
+
+import graft.engine._
+import graft.engine.Recipes.Op
+import graft.operators.{SeriesOps, SignalKernels}
+import graft.operators.SeriesOps.Series
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val s = Series(Seq("user_id"), "tn", Seq("event_id"))
+
+  private def seriesDf(vals: Double*): DataFrame =
+    vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toDouble, v) }
+      .toDF("user_id", "event_id", "tn", "value")
+
+  private def vcol(d: DataFrame, c: String): Seq[Double] =
+    d.orderBy("tn").select(col(c).cast("double")).collect().map(_.getDouble(0)).toSeq
+
+  test("all 14 reference filters dispatch") {
+    FilterEngine.availableFilters.foreach { name =>
+      val spec = FilterSpec.fromParams(name, Map("step" -> 1.0))
+      assert(spec.name == name)
+    }
+    assert(FilterEngine.availableFilters.size == 14)
+  }
+
+  test("selection scoping: identity outside, windows confined inside") {
+    val d = seriesDf(1, 2, 3, 10, 20, 30)
+    val r = FilterEngine.apply(spark, d, s, Seq("value"),
+      FilterSpec.MovingAverage(3), selection = Some((3.0, 5.0)))
+    // outside [3,5]: untouched; inside: centered mean over ONLY rows 3..5
+    assert(vcol(r, "value") == Seq(1.0, 2.0, 3.0, 15.0, 20.0, 25.0))
+  }
+
+  test("recipe JSON roundtrip") {
+    val ops = Seq(
+      Op.Derived("v2", "value * 2"),
+      Op.Filter("moving_average", Map("window" -> 5.0), Seq("v2"), Some((1.0, 2.0))),
+      Op.DeleteSegment(0.5, 1.5),
+      Op.MarkBad(2.0, 3.0))
+    assert(Recipes.fromJson(Recipes.toJson(ops)) == ops)
+  }
+
+  test("recipe compile = manual chain") {
+    val d = seriesDf(-1, 2, -3)
+    val replay = Recipes.compile(spark, s, Seq(
+      Op.Derived("v2", "value * 2.0"),
+      Op.Filter("absolute", Map.empty, Seq("v2"), None)))
+    assert(vcol(replay(d), "v2") == Seq(2.0, 4.0, 6.0))
+  }
+
+  test("session undo/redo with O(1) immutable snapshots") {
+    val sess = new Session(s, EngineState(seriesDf(1, 2, 3, 4)))
+    assert(!sess.canUndo && !sess.canRedo)
+    sess.deleteSegment(0.5, 1.5)
+    sess.markBad(2.0, 2.0)
+    assert(sess.state.history.map(_.description) == Vector("delete_segment", "mark_bad"))
+    assert(sess.undo() && sess.state.history.map(_.description) == Vector("delete_segment"))
+    assert(sess.canRedo && sess.redo())
+    assert(sess.state.deletions == Vector((0.5, 1.5)))
+    sess.undo(); sess.deleteSegment(2.5, 3.5) // new mutation clears redo
+    assert(!sess.canRedo)
+  }
+
+  test("annotationAt tie-break: non-episode track, then shortest") {
+    val sess = new Session(s, EngineState(seriesDf(1)))
+    sess.annotate(Annotation(0, 10, "long", track = "notes"))
+    sess.annotate(Annotation(2, 4, "short", track = "notes"))
+    sess.annotate(Annotation(0, 3, "ep", track = "episode"))
+    assert(sess.annotationAt(2.5).map(_.label).contains("short"))
+    assert(sess.annotationAt(0.5).map(_.label).contains("long"))
+    assert(sess.annotationAt(20).isEmpty)
+  }
+
+  test("butterworth kernel: constant series passes, bandpass kills DC") {
+    val d = seriesDf(Seq.fill(40)(5.5): _*)
+    val lp = SignalKernels.butterLowpass(spark, d, 4, 0.25).toDF()
+    vcol(lp, "filtered").foreach(v => assert(math.abs(v - 5.5) < 1e-9))
+    val bp = SignalKernels.butterBandpass(spark, d, 2, 0.1, 0.6).toDF()
+    vcol(bp, "filtered").foreach(v => assert(math.abs(v) < 1e-9))
+  }
+
+  test("savgol exact kernel reproduces a quadratic including edges") {
+    val d = seriesDf((0 until 20).map(i => 0.5 * i * i - 2 * i + 3.0): _*)
+    val r = SignalKernels.savgolExact(spark, d, 7, 2).toDF()
+    vcol(r, "filtered").zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - (0.5 * i * i - 2 * i + 3.0)) < 1e-7, s"i=$i")
+    }
+  }
+
+  test("filter engine kernel dispatch joins filtered channel back") {
+    val d = seriesDf(1, 1, 1, 1, 1, 1)
+    val r = FilterEngine.apply(spark, d, s, Seq("value"), FilterSpec.ButterLowpass(0.3, 2))
+    assert(r.count() == 6)
+    vcol(r, "value").foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all specs (JVM forked by sbt). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+}

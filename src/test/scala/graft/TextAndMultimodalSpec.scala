@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{TextHash, VectorMath}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAndMultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("base32 hash matches the md5 reference value") {
+    // md5('abc') = 900150983cd24fb0… → 0x90015098 = 2416005272
+    val v = Seq("abc").toDF("s")
+      .select(TextHash.base32(col("s"))).head().getLong(0)
+    assert(v == 2416005272L)
+  }
+
+  test("shingles: k-word windows, short docs empty") {
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(TextHash.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(r == List(List("a b c", "b c d"), Nil))
+  }
+
+  test("minhash permutation constants stay in safe integer range") {
+    assert(TextHash.perms.size == 16)
+    TextHash.perms.foreach { case (_, a, b) =>
+      assert(a > 0 && a < (1L << 30) && b >= 0 && b < TextHash.Prime)
+    }
+  }
+
+  test("identical texts share minhash signature and simhash") {
+    val d = Seq((1L, "x y z w v u t"), (2L, "x y z w v u t"), (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+      .withColumn("hs", TextHash.shingleHashes(col("text")))
+      .withColumn("sig", expr(
+        s"transform(${TextHash.permsArraySql}, q -> array_min(transform(hs, h -> (q.a * h + q.b) % ${TextHash.Prime}L)))"))
+    val rows = d.orderBy("doc_id").select("sig").collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1) && rows(0) != rows(2))
+  }
+
+  test("hyperplanes are fixed-dim, bounded, deterministic") {
+    assert(VectorMath.planes.size == VectorMath.NumPlanes)
+    VectorMath.planes.foreach { p =>
+      assert(p.size == VectorMath.Dim)
+      p.foreach(w => assert(w.abs <= 1))
+    }
+    assert(VectorMath.planesSparkLit == VectorMath.planesSparkLit)
+  }
+
+  test("frame-sample kernel: ceil(n/stride) frames, byte values") {
+    val m = Multimodal.MediaRow(7L, Array.tabulate(130)(i => (i % 251).toByte), "raw8", 16, 9)
+    val frames = (0 until (m.payload.length + 63) / 64)
+      .map(k => m.payload(k * 64) & 0xff)
+    assert(frames == Seq(0, 64, 128))
+  }
+
+  test("resize kernel emits a fixed-width strip for any payload size") {
+    for (n <- Seq(8, 9, 100, 500)) {
+      val bytes = Array.tabulate(n)(i => (i % 127).toByte)
+      val px = (0 until Multimodal.ResizeTo)
+        .map(j => bytes(((j.toLong * n) / Multimodal.ResizeTo).toInt) & 0xff)
+      assert(px.size == 8)
+      assert(px.head == bytes(0))
+    }
+  }
+}
