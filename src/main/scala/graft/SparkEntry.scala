@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.EventSeries.all ++
       operators.EventSeriesJoins.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.TextOps.all ++
-      operators.Multimodal.all ++ operators.RecipeQueries.all
+      operators.Multimodal.all ++ operators.RecipeQueries.all ++
+      streaming.StreamingSessions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

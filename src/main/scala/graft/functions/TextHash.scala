@@ -48,21 +48,36 @@ object TextHash {
   def base32Sql(inner: String): String =
     s"cast(conv(substring(md5($inner), 1, 8), 16, 10) as bigint)"
 
-  /** `k`-word shingle strings of a space-tokenized text column.
+  /** `k`-word shingles over an ALREADY-SPLIT word-array column.
     * Guarded: fewer than k words → empty array (Spark's `sequence`
     * would otherwise produce a DESCENDING range).
+    *
+    * Callers should materialize the word array as its own column
+    * first (`split(text, " ").as("ws")`): this expression references
+    * `ws` three times, which stops `CollapseProject` from inlining
+    * the split into the per-element lambda (inlined, the tokenizer
+    * would re-run per shingle — an O(words²) blowup measured at ~10×
+    * on the benchmark corpus).
     */
-  def shingles(text: Column, k: Int = ShingleK): Column = {
-    val ws = split(text, " ")
+  def shinglesFromWords(ws: Column, k: Int = ShingleK): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", slice(ws, i + lit(1), lit(k)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Shingles of a raw text column — convenience for small inputs;
+    * hot paths use [[shinglesFromWords]] over a word-array column.
+    */
+  def shingles(text: Column, k: Int = ShingleK): Column =
+    shinglesFromWords(split(text, " "), k)
 
   /** Shingle base-hash array of a text column. */
   def shingleHashes(text: Column, k: Int = ShingleK): Column =
     transform(shingles(text, k), s => base32(s))
+
+  /** Shingle base-hash array over a word-array column (hot path). */
+  def shingleHashesFromWords(ws: Column, k: Int = ShingleK): Column =
+    transform(shinglesFromWords(ws, k), s => base32(s))
 
   /** Spark array-of-structs literal of the MinHash permutations, for
     * shuffle-free per-row signatures.

@@ -26,11 +26,19 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
-  /** doc_id → shingle-hash array (docs shorter than k words drop). */
+  /** doc_id → shingle-hash array (docs shorter than k words drop).
+    * Tokenization and hashing run in separate projection steps (each
+    * column referenced multiple times downstream, so Catalyst cannot
+    * inline them into per-element lambdas), and the result is
+    * persisted: every dedup query consumes this table, and at
+    * production scale it is the materialize-once signature input.
+    */
   private def hashed(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingleHashesFromWords(col("ws")).as("hs"))
       .filter(size(col("hs")) > 0)
+      .persist()
 
   /** Per-doc MinHash signature rows (doc_id, perm, mh) — shuffle-free
     * signature computation, exploded only for the declared output.
@@ -55,9 +63,14 @@ object Dedup {
            |  struct(b as band, concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows)) as key))""".stripMargin)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-  /** Candidate near-dup pairs: docs sharing any full LSH band. */
+  /** Candidate near-dup pairs: docs sharing any full LSH band.
+    * The band-key table is persisted before the self-join — otherwise
+    * both join sides re-run the whole signature pipeline (at
+    * production scale this is "materialize the signature table once,
+    * then bucket-join it", the standard MinHash-LSH shape).
+    */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = bandKeys(spark, dir)
+    val b = bandKeys(spark, dir).persist()
     b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -128,9 +141,8 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = p.doc_a
        |JOIN cnt cb ON cb.doc_id = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
-    val sets = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(shingleHashes(col("text"))).as("hset"))
-      .filter(size(col("hset")) > 0)
+    val sets = hashed(spark, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hset"))
     lshPairs(spark, dir)
       .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))

@@ -49,5 +49,24 @@ object RecipeQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q39RecipeReplay)
+  /** S4 sample-rate inference (`round(1/median(positive Δt), 2)`,
+    * data_model.py:116-126) per series — exact interpolating median.
+    */
+  val q49SampleRate: QueryDef = QueryDef.sql(
+    "q49_sample_rate",
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |  FROM (${Tables.seriesSql})),
+       |d AS (SELECT user_id, tn - lag(tn) OVER (PARTITION BY user_id
+       |    ORDER BY tn, event_id) AS dt FROM s)
+       |SELECT user_id, round(1.0 / quantile_cont(dt, 0.5), 6) AS fs_hz
+       |FROM d WHERE dt > 0 GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables.seriesNorm(spark, dir)
+      .withColumn("dt", col("tn") - lag(col("tn"), 1).over(s.ordered))
+      .filter(col("dt") > 0)
+      .groupBy("user_id")
+      .agg(round(lit(1.0) / percentile(col("dt"), lit(0.5)), 6).as("fs_hz"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q39RecipeReplay, q49SampleRate)
 }

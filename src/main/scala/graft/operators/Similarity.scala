@@ -121,6 +121,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
     val bk = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      .persist() // probed twice: query side and candidate side
     val q = bk.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))

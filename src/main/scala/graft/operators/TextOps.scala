@@ -133,7 +133,8 @@ object TextOps {
        |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (s, x) -> xor(s, x)) END AS fp_xor
        |FROM fp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.sources.Tables.documents(spark, dir)
-      .withColumn("hs", TextHash.shingleHashes(col("text")))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("hs", TextHash.shingleHashesFromWords(col("ws")))
       .withColumn("fps", expr(
         """array_distinct(case when size(hs) >= 4 then
           |  transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))

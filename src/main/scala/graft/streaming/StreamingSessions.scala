@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: sessionization as a stateful
+  * streaming query (`readStream` → `flatMapGroupsWithState` →
+  * `writeStream`), the streaming twin of the batch q30.
+  *
+  * The reference is strictly batch (SURVEY.md §1.6); this is the
+  * engine's scale-path extension: the same per-series session logic
+  * keyed by user, expressed as keyed state so it runs unchanged over
+  * an unbounded stream. For the verify harness the parquet source is
+  * consumed as ONE micro-batch (single file per table), making the
+  * output deterministic and oracle-checkable against the batch SQL.
+  */
+object StreamingSessions {
+
+  final case class SessionRow(user_id: Long, session_id: Long, s_start: Double,
+      s_end: Double, n: Long, total: Double)
+
+  val GapSeconds = 43200.0
+
+  /** HALF_UP like Spark's `round(x, 4)`, so the streaming output
+    * hashes identically to the batch/oracle rounding.
+    */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-key batch handler: orders the user's events, splits on
+    * time gaps > [[GapSeconds]], emits one row per session. State is
+    * carried so a multi-batch deployment would resume correctly
+    * (last event time + open session aggregates).
+    */
+  private def sessionize(userId: Long, rows: Iterator[Row],
+      state: GroupState[SessionRow]): Iterator[SessionRow] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), Option(r.getAs[Any]("value"))
+      .map(_.asInstanceOf[Double]))).toArray.sortBy(_._1)
+    if (evs.isEmpty) return Iterator.empty
+    val t0 = evs.head._1
+    val out = Vector.newBuilder[SessionRow]
+    var sid = 0L; var start = 0.0; var end = 0.0; var n = 0L; var sum = 0.0
+    var prev = Double.NaN
+    evs.foreach { case (t, v) =>
+      val tn = t - t0
+      if (n == 0 || tn - prev > GapSeconds) {
+        if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum))
+        sid += 1; start = tn; n = 0; sum = 0.0
+      }
+      end = tn; n += 1; sum += v.getOrElse(0.0); prev = tn
+    }
+    if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum))
+    val sessions = out.result()
+    state.update(sessions.last)
+    sessions.iterator
+  }
+
+  /** Run the streaming sessionization to completion over the (one-
+    * file) events table and return the collected result table.
+    */
+  def run(spark: SparkSession, dir: String, sinkName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    // file source requires a directory: glob-filter the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
+    val sessions = stream
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Declared streaming query — oracle-checked against the SAME SQL
+    * as the batch sessionization (q30): streaming and batch must
+    * agree exactly.
+    */
+  val q60StreamSessionize: graft.QueryDef = graft.QueryDef.sql(
+    "q60_stream_sessionize",
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM (${Tables.seriesSql})),
+       |g AS (SELECT *, CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL
+       |    OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > $GapSeconds
+       |    THEN 1 ELSE 0 END AS brk FROM s),
+       |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+       |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
+       |  count(*) AS n, round(sum(value), 4) AS total
+       |FROM x GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    run(spark, dir).orderBy("user_id", "session_id")
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize)
+}
