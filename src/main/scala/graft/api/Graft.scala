@@ -1,0 +1,96 @@
+package graft.api
+
+import graft.engine.{Annotation, EngineState, FilterEngine, FilterSpec, Recipes, Session}
+import graft.operators.SeriesOps.Series
+import graft.sources.{AnnotationStore, TrialReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin programmatic facade — the Spark-native equivalent of the
+  * reference's headless API (/root/reference/README.md:279-302):
+  * load → filter → annotate → save, plus batch recipe replay.
+  *
+  * {{{
+  * val spark = Graft.sparkSession()
+  * val trial = Graft.loadTrial(spark, "trial.csv")
+  * val smoothed = Graft.applyFilter(spark, trial,
+  *   trial.schema.signalCols, FilterSpec.Savgol(11, 2))
+  * val sess = Graft.openSession(trial)
+  * sess.applyDataFrame(smoothed, "filter:savgol")
+  * sess.annotate(Annotation(2.5, 3.0, "blink", track = "eye"))
+  * Graft.saveClean(sess.state.df, "trial_clean")
+  * Graft.saveAnnotations("trial_ann.json", sess, trial.sampleRate)
+  * }}}
+  *
+  * Derived channels go through Spark SQL (the reference's pandas
+  * expression becomes a Catalyst expression):
+  * `trial.df.withColumn("gaze_vs_head",
+  *   expr("((gaze_heading_deg - head_heading_deg + 180) % 360 + 360) % 360 - 180"))`.
+  */
+object Graft {
+
+  /** A loaded trial: classified frame + series descriptor + inferred
+    * sample rate (data_model.py:64-126 pipeline).
+    */
+  final case class Trial(df: DataFrame, schema: TrialReader.TrialSchema,
+      series: Series, sampleRate: Double)
+
+  /** Session defaults tuned for the engine: AQE on (skew-join +
+    * coalescing) — shuffle partitions come from the deploy (set
+    * explicitly in local mode).
+    */
+  def sparkSession(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+  /** Load + classify one trial CSV (S1-S4). `trialCol` is None for
+    * the reference's one-trial-per-file model; batch pipelines load
+    * many files via [[TrialReader.loadTrials]] and pass
+    * `Some("trial_id")`.
+    */
+  def loadTrial(spark: SparkSession, path: String,
+      trialCol: Option[String] = None): Trial = {
+    val raw = TrialReader.loadCsv(spark, path)
+    val schema = TrialReader.classify(raw)
+    val df = TrialReader.ensureBadMaskAndTime(raw, schema, trialCol)
+    val timeCol = schema.timeCol.getOrElse("normalized_time")
+    val fs = TrialReader.inferSampleRate(df, timeCol, trialCol)
+    Trial(df, schema, Series(trialCol.toSeq, timeCol), fs)
+  }
+
+  /** Apply a filter spec to channels, optionally selection-scoped —
+    * lazy; nothing runs until an action.
+    */
+  def applyFilter(spark: SparkSession, trial: Trial, channels: Seq[String],
+      spec: FilterSpec, selection: Option[(Double, Double)] = None): DataFrame =
+    FilterEngine.apply(spark, trial.df, trial.series, channels, spec, selection)
+
+  /** Open an undo/redo session over the trial. */
+  def openSession(trial: Trial): Session =
+    new Session(trial.series, EngineState(trial.df))
+
+  /** Compile a recipe JSON and replay it over a (multi-)trial frame
+    * in ONE job (§2.10).
+    */
+  def replayRecipe(spark: SparkSession, recipeJson: String, df: DataFrame,
+      series: Series): DataFrame =
+    Recipes.compile(spark, series, Recipes.fromJson(recipeJson))(df)
+
+  /** Write the cleaned frame (S5). */
+  def saveClean(df: DataFrame, path: String): Unit =
+    TrialReader.saveClean(df, path)
+
+  /** Persist session annotations/deletions/history (S6). */
+  def saveAnnotations(path: String, session: Session, sampleRate: Double): Unit =
+    AnnotationStore.write(path, AnnotationStore.SessionMeta(
+      session.state.annotations, session.state.deletions,
+      session.state.history, sampleRate))
+
+  /** Load annotations back into a restored state (S6). */
+  def loadAnnotations(path: String, df: DataFrame): EngineState =
+    AnnotationStore.restore(df, AnnotationStore.read(path))
+}

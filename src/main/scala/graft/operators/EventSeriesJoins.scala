@@ -261,8 +261,55 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
+  /** A4 episode overlay (main.py:1233-1277): fabricate a sparse
+    * episode index (set on 'purchase' events), forward-fill it, then
+    * per episode: extent + count + MODE of the label — mode computed
+    * with an explicit count + row_number tie-break (count desc, label
+    * asc) so Spark and DuckDB agree deterministically.
+    */
+  val q61EpisodeOverlay: QueryDef = QueryDef.sql(
+    "q61_episode_overlay",
+    s"""$S, e AS (SELECT user_id, event_id, tn, event_type,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+       |    OVER ($PW) AS episode FROM s),
+       |c AS (SELECT user_id, episode, event_type, count(*) AS cnt,
+       |    min(tn) AS mn, max(tn) AS mx
+       |  FROM e GROUP BY user_id, episode, event_type),
+       |t AS (SELECT user_id, episode,
+       |    sum(cnt) AS n_rows, min(mn) AS t_start, max(mx) AS t_end FROM c
+       |  GROUP BY user_id, episode),
+       |m AS (SELECT user_id, episode, event_type AS mode_type,
+       |    row_number() OVER (PARTITION BY user_id, episode
+       |      ORDER BY cnt DESC, event_type) AS rn FROM c)
+       |SELECT t.user_id, t.episode, t.t_start, t.t_end, t.n_rows, m.mode_type
+       |FROM t JOIN m ON m.user_id = t.user_id
+       |  AND m.episode IS NOT DISTINCT FROM t.episode AND m.rn = 1
+       |ORDER BY t.user_id, t.episode""".stripMargin) { (spark, dir) =>
+    val ep = last(when(col("event_type") === "purchase", col("event_id")),
+      ignoreNulls = true).over(s.running)
+    val c = Tables.seriesNorm(spark, dir)
+      .withColumn("episode", ep)
+      .groupBy("user_id", "episode", "event_type")
+      .agg(count(lit(1)).as("cnt"), min("tn").as("mn"), max("tn").as("mx"))
+      .persist() // feeds both the extent rollup and the mode pick
+    val t = c.groupBy("user_id", "episode")
+      .agg(sum("cnt").as("n_rows"), min("mn").as("t_start"), max("mx").as("t_end"))
+    val w = Window.partitionBy("user_id", "episode")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val m = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("episode"), col("event_type").as("mode_type"))
+    // null-safe on episode: rows before the first purchase form a
+    // NULL-episode group that plain equi-join keys would drop
+    t.as("t").join(m.as("m"),
+        col("t.user_id") === col("m.user_id") &&
+          col("t.episode") <=> col("m.episode"))
+      .select(col("t.user_id").as("user_id"), col("t.episode").as("episode"),
+        col("t_start"), col("t_end"), col("n_rows"), col("mode_type"))
+      .orderBy("user_id", "episode")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
-    q36ButterLowpass, q37ButterBandpass, q38SavgolExact)
+    q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay)
 }

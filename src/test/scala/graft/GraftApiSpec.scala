@@ -1,0 +1,56 @@
+package graft
+
+import graft.api.Graft
+import graft.engine.{Annotation, FilterSpec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end facade drive: the reference's documented headless
+  * pipeline (load → filter → annotate → save → restore) on a small
+  * trial CSV.
+  */
+class GraftApiSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("headless pipeline end-to-end") {
+    val dir = Files.createTempDirectory("graft-api")
+    val csv = dir.resolve("trial.csv")
+    val rows = (0 until 48).map(i => f"${i / 120.0}%.6f,${math.sin(i / 8.0) * 10}%.4f,P1")
+    Files.writeString(csv, "normalized_time,gaze_heading_deg,participant_id\n"
+      + rows.mkString("\n") + "\n")
+
+    val trial = Graft.loadTrial(spark, csv.toString)
+    assert(trial.schema.timeCol.contains("normalized_time"))
+    assert(trial.schema.signalCols == Seq("gaze_heading_deg"))
+    assert(trial.sampleRate == 120.0)
+
+    val smoothed = Graft.applyFilter(spark, trial, Seq("gaze_heading_deg"),
+      FilterSpec.Savgol(11, 2))
+    assert(smoothed.count() == 48)
+
+    val sess = Graft.openSession(trial)
+    sess.applyDataFrame(smoothed, "filter:savgol")
+    sess.annotate(Annotation(0.1, 0.2, "blink", track = "eye"))
+    sess.deleteSegment(0.05, 0.08)
+    assert(sess.state.df.count() < 48)
+
+    val annPath = dir.resolve("ann.json").toString
+    Graft.saveAnnotations(annPath, sess, trial.sampleRate)
+    val restored = Graft.loadAnnotations(annPath, trial.df)
+    assert(restored.annotations.map(_.label) == Vector("blink"))
+    assert(restored.deletions == Vector((0.05, 0.08)))
+
+    val outDir = dir.resolve("clean").toString
+    Graft.saveClean(sess.state.df, outDir)
+    val back = spark.read.option("header", true).csv(outDir)
+    assert(back.count() == sess.state.df.count())
+
+    val recipe =
+      """[{"type":"filter","filter":"zscore","params":{},"channels":["gaze_heading_deg"]},
+        |{"type":"derived","name":"g2","expr":"gaze_heading_deg * 2"}]""".stripMargin
+    val replayed = Graft.replayRecipe(spark, recipe, trial.df, trial.series)
+    assert(replayed.columns.contains("g2"))
+    assert(replayed.count() == 48)
+  }
+}
