@@ -40,8 +40,16 @@ object TextHash {
 
   // ---------------- Spark side ----------------
 
-  /** 32-bit MD5 base hash of a string column (Spark). */
+  /** 32-bit MD5 base hash of a string column (Spark) — the native
+    * [[Md5Prefix32]] expression; [[base32Builtin]] is the equivalent
+    * built-in chain kept for the parity spec.
+    */
   def base32(c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      Md5Prefix32(org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+
+  /** Built-in-functions form of [[base32]] (slower; parity oracle). */
+  def base32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** SQL-text form of [[base32]] for use inside `expr(...)` lambdas. */

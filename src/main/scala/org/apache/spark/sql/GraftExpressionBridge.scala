@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ⇄ Expression conversions,
+  * so graft's native Catalyst expressions can be exposed as Columns.
+  * (The conventional extension point for libraries shipping custom
+  * expressions against the classic SparkSession.)
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -16,6 +16,14 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     assert(v == 2416005272L)
   }
 
+  test("native Md5Prefix32 ≡ built-in conv(substring(md5)) chain") {
+    val df = Seq("", "a", "abc", "the quick brown fox", "héllo wörld")
+      .toDF("s")
+      .select(TextHash.base32(col("s")).as("fast"),
+        TextHash.base32Builtin(col("s")).as("ref"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("shingles: k-word windows, short docs empty") {
     val r = Seq("a b c d", "a b").toDF("text")
       .select(TextHash.shingles(col("text")).as("sh"))
