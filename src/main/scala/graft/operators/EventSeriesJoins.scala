@@ -308,8 +308,51 @@ object EventSeriesJoins {
       .orderBy("user_id", "episode")
   }
 
+  /** W11 full-frame resample: numeric channel lerped, boolean flag
+    * lerped then re-binarized at > 0.5 (filter_engine.py:168-169),
+    * label collapsed to the series' first value in time order
+    * (filter_engine.py:166-167) — one union-and-window pass.
+    */
+  val q62ResampleFrame: QueryDef = {
+    val step = 43200.0
+    val O = "PARTITION BY user_id ORDER BY tn, gg, coalesce(event_id, -1)"
+    def lerp(v: String) = {
+      val pv = s"last_value($v IGNORE NULLS) OVER ($O ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val pt = s"last_value(CASE WHEN $v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($O ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val nv = s"first_value($v IGNORE NULLS) OVER ($O ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+      val nt = s"first_value(CASE WHEN $v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($O ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+      s"""CASE WHEN $pv IS NULL THEN $nv WHEN $nv IS NULL THEN $pv
+         |  WHEN $nt = $pt THEN $pv
+         |  ELSE $pv + ($nv - $pv) * (tn - $pt) / ($nt - $pt) END""".stripMargin
+    }
+    QueryDef.sql(
+      "q62_resample_frame",
+      s"""$S, m AS (SELECT user_id, max(tn) AS mt FROM s GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(0,
+         |    CAST(floor(mt / $step) AS BIGINT))) * $step AS tn FROM m),
+         |u AS (SELECT user_id, tn, value AS v,
+         |    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS f,
+         |    event_type AS lab, 0 AS gg, event_id FROM s
+         |  UNION ALL SELECT user_id, tn, NULL, NULL, NULL, 1, NULL FROM g),
+         |w AS (SELECT user_id, tn, gg, ${lerp("v")} AS vi, ${lerp("f")} AS fi,
+         |    first_value(lab IGNORE NULLS) OVER ($O
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lab0
+         |  FROM u)
+         |SELECT user_id, tn AS tg, round(vi, 6) AS v, fi > 0.5 AS is_err,
+         |  lab0 AS first_type
+         |FROM w WHERE gg = 1 ORDER BY user_id, tg""".stripMargin) { (spark, dir) =>
+      val in = Tables.seriesNorm(spark, dir)
+        .withColumn("f", col("event_type") === "error")
+      Resample.resampleFrame(in, s, Seq("value"), Seq("f"), Seq("event_type"), step)
+        .select(col("user_id"), col("tn").as("tg"), round(col("value"), 6).as("v"),
+          col("f").as("is_err"), col("event_type").as("first_type"))
+        .orderBy("user_id", "tg")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
-    q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay)
+    q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
+    q62ResampleFrame)
 }

@@ -83,6 +83,60 @@ object Resample {
       .select((keyNames.map(col) :+ tt.as(s.timeCol) :+ col(out)): _*)
   }
 
+  /** Full-frame resample (reference W11, filter_engine.py:148-170):
+    * every numeric channel is linearly interpolated onto the uniform
+    * grid, boolean flags are interpolated then re-binarized at > 0.5
+    * (filter_engine.py:168-169), and label columns collapse to the
+    * series' first value (filter_engine.py:166-167) — ALL in one
+    * union-and-window pass (one shuffle total, not one per column).
+    */
+  def resampleFrame(samples: DataFrame, s: Series, numericCols: Seq[String],
+      flagCols: Seq[String], labelCols: Seq[String], step: Double): DataFrame = {
+    val keyNames = s.keyCols
+    val interp = numericCols ++ flagCols
+    val grid = uniformGrid(samples, s, step)
+
+    val sPart = samples.select(
+      (keyNames.map(col) :+ col(s.timeCol) :+ lit(0).as("__g")) ++
+        interp.map(c => col(c).cast("double").as(s"__v_$c")) ++
+        labelCols.map(col) ++ s.tieCols.map(col): _*)
+    val pPart = grid.select(
+      (keyNames.map(col) :+ col(s.timeCol) :+ lit(1).as("__g")) ++
+        interp.map(c => lit(null).cast("double").as(s"__v_$c")) ++
+        labelCols.map(c => lit(null).cast(samples.schema(c).dataType).as(c)) ++
+        s.tieCols.map(_ => lit(null).cast("long")): _*)
+      .toDF(sPart.columns: _*)
+
+    val ord = col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L)))
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+    val before = w.rowsBetween(Window.unboundedPreceding, 0)
+    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    // time-ordered full frame: "first label" is the first non-null in
+    // time order (grid rows carry nulls), not an arbitrary partition row
+    val wholeW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tt = col(s.timeCol)
+
+    val lerped = interp.foldLeft(sPart.unionAll(pPart)) { (d, c) =>
+      val v = col(s"__v_$c")
+      val pv = last(v, ignoreNulls = true).over(before)
+      val pt = last(when(v.isNotNull, tt), ignoreNulls = true).over(before)
+      val nv = first(v, ignoreNulls = true).over(after)
+      val nt = first(when(v.isNotNull, tt), ignoreNulls = true).over(after)
+      val li = when(pv.isNull, nv).when(nv.isNull, pv)
+        .when(nt === pt, pv)
+        .otherwise(pv + (nv - pv) * (tt - pt) / (nt - pt))
+      d.withColumn(s"__o_$c", li)
+    }
+    val withLabels = labelCols.foldLeft(lerped) { (d, c) =>
+      d.withColumn(s"__o_$c", first(col(c), ignoreNulls = true).over(wholeW))
+    }
+    withLabels.filter(col("__g") === 1)
+      .select((keyNames.map(col) :+ tt.as(s.timeCol)) ++
+        numericCols.map(c => col(s"__o_$c").as(c)) ++
+        flagCols.map(c => (col(s"__o_$c") > 0.5).as(c)) ++
+        labelCols.map(c => col(s"__o_$c").as(c)): _*)
+  }
+
   /** Backward as-of join: for each probe row, the latest sample value
     * at-or-before its time (per series). Same union trick, prev-only.
     */

@@ -136,5 +136,36 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK)
+  /** Embedding-cosine near-dup detection: bucket-restricted pair
+    * scan, pairs above the cosine threshold collapse to the lower
+    * vec_id (the dedup "keep" rule). The threshold is a parameter;
+    * 0.3 yields verifiable pairs on the synthetic corpus (random
+    * embeddings have no true near-dups — max pairwise cosine ≈ 0.48).
+    */
+  val q48EmbeddingNearDup: QueryDef = {
+    val threshold = 0.3
+    QueryDef.sql(
+      "q48_embedding_neardup",
+      s"""WITH $duckBuckets,
+         |p AS (SELECT x.vec_id AS keep_id, y.vec_id AS dup_id,
+         |    round(${duckDot("x.embedding", "y.embedding")} /
+         |      (sqrt(${duckNorm("x.embedding")}) * sqrt(${duckNorm("y.embedding")})), 6) AS cos_sim
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT keep_id, dup_id, cos_sim FROM p WHERE cos_sim >= $threshold
+         |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
+      val bk = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+        .persist()
+      bk.as("x").join(bk.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
+          round(expr(dotSql("x.embedding", "y.embedding")) /
+            (sqrt(expr(normSql("x.embedding"))) * sqrt(expr(normSql("y.embedding")))), 6)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+        .orderBy("keep_id", "dup_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q48EmbeddingNearDup)
 }

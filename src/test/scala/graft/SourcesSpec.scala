@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{Annotation, OpRecord}
-import graft.sources.{AnnotationStore, TrialReader}
+import graft.sources.{AnnotationStore, Checkpoints, ProjectCatalog, TrialReader}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -101,5 +101,32 @@ class SourcesSpec extends AnyFunSuite {
     val df = TrialReader.loadTrials(spark, Seq(a, b))
     assert(df.count() == 3)
     assert(df.select("trial_id").distinct().count() == 2)
+  }
+
+  test("project catalog json roundtrip") {
+    val dir = Files.createTempDirectory("graft-proj")
+    val path = dir.resolve("project.json").toString
+    val p = ProjectCatalog.Project(
+      trials = Vector(ProjectCatalog.TrialEntry("/data/t1.csv", "P1", "Stand", "clean")),
+      recipes = Map("smooth" -> """[{"type":"derived","name":"x2","expr":"x*2"}]"""),
+      preferences = Map("theme" -> "dark"))
+    ProjectCatalog.write(path, p)
+    val r = ProjectCatalog.read(path)
+    assert(r.trials == p.trials)
+    assert(r.preferences == p.preferences)
+    assert(graft.engine.Recipes.fromJson(r.recipes("smooth")) ==
+      graft.engine.Recipes.fromJson(p.recipes("smooth")))
+  }
+
+  test("versioned checkpoints: save increments, latest restores") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt").toString + "/snap"
+    assert(Checkpoints.loadLatest(spark, root).isEmpty)
+    val v1 = Checkpoints.save(spark, Seq((1, "a")).toDF("id", "s"), root)
+    val v2 = Checkpoints.save(spark, Seq((1, "a"), (2, "b")).toDF("id", "s"), root)
+    assert((v1, v2) == (1, 2))
+    assert(Checkpoints.versions(spark, root) == Seq(1, 2))
+    assert(Checkpoints.loadLatest(spark, root).get.count() == 2)
+    assert(Checkpoints.load(spark, root, 1).count() == 1)
   }
 }
