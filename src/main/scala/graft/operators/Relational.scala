@@ -143,7 +143,29 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[QueryDef] = Seq(
+  /** Set operations (§2.7): customers with both open ('O') and
+    * finished ('F') orders, minus those with any urgent order —
+    * INTERSECT then EXCEPT on distinct key sets. Spark plans these as
+    * aggregate-and-join (hash-partitionable); the status/priority
+    * predicates push into the orders scans.
+    */
+  val q06SetOps: QueryDef = QueryDef.sql(
+    "q06_set_ops",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    def keys(p: org.apache.spark.sql.Column) = o.filter(p).select("o_custkey")
+    keys(col("o_orderstatus") === "O")
+      .intersect(keys(col("o_orderstatus") === "F"))
+      .except(keys(col("o_orderpriority") === "1-URGENT"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q06SetOps,
     q01PricingSummary, q02RevenueByNation, q03TopCustomers,
     q04SupplierRank, q05CustomersNoOrders)
 }
