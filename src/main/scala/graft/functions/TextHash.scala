@@ -94,6 +94,16 @@ object TextHash {
     perms.map { case (p, a, b) => s"struct($p as p, ${a}L as a, ${b}L as b)" }
       .mkString("array(", ", ", ")")
 
+  /** Native MinHash signature column over a shingle-hash array
+    * column — [[MinHashSignature]] with this object's permutation
+    * constants (element j = permutation j's minhash).
+    */
+  def minhashSignature(hs: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      MinHashSignature(
+        org.apache.spark.sql.GraftExpressionBridge.expression(hs),
+        perms.map(_._2), perms.map(_._3), Prime))
+
   // ---------------- DuckDB side ----------------
 
   /** DuckDB equivalent of [[base32Sql]]. */

@@ -40,24 +40,20 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .persist()
 
-  /** Per-doc MinHash signature rows (doc_id, perm, mh) — shuffle-free
-    * signature computation, exploded only for the declared output.
+  /** Per-doc MinHash signature rows (doc_id, perm, mh) — the native
+    * [[graft.functions.MinHashSignature]] loop over the cached
+    * shingle hashes, exploded only for the declared output.
     */
   private def signatureRows(spark: SparkSession, dir: String): DataFrame =
     hashed(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        s"""transform($permsArraySql, q -> struct(q.p as perm,
-           |  array_min(transform(hs, h -> (q.a * h + q.b) % ${Prime}L)) as mh))""".stripMargin)).as("s"))
-      .select(col("doc_id"), col("s.perm").as("perm"), col("s.mh").as("mh"))
+      .select(col("doc_id"), posexplode(minhashSignature(col("hs"))).as(Seq("perm", "mh")))
 
   /** Per-doc LSH band keys: 4 bands × 4 signature rows, key = CSV of
     * the band's minhashes in perm order.
     */
   private def bandKeys(spark: SparkSession, dir: String): DataFrame =
     hashed(spark, dir)
-      .withColumn("sig", expr(
-        s"""transform($permsArraySql, q ->
-           |  cast(array_min(transform(hs, h -> (q.a * h + q.b) % ${Prime}L)) as string))""".stripMargin))
+      .withColumn("sig", minhashSignature(col("hs")).cast("array<string>"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
            |  struct(b as band, concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows)) as key))""".stripMargin)).as("bk"))

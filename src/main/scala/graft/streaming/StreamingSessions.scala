@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface: sessionization as a stateful
@@ -100,5 +101,44 @@ object StreamingSessions {
     run(spark, dir).orderBy("user_id", "session_id")
   }
 
-  val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize)
+  /** Streaming windowed aggregation with an event-time watermark:
+    * per-user daily tumbling windows (`readStream` → `withWatermark`
+    * → `groupBy(window(...))` → memory sink). Complete output mode
+    * keeps the single-batch run deterministic; the watermark bounds
+    * state in a continuous deployment.
+    */
+  def runWindowed(spark: SparkSession, dir: String,
+      sinkName: String = "stream_windows"): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id",
+        "timestamp_seconds(cast(ts div 1000 as double) / 1e6) as ets", "value")
+      .withWatermark("ets", "1 day")
+    val agg = stream
+      .groupBy(col("user_id"), window(col("ets"), "1 day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("user_id"), col("window.start").cast("long").as("day_start"),
+        col("n"), col("total"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  val q64StreamWindowed: graft.QueryDef = graft.QueryDef.sql(
+    "q64_stream_windowed",
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value
+       |  FROM events)
+       |SELECT user_id,
+       |  CAST(floor(t / 86400) * 86400 AS BIGINT) AS day_start,
+       |  count(*) AS n, round(sum(value), 4) AS total
+       |FROM e GROUP BY user_id, day_start
+       |ORDER BY user_id, day_start""".stripMargin) { (spark, dir) =>
+    runWindowed(spark, dir).orderBy("user_id", "day_start")
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed)
 }

@@ -42,10 +42,18 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     val d = Seq((1L, "x y z w v u t"), (2L, "x y z w v u t"), (3L, "p q r s t u v"))
       .toDF("doc_id", "text")
       .withColumn("hs", TextHash.shingleHashes(col("text")))
-      .withColumn("sig", expr(
-        s"transform(${TextHash.permsArraySql}, q -> array_min(transform(hs, h -> (q.a * h + q.b) % ${TextHash.Prime}L)))"))
+      .withColumn("sig", TextHash.minhashSignature(col("hs")))
     val rows = d.orderBy("doc_id").select("sig").collect().map(_.getSeq[Long](0))
     assert(rows(0) == rows(1) && rows(0) != rows(2))
+  }
+
+  test("native MinHashSignature ≡ transform/array_min composition") {
+    val d = Seq("x y z w v u t", "a b c d", "p q r s t u v w x y z")
+      .toDF("text")
+      .withColumn("hs", TextHash.shingleHashes(col("text")))
+      .select(TextHash.minhashSignature(col("hs")).as("fast"), expr(
+        s"transform(${TextHash.permsArraySql}, q -> array_min(transform(hs, h -> (q.a * h + q.b) % ${TextHash.Prime}L)))").as("ref"))
+    d.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 
   test("hyperplanes are fixed-dim, bounded, deterministic") {
