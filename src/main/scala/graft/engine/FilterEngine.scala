@@ -104,29 +104,17 @@ object FilterEngine {
       case Absolute => SeriesOps.absolute(df, src, out)
       case Interpolate => SeriesOps.interpolateLinear(df, s, src, out)
       case ButterLowpass(wn, ord) =>
-        kernelJoin(spark, df, s, src, out)(SignalKernels.butterLowpass(spark, _, ord, wn).toDF())
+        withSrc(df, s, src, out)(SignalKernels.butterLowpass(spark, _, s, _, _, ord, wn))
       case ButterBandpass(lo, hi, ord) =>
-        kernelJoin(spark, df, s, src, out)(SignalKernels.butterBandpass(spark, _, ord, lo, hi).toDF())
+        withSrc(df, s, src, out)(SignalKernels.butterBandpass(spark, _, s, _, _, ord, lo, hi))
       case ResampleTo(step) =>
         // cardinality-changing: replaces the frame with the new grid
         Resample.toUniformGrid(df, s, src, out, step)
     }
   }
 
-  /** Run a per-series kernel (expects user_id/event_id/tn/value) and
-    * join the filtered channel back by key+tie columns.
-    */
-  private def kernelJoin(spark: SparkSession, df: DataFrame, s: Series, src: String,
-      out: String)(k: DataFrame => DataFrame): DataFrame = {
-    val in = df.select(
-      col(s.keyCols.head).as("user_id"),
-      col(s.tieCols.headOption.getOrElse(s.timeCol)).as("event_id"),
-      col(s.timeCol).as("tn"), col(src).cast("double").as("value"))
-    val filtered = k(in).select(
-      col("user_id").as(s.keyCols.head),
-      col("event_id").as(s.tieCols.headOption.getOrElse(s.timeCol)),
-      col("filtered").as(out))
-    val keys = Seq(s.keyCols.head, s.tieCols.headOption.getOrElse(s.timeCol))
-    (if (df.columns.contains(out)) df.drop(out) else df).join(filtered, keys)
-  }
+  private def withSrc(df: DataFrame, s: Series, src: String, out: String)(
+      k: (DataFrame, String, String) => DataFrame): DataFrame =
+    if (src == out) k(df, src, s"__tmp_$out").withColumn(out, col(s"__tmp_$out")).drop(s"__tmp_$out")
+    else k(df, src, out)
 }

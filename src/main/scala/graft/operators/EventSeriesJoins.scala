@@ -236,29 +236,28 @@ object EventSeriesJoins {
   /** W4 zero-phase Butterworth low-pass — sequential IIR recurrence,
     * not SQL-expressible: rows-only check.
     */
-  val q36ButterLowpass: QueryDef = QueryDef.rowsOnly("q36_butter_lowpass") { (spark, dir) =>
-    SignalKernels.butterLowpass(spark, Tables.seriesNorm(spark, dir), 4, 0.2)
-      .toDF()
-      .withColumn("filtered", round(col("filtered"), 6))
+  private def kernelOut(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("user_id"), col("event_id"), col("tn"),
+      round(col("filtered"), 6).as("filtered"))
       .orderBy("user_id", "event_id")
+
+  val q36ButterLowpass: QueryDef = QueryDef.rowsOnly("q36_butter_lowpass") { (spark, dir) =>
+    kernelOut(SignalKernels.butterLowpass(spark, Tables.seriesNorm(spark, dir),
+      s, "value", "filtered", 4, 0.2))
   }
 
   /** W5 band-pass (detrend-style composition of two low-passes). */
   val q37ButterBandpass: QueryDef = QueryDef.rowsOnly("q37_butter_bandpass") { (spark, dir) =>
-    SignalKernels.butterBandpass(spark, Tables.seriesNorm(spark, dir), 4, 0.05, 0.4)
-      .toDF()
-      .withColumn("filtered", round(col("filtered"), 6))
-      .orderBy("user_id", "event_id")
+    kernelOut(SignalKernels.butterBandpass(spark, Tables.seriesNorm(spark, dir),
+      s, "value", "filtered", 4, 0.05, 0.4))
   }
 
   /** W3 exact Savitzky–Golay with scipy edge semantics (polynomial
     * re-fit on shrunken edge windows) — kernel path.
     */
   val q38SavgolExact: QueryDef = QueryDef.rowsOnly("q38_savgol_exact") { (spark, dir) =>
-    SignalKernels.savgolExact(spark, Tables.seriesNorm(spark, dir), 11, 2)
-      .toDF()
-      .withColumn("filtered", round(col("filtered"), 6))
-      .orderBy("user_id", "event_id")
+    kernelOut(SignalKernels.savgolExact(spark, Tables.seriesNorm(spark, dir),
+      s, "value", "filtered", 11, 2))
   }
 
   /** A4 episode overlay (main.py:1233-1277): fabricate a sparse

@@ -1,108 +1,122 @@
 package graft.operators
 
 import graft.functions.Dsp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.operators.SeriesOps.Series
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Per-series sequential kernels that are NOT window-expressible —
   * IIR recurrences need a forward+backward scan over the whole series
   * (reference `butter_lowpass`/`butter_bandpass`,
-  * filter_engine.py:50-58, 115-134, zero-phase `filtfilt`).
+  * filter_engine.py:50-58, 115-134, zero-phase `filtfilt`), and exact
+  * Savitzky–Golay needs the scipy edge polynomial refit
+  * (filter_engine.py:94-113).
   *
   * Spark shape: `groupByKey(seriesKey).flatMapGroups` — the idiomatic
   * distributed form for per-key sequential scans. Parallelism is
-  * across series (millions of keys at 100 TB), each series' samples
+  * across series (millions of keys at 100 TB); each series' samples
   * are gathered and scanned in one task. The per-series memory bound
   * (a trial is minutes–hours at ≤ kHz ⇒ ≤ a few 1e7 doubles) is the
   * documented domain bound, same as the reference's in-memory frame.
+  *
+  * The runner is schema-generic: series keys and the
+  * (time, tie-break) row identity are string-encoded for the round
+  * trip, and the filtered channel is joined back on that identity, so
+  * any [[Series]] works — including a single key-less trial.
   */
 object SignalKernels {
 
-  final case class SeriesPoint(user_id: Long, event_id: Long, tn: Double, value: Double)
-  final case class FilteredPoint(user_id: Long, event_id: Long, tn: Double, filtered: Double)
+  /** Internal kernel row shapes (public: encoder codegen requires
+    * accessible classes).
+    */
+  final case class KRow(k: String, rid: String, t: Double, v: Double)
+  final case class KOut(k: String, rid: String, filtered: Double)
 
-  private def sortedSeries(it: Iterator[SeriesPoint]): Array[SeriesPoint] = {
-    val pts = it.toArray
-    java.util.Arrays.sort(pts, Ordering.by((p: SeriesPoint) => (p.tn, p.event_id)))
-    pts
+  private val Sep = "\u0001"
+
+  /** Run an in-memory whole-series kernel over `src`, writing `out`.
+    * Rows are ordered by (timeCol, tieCols); the kernel receives the
+    * series' values in that order and must return one output per
+    * input. Null inputs pass through as NaN.
+    */
+  def applyKernel(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String)(kernel: Array[Double] => Array[Double]): DataFrame = {
+    import spark.implicits._
+    val keyExpr =
+      if (s.keyCols.isEmpty) lit("")
+      else concat_ws(Sep, s.keyCols.map(c => col(c).cast("string")): _*)
+    val ridExpr = concat_ws(Sep,
+      (s.timeCol +: s.tieCols).map(c => col(c).cast("string")): _*)
+    val in = df.select(keyExpr.as("k"), ridExpr.as("rid"),
+      col(s.timeCol).cast("double").as("t"),
+      coalesce(col(src).cast("double"), lit(Double.NaN)).as("v")).as[KRow]
+    val filtered = in.groupByKey(_.k).flatMapGroups { (key, it) =>
+      val pts = it.toArray
+      java.util.Arrays.sort(pts, Ordering.by((p: KRow) => (p.t, p.rid)))
+      val y = kernel(pts.map(_.v))
+      require(y.length == pts.length, "kernel must preserve length")
+      pts.iterator.zip(y.iterator).map { case (p, v) => KOut(key, p.rid, v) }
+    }.toDF("k", "rid", out)
+    df.withColumn("__k", keyExpr).withColumn("__rid", ridExpr)
+      .drop(out)
+      .join(filtered.withColumnRenamed("k", "__k").withColumnRenamed("rid", "__rid"),
+        Seq("__k", "__rid"))
+      .drop("__k", "__rid")
   }
 
   /** Zero-phase Butterworth low-pass, normalized cutoff `wn` ∈ (0,1)
-    * (fraction of Nyquist), matching the reference's
-    * `butter_lowpass` semantics with scipy-style odd-reflection
-    * padding.
+    * (fraction of Nyquist), scipy-style odd-reflection padding with
+    * steady-state section init.
     */
-  def butterLowpass(spark: SparkSession, series: DataFrame, order: Int, wn: Double): Dataset[FilteredPoint] = {
-    import spark.implicits._
+  def butterLowpass(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, order: Int, wn: Double): DataFrame = {
     val sos = Dsp.butterLowpassSos(order, wn)
-    series.selectExpr("user_id", "event_id", "tn", "value").as[SeriesPoint]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (_, it) =>
-        val pts = sortedSeries(it)
-        val y = Dsp.filtfilt(sos, pts.map(_.value))
-        pts.iterator.zip(y.iterator).map { case (p, v) =>
-          FilteredPoint(p.user_id, p.event_id, p.tn, v)
-        }
-      }
+    applyKernel(spark, df, s, src, out)(Dsp.filtfilt(sos, _))
   }
 
   /** Zero-phase band-pass as the reference's fallback composition
-    * (filter_engine.py:125-134): detrend then low-pass the high cut,
-    * minus low-pass of the low cut (subtracting the slow component).
+    * (filter_engine.py:125-134): low-pass at the high cut minus
+    * low-pass at the low cut (subtracting the slow component).
     */
-  def butterBandpass(spark: SparkSession, series: DataFrame, order: Int,
-      wnLow: Double, wnHigh: Double): Dataset[FilteredPoint] = {
-    import spark.implicits._
+  def butterBandpass(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, order: Int, wnLow: Double, wnHigh: Double): DataFrame = {
     val sosHigh = Dsp.butterLowpassSos(order, wnHigh)
     val sosLow = Dsp.butterLowpassSos(order, wnLow)
-    series.selectExpr("user_id", "event_id", "tn", "value").as[SeriesPoint]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (_, it) =>
-        val pts = sortedSeries(it)
-        val x = pts.map(_.value)
-        val lo = Dsp.filtfilt(sosHigh, x)
-        val slow = Dsp.filtfilt(sosLow, x)
-        pts.iterator.zipWithIndex.map { case (p, i) =>
-          FilteredPoint(p.user_id, p.event_id, p.tn, lo(i) - slow(i))
-        }
-      }
+    applyKernel(spark, df, s, src, out) { x =>
+      val fast = Dsp.filtfilt(sosHigh, x)
+      val slow = Dsp.filtfilt(sosLow, x)
+      Array.tabulate(x.length)(i => fast(i) - slow(i))
+    }
   }
 
   /** Exact Savitzky–Golay including scipy's edge semantics: interior
     * points use the precomputed FIR; the first/last `window/2` points
-    * re-fit the polynomial on the shrunken edge window
-    * (filter_engine.py:94-113 fallback path).
+    * re-fit the polynomial on the shrunken edge window.
     */
-  def savgolExact(spark: SparkSession, series: DataFrame, window: Int, polyorder: Int): Dataset[FilteredPoint] = {
-    import spark.implicits._
+  def savgolExact(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, window: Int, polyorder: Int): DataFrame = {
     val coefs = Dsp.savgolCoefficients(window, polyorder)
     val h = window / 2
-    series.selectExpr("user_id", "event_id", "tn", "value").as[SeriesPoint]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (_, it) =>
-        val pts = sortedSeries(it)
-        val x = pts.map(_.value)
-        val n = x.length
-        val y = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          if (i >= h && i < n - h) {
-            var acc = 0.0
-            var k = 0
-            while (k < window) { acc += coefs(k) * x(i - h + k); k += 1 }
-            y(i) = acc
-          } else if (n >= polyorder + 1) {
-            // shrunken edge window: fit on available neighbors
-            val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
-            val ts = (lo to hi).map(_.toDouble).toArray
-            val xs = (lo to hi).map(x(_)).toArray
-            val deg = math.min(polyorder, ts.length - 1)
-            y(i) = Dsp.polyfitAt(ts, xs, deg, i.toDouble)
-          } else y(i) = x(i)
-          i += 1
-        }
-        pts.iterator.zipWithIndex.map { case (p, j) =>
-          FilteredPoint(p.user_id, p.event_id, p.tn, y(j))
-        }
+    applyKernel(spark, df, s, src, out) { x =>
+      val n = x.length
+      val y = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (i >= h && i < n - h) {
+          var acc = 0.0
+          var k = 0
+          while (k < window) { acc += coefs(k) * x(i - h + k); k += 1 }
+          y(i) = acc
+        } else if (n >= polyorder + 1) {
+          val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
+          val ts = (lo to hi).map(_.toDouble).toArray
+          val xs = (lo to hi).map(x(_)).toArray
+          val deg = math.min(polyorder, ts.length - 1)
+          y(i) = Dsp.polyfitAt(ts, xs, deg, i.toDouble)
+        } else y(i) = x(i)
+        i += 1
       }
+      y
+    }
   }
 }

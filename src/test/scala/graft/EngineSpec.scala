@@ -79,15 +79,15 @@ class EngineSpec extends AnyFunSuite {
 
   test("butterworth kernel: constant series passes, bandpass kills DC") {
     val d = seriesDf(Seq.fill(40)(5.5): _*)
-    val lp = SignalKernels.butterLowpass(spark, d, 4, 0.25).toDF()
+    val lp = SignalKernels.butterLowpass(spark, d, s, "value", "filtered", 4, 0.25)
     vcol(lp, "filtered").foreach(v => assert(math.abs(v - 5.5) < 1e-9))
-    val bp = SignalKernels.butterBandpass(spark, d, 2, 0.1, 0.6).toDF()
+    val bp = SignalKernels.butterBandpass(spark, d, s, "value", "filtered", 2, 0.1, 0.6)
     vcol(bp, "filtered").foreach(v => assert(math.abs(v) < 1e-9))
   }
 
   test("savgol exact kernel reproduces a quadratic including edges") {
     val d = seriesDf((0 until 20).map(i => 0.5 * i * i - 2 * i + 3.0): _*)
-    val r = SignalKernels.savgolExact(spark, d, 7, 2).toDF()
+    val r = SignalKernels.savgolExact(spark, d, s, "value", "filtered", 7, 2)
     vcol(r, "filtered").zipWithIndex.foreach { case (v, i) =>
       assert(math.abs(v - (0.5 * i * i - 2 * i + 3.0)) < 1e-7, s"i=$i")
     }
@@ -98,5 +98,15 @@ class EngineSpec extends AnyFunSuite {
     val r = FilterEngine.apply(spark, d, s, Seq("value"), FilterSpec.ButterLowpass(0.3, 2))
     assert(r.count() == 6)
     vcol(r, "value").foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("kernels work on a key-less single-trial series (API path)") {
+    import spark.implicits._
+    val d = (0 until 30).map(i => (i / 10.0, 2.5)).toDF("normalized_time", "ch")
+    val keyless = Series(Nil, "normalized_time")
+    val r = FilterEngine.apply(spark, d, keyless, Seq("ch"), FilterSpec.ButterLowpass(0.3, 2))
+    assert(r.count() == 30)
+    r.select("ch").collect().map(_.getDouble(0))
+      .foreach(v => assert(math.abs(v - 2.5) < 1e-9))
   }
 }
