@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{Md5Prefix32, MinHashSignature, TextHash}
+import org.apache.spark.sql.{GraftExpressionBridge, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer: makes graft's native Catalyst
+  * expressions SQL-callable. On a cluster:
+  * `--conf spark.sql.extensions=graft.GraftExtensions`; on an
+  * already-running session: [[GraftExtensions.register]].
+  *
+  * - `md5_prefix32(str)` → first 32 bits of MD5 as a long
+  * - `minhash_signature(array<long>)` → the 16-perm MinHash signature
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "md5_prefix32" -> (args => Md5Prefix32(args.head)),
+    "minhash_signature" -> (args => MinHashSignature(args.head,
+      TextHash.perms.map(_._2), TextHash.perms.map(_._3), TextHash.Prime)))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftExpressionBridge.registerFunction(spark, name, b)
+    }
+}

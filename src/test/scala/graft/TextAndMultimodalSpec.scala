@@ -81,4 +81,12 @@ class TextAndMultimodalSpec extends AnyFunSuite {
       assert(px.head == bytes(0))
     }
   }
+
+  test("extensions make native expressions SQL-callable") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT md5_prefix32('abc')").head().getLong(0) == 2416005272L)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(1L, 2L, 3L)) AS s").head().getSeq[Long](0)
+    assert(sig.size == TextHash.NumPerms)
+  }
 }
