@@ -170,6 +170,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Row-preserving exact dedup: keep each text's lowest-doc_id row
+    * with all its columns (window `row_number = 1` — the variant used
+    * when survivors must carry their full payload through, vs q40's
+    * group-by summary).
+    */
+  val q54WindowDedup: QueryDef = QueryDef.sql(
+    "q54_window_dedup",
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify, q44Simhash)
+    q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
+    q44Simhash, q54WindowDedup)
 }

@@ -165,7 +165,30 @@ object Relational {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[QueryDef] = Seq(q06SetOps,
+  /** Skew-resilient two-phase aggregation: pre-aggregate on a salted
+    * key (16 shards), then merge shards — the explicit form of the
+    * salting pattern for heavily-skewed group keys (Spark's partial
+    * aggregation covers algebraic aggs; the explicit shard column is
+    * the shape used when a single hot key would overwhelm one
+    * reducer, e.g. for collect-like or distinct-heavy aggregates).
+    * Result is identical to the direct group-by, which is what the
+    * oracle checks.
+    */
+  val q07SaltedAgg: QueryDef = QueryDef.sql(
+    "q07_salted_agg",
+    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .withColumn("__salt", pmod(hash(col("o_orderkey")), lit(16)))
+      .groupBy("o_orderpriority", "__salt")
+      .agg(count(lit(1)).as("pn"), sum("o_totalprice").as("ps"))
+      .groupBy("o_orderpriority")
+      .agg(sum("pn").as("n"), round(sum("ps"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[QueryDef] = Seq(q06SetOps, q07SaltedAgg,
     q01PricingSummary, q02RevenueByNation, q03TopCustomers,
     q04SupplierRank, q05CustomersNoOrders)
 }
