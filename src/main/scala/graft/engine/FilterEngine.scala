@@ -24,11 +24,15 @@ object FilterSpec {
   case object PercentNormalize extends FilterSpec { val name = "percent_normalize" }
   final case class MovingRms(window: Int = 5) extends FilterSpec { val name = "moving_rms" }
   case object Absolute extends FilterSpec { val name = "absolute" }
-  case object Interpolate extends FilterSpec { val name = "interpolate" }
+  /** method ∈ linear | nearest | cubic (dialogs.py:49). */
+  final case class Interpolate(method: String = "linear") extends FilterSpec { val name = "interpolate" }
   final case class ResampleTo(step: Double) extends FilterSpec { val name = "resample" }
 
-  /** name + params map → spec (the reference's string dispatch). */
-  def fromParams(name: String, p: Map[String, Double]): FilterSpec = name match {
+  /** name + params map → spec (the reference's string dispatch);
+    * `sp` carries string-valued params (interpolate's `method`).
+    */
+  def fromParams(name: String, p: Map[String, Double],
+      sp: Map[String, String] = Map.empty): FilterSpec = name match {
     case "moving_average" => MovingAverage(p.getOrElse("window", 5.0).toInt)
     case "median" => Median(p.getOrElse("window", 5.0).toInt)
     case "savgol" => Savgol(p.getOrElse("window", 11.0).toInt, p.getOrElse("polyorder", 2.0).toInt)
@@ -41,7 +45,7 @@ object FilterSpec {
     case "percent_normalize" => PercentNormalize
     case "moving_rms" => MovingRms(p.getOrElse("window", 5.0).toInt)
     case "absolute" => Absolute
-    case "interpolate" => Interpolate
+    case "interpolate" => Interpolate(sp.getOrElse("method", "linear"))
     case "resample" => ResampleTo(p.getOrElse("step", 1.0))
     case other => throw new IllegalArgumentException(s"unknown filter: $other")
   }
@@ -102,7 +106,10 @@ object FilterEngine {
       case PercentNormalize => SeriesOps.percentNormalize(df, s, src, out)
       case MovingRms(w) => SeriesOps.movingRms(df, s, src, out, w)
       case Absolute => SeriesOps.absolute(df, src, out)
-      case Interpolate => SeriesOps.interpolateLinear(df, s, src, out)
+      case Interpolate("nearest") => SeriesOps.interpolateNearest(df, s, src, out)
+      case Interpolate("cubic") | Interpolate("quadratic") =>
+        withSrc(df, s, src, out)(SignalKernels.interpolateCubic(spark, _, s, _, _))
+      case Interpolate(_) => SeriesOps.interpolateLinear(df, s, src, out)
       case ButterLowpass(wn, ord) =>
         withSrc(df, s, src, out)(SignalKernels.butterLowpass(spark, _, s, _, _, ord, wn))
       case ButterBandpass(lo, hi, ord) =>

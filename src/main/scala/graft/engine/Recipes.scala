@@ -26,9 +26,12 @@ object Recipes {
 
   sealed trait Op
   object Op {
-    /** Named filter over channels, optional time selection. */
+    /** Named filter over channels, optional time selection;
+      * `strParams` carries string-valued params (interpolate method).
+      */
     final case class Filter(filter: String, params: Map[String, Double],
-        channels: Seq[String], selection: Option[(Double, Double)]) extends Op
+        channels: Seq[String], selection: Option[(Double, Double)],
+        strParams: Map[String, String] = Map.empty) extends Op
     /** Derived column from a SQL expression (the reference's entire
       * user-facing expression language).
       */
@@ -41,8 +44,9 @@ object Recipes {
 
   /** Execute one op. */
   def exec(spark: SparkSession, s: Series)(df: DataFrame, op: Op): DataFrame = op match {
-    case Op.Filter(name, params, channels, sel) =>
-      FilterEngine.apply(spark, df, s, channels, FilterSpec.fromParams(name, params), sel)
+    case Op.Filter(name, params, channels, sel, strParams) =>
+      FilterEngine.apply(spark, df, s, channels,
+        FilterSpec.fromParams(name, params, strParams), sel)
     case Op.Derived(name, e) => df.withColumn(name, expr(e))
     case Op.DeleteSegment(a, b) => SeriesOps.deleteCollapse(df, s, a, b)
     case Op.MarkBad(a, b) => SeriesOps.markBad(df, s, a, b)
@@ -66,15 +70,21 @@ object Recipes {
 
   private def parseOp(n: JsonNode): Op = n.get("type").asText() match {
     case "filter" =>
-      val params = Option(n.get("params")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap).getOrElse(Map.empty)
+      val all = Option(n.get("params")).map(_.properties().asScala.toSeq)
+        .getOrElse(Nil)
+      val params = all.collect {
+        case e if e.getValue.isNumber => e.getKey -> e.getValue.asDouble()
+      }.toMap
+      val strParams = all.collect {
+        case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()
+      }.toMap
       val channels = Option(n.get("channels"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       val sel = (Option(n.get("start")), Option(n.get("end"))) match {
         case (Some(a), Some(b)) => Some((a.asDouble(), b.asDouble()))
         case _ => None
       }
-      Op.Filter(n.get("filter").asText(), params, channels, sel)
+      Op.Filter(n.get("filter").asText(), params, channels, sel, strParams)
     case "derived" => Op.Derived(n.get("name").asText(), n.get("expr").asText())
     case "delete" => Op.DeleteSegment(n.get("start").asDouble(), n.get("end").asDouble())
     case "mark_bad" => Op.MarkBad(n.get("start").asDouble(), n.get("end").asDouble())
@@ -85,9 +95,11 @@ object Recipes {
   def toJson(ops: Seq[Op]): String = {
     val arr = mapper.createArrayNode()
     ops.foreach {
-      case Op.Filter(f, params, channels, sel) =>
+      case Op.Filter(f, params, channels, sel, strParams) =>
         val o = obj(arr, "filter"); o.put("filter", f)
-        val p = o.putObject("params"); params.foreach { case (k, v) => p.put(k, v) }
+        val p = o.putObject("params")
+        params.foreach { case (k, v) => p.put(k, v) }
+        strParams.foreach { case (k, v) => p.put(k, v) }
         val c = o.putArray("channels"); channels.foreach(c.add)
         sel.foreach { case (a, b) => o.put("start", a); o.put("end", b) }
       case Op.Derived(name, e) =>

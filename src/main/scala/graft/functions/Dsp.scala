@@ -78,6 +78,48 @@ object Dsp {
     solve(ata, atb)(0)
   }
 
+  /** Natural cubic spline through knots `(ts, xs)` (strictly
+    * increasing ts): returns an evaluator clamped to the knot range
+    * at the ends. Standard tridiagonal solve for the second
+    * derivatives (reference W10's `method='cubic'`,
+    * filter_engine.py:85-87 / dialogs.py:49).
+    */
+  def naturalCubicSpline(ts: Array[Double], xs: Array[Double]): Double => Double = {
+    val n = ts.length
+    require(n >= 2, "spline needs at least two knots")
+    if (n == 2) {
+      val slope = (xs(1) - xs(0)) / (ts(1) - ts(0))
+      return t0 => {
+        val t = math.max(ts(0), math.min(ts(1), t0))
+        xs(0) + slope * (t - ts(0))
+      }
+    }
+    val h = Array.tabulate(n - 1)(i => ts(i + 1) - ts(i))
+    // Thomas algorithm for natural boundary (m(0) = m(n-1) = 0)
+    val m = new Array[Double](n)
+    val cp = new Array[Double](n)
+    val dp = new Array[Double](n)
+    for (i <- 1 until n - 1) {
+      val a = h(i - 1); val b = 2 * (h(i - 1) + h(i)); val c = h(i)
+      val d = 6 * ((xs(i + 1) - xs(i)) / h(i) - (xs(i) - xs(i - 1)) / h(i - 1))
+      val w = if (i == 1) b else b - a * cp(i - 1)
+      cp(i) = c / w
+      dp(i) = (if (i == 1) d else d - a * dp(i - 1)) / w
+    }
+    for (i <- n - 2 to 1 by -1) m(i) = dp(i) - cp(i) * m(i + 1)
+    t0 => {
+      val t = math.max(ts(0), math.min(ts(n - 1), t0))
+      var i = java.util.Arrays.binarySearch(ts, t)
+      if (i < 0) i = -i - 2
+      if (i >= n - 1) i = n - 2
+      val dt = t - ts(i); val hi = h(i)
+      val a = (ts(i + 1) - t) / hi
+      val b = dt / hi
+      a * xs(i) + b * xs(i + 1) +
+        ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) * hi * hi / 6.0
+    }
+  }
+
   /** Butterworth biquad cascade (second-order sections) for an
     * order-`order` lowpass at normalized cutoff `wn` = cutoff/(fs/2).
     * Standard bilinear-transform design — equivalent to

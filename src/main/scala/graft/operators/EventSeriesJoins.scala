@@ -88,6 +88,44 @@ object EventSeriesJoins {
     }
   }
 
+  /** W10 `method='nearest'`: null takes the closer bracketing value
+    * (ties → earlier), edges clamp.
+    */
+  val q65InterpolateNearest: QueryDef = QueryDef.sql(
+    "q65_interpolate_nearest",
+    s"""$S, n AS (SELECT user_id, event_id, tn,
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM s),
+       |b AS (SELECT *,
+       |  last_value(v IGNORE NULLS) OVER ($PW) AS pv,
+       |  last_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($PW) AS pt,
+       |  first_value(v IGNORE NULLS) OVER ($FW) AS nv,
+       |  first_value(CASE WHEN v IS NOT NULL THEN tn END IGNORE NULLS) OVER ($FW) AS nt
+       |FROM n)
+       |SELECT user_id, event_id, tn,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pv IS NULL THEN nv
+       |       WHEN nv IS NULL THEN pv
+       |       WHEN tn - pt <= nt - tn THEN pv
+       |       ELSE nv END AS vn
+       |FROM b ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    SeriesOps.interpolateNearest(df, s, "v", "vn")
+      .select("user_id", "event_id", "tn", "vn")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W10 `method='cubic'`: natural cubic spline through the non-null
+    * knots (per-series kernel — not SQL-expressible, rows-only).
+    */
+  val q66InterpolateCubic: QueryDef = QueryDef.rowsOnly("q66_interpolate_cubic") { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    SignalKernels.interpolateCubic(spark, df, s, "v", "vc")
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("vc"), 6).as("vc"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sessionization: gap > 12 h starts a new session — the scalable
     * generalization of the reference's suggestion-segment merging.
     */
@@ -353,5 +391,5 @@ object EventSeriesJoins {
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
-    q62ResampleFrame)
+    q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic)
 }

@@ -228,6 +228,27 @@ object SeriesOps {
     df.withColumn(out, last(col(value), ignoreNulls = true)
       .over(s.ordered.rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** Nearest-neighbor interpolation of nulls (`method='nearest'`,
+    * dialogs.py:49): each null takes the value of the closer
+    * bracketing non-null on the time axis (ties → the earlier one);
+    * leading/trailing nulls clamp like the linear variant.
+    */
+  def interpolateNearest(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val v = col(value); val t = col(s.timeCol)
+    val before = s.ordered.rowsBetween(Window.unboundedPreceding, 0)
+    val after = s.ordered.rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    df.withColumn(out,
+      when(v.isNotNull, v)
+        .when(pv.isNull, nv)
+        .when(nv.isNull, pv)
+        .when(t - pt <= nt - t, pv)
+        .otherwise(nv))
+  }
+
   /** Linear interpolation of nulls with `limit_direction="both"`
     * (filter_engine.py:85-87): interior nulls lerp between the
     * bracketing non-nulls on the time axis; leading/trailing nulls

@@ -40,29 +40,8 @@ object SignalKernels {
     * input. Null inputs pass through as NaN.
     */
   def applyKernel(spark: SparkSession, df: DataFrame, s: Series, src: String,
-      out: String)(kernel: Array[Double] => Array[Double]): DataFrame = {
-    import spark.implicits._
-    val keyExpr =
-      if (s.keyCols.isEmpty) lit("")
-      else concat_ws(Sep, s.keyCols.map(c => col(c).cast("string")): _*)
-    val ridExpr = concat_ws(Sep,
-      (s.timeCol +: s.tieCols).map(c => col(c).cast("string")): _*)
-    val in = df.select(keyExpr.as("k"), ridExpr.as("rid"),
-      col(s.timeCol).cast("double").as("t"),
-      coalesce(col(src).cast("double"), lit(Double.NaN)).as("v")).as[KRow]
-    val filtered = in.groupByKey(_.k).flatMapGroups { (key, it) =>
-      val pts = it.toArray
-      java.util.Arrays.sort(pts, Ordering.by((p: KRow) => (p.t, p.rid)))
-      val y = kernel(pts.map(_.v))
-      require(y.length == pts.length, "kernel must preserve length")
-      pts.iterator.zip(y.iterator).map { case (p, v) => KOut(key, p.rid, v) }
-    }.toDF("k", "rid", out)
-    df.withColumn("__k", keyExpr).withColumn("__rid", ridExpr)
-      .drop(out)
-      .join(filtered.withColumnRenamed("k", "__k").withColumnRenamed("rid", "__rid"),
-        Seq("__k", "__rid"))
-      .drop("__k", "__rid")
-  }
+      out: String)(kernel: Array[Double] => Array[Double]): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out)((_, xs) => kernel(xs))
 
   /** Zero-phase Butterworth low-pass, normalized cutoff `wn` ∈ (0,1)
     * (fraction of Nyquist), scipy-style odd-reflection padding with
@@ -87,6 +66,48 @@ object SignalKernels {
       val slow = Dsp.filtfilt(sosLow, x)
       Array.tabulate(x.length)(i => fast(i) - slow(i))
     }
+  }
+
+  /** Cubic-spline interpolation of missing samples (`method='cubic'`,
+    * dialogs.py:49): a natural cubic spline through the non-NaN knots
+    * fills NaN rows; outside the knot range values clamp to the edge
+    * knots. Series with fewer than 2 valid samples pass through.
+    */
+  def interpolateCubic(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
+      val valid = ts.indices.filter(i => !xs(i).isNaN)
+      if (valid.length < 2) xs
+      else {
+        val f = Dsp.naturalCubicSpline(valid.map(ts).toArray, valid.map(xs).toArray)
+        Array.tabulate(xs.length)(i => if (xs(i).isNaN) f(ts(i)) else xs(i))
+      }
+    }
+
+  /** [[applyKernel]] variant whose kernel also sees the time axis. */
+  def applyKernelWithTime(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String)(kernel: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    import spark.implicits._
+    val keyExpr =
+      if (s.keyCols.isEmpty) lit("")
+      else concat_ws(Sep, s.keyCols.map(c => col(c).cast("string")): _*)
+    val ridExpr = concat_ws(Sep,
+      (s.timeCol +: s.tieCols).map(c => col(c).cast("string")): _*)
+    val in = df.select(keyExpr.as("k"), ridExpr.as("rid"),
+      col(s.timeCol).cast("double").as("t"),
+      coalesce(col(src).cast("double"), lit(Double.NaN)).as("v")).as[KRow]
+    val filtered = in.groupByKey(_.k).flatMapGroups { (key, it) =>
+      val pts = it.toArray
+      java.util.Arrays.sort(pts, Ordering.by((p: KRow) => (p.t, p.rid)))
+      val y = kernel(pts.map(_.t), pts.map(_.v))
+      require(y.length == pts.length, "kernel must preserve length")
+      pts.iterator.zip(y.iterator).map { case (p, v) => KOut(key, p.rid, v) }
+    }.toDF("k", "rid", out)
+    df.withColumn("__k", keyExpr).withColumn("__rid", ridExpr)
+      .drop(out)
+      .join(filtered.withColumnRenamed("k", "__k").withColumnRenamed("rid", "__rid"),
+        Seq("__k", "__rid"))
+      .drop("__k", "__rid")
   }
 
   /** Exact Savitzky–Golay including scipy's edge semantics: interior

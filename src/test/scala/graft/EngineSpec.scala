@@ -109,4 +109,29 @@ class EngineSpec extends AnyFunSuite {
     r.select("ch").collect().map(_.getDouble(0))
       .foreach(v => assert(math.abs(v - 2.5) < 1e-9))
   }
+
+  test("interpolate methods: nearest picks closer bracket, cubic hits knots") {
+    import spark.implicits._
+    val d = Seq((1L, 0L, 0.0, Some(1.0)), (1L, 1L, 1.0, None),
+      (1L, 2L, 4.0, Some(4.0)), (1L, 3L, 6.0, None), (1L, 4L, 8.0, Some(2.0)))
+      .toDF("user_id", "event_id", "tn", "value")
+    val near = SeriesOps.interpolateNearest(d, s, "value", "o")
+      .orderBy("tn").select("o").collect().map(_.getDouble(0)).toSeq
+    assert(near == Seq(1.0, 1.0, 4.0, 4.0, 2.0)) // tn=1 closer to 0; tn=6 tie->earlier
+    // cubic on exactly-linear knots reproduces the line at gaps
+    val lin = Seq((1L, 0L, 0.0, Some(0.0)), (1L, 1L, 1.0, None),
+      (1L, 2L, 2.0, Some(4.0)), (1L, 3L, 3.0, None), (1L, 4L, 4.0, Some(8.0)))
+      .toDF("user_id", "event_id", "tn", "value")
+    val cub = SignalKernels.interpolateCubic(spark, lin, s, "value", "o")
+      .orderBy("tn").select("o").collect().map(_.getDouble(0)).toSeq
+    cub.zip(Seq(0.0, 2.0, 4.0, 6.0, 8.0)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$cub")
+    }
+    // recipe-level dispatch with string method param
+    val viaRecipe = Recipes.compile(spark, s, Recipes.fromJson(
+      """[{"type":"filter","filter":"interpolate",
+        |"params":{"method":"cubic"},"channels":["value"]}]""".stripMargin))(lin)
+      .orderBy("tn").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(viaRecipe == cub)
+  }
 }
