@@ -148,6 +148,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val simhashExpr =
+    """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+      |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
+      |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+
+  private val duckSimhash =
+    s"""bits AS (SELECT doc_id, j,
+       |    count(*) FILTER (WHERE (h >> j) & 1 = 1) AS cnt1, count(*) AS tot
+       |  FROM sh, range(0, 32) t(j) GROUP BY doc_id, j),
+       |sim AS (SELECT doc_id,
+       |    sum(CASE WHEN 2 * cnt1 > tot THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** 32-bit SimHash over shingle hashes (frequency-weighted): bit j
     * is set when strictly more than half the shingles have bit j set.
     * Computed per-row with nested higher-order functions — zero
@@ -155,19 +168,37 @@ object Dedup {
     */
   val q44Simhash: QueryDef = QueryDef.sql(
     "q44_simhash",
-    s"""WITH ${duckShingleCte()},
-       |bits AS (SELECT doc_id, j,
-       |    count(*) FILTER (WHERE (h >> j) & 1 = 1) AS cnt1, count(*) AS tot
-       |  FROM sh, range(0, 32) t(j) GROUP BY doc_id, j)
-       |SELECT doc_id,
-       |  sum(CASE WHEN 2 * cnt1 > tot THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    s"""WITH ${duckShingleCte()}, $duckSimhash
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     hashed(spark, dir)
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
-          |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
-          |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
       .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: bucket by the top 12 simhash bits, then
+    * keep in-bucket pairs within Hamming distance 8 — the banding
+    * trick that keeps SimHash search an equi-join instead of
+    * all-pairs.
+    */
+  val q63SimhashNearDup: QueryDef = QueryDef.sql(
+    "q63_simhash_neardup",
+    s"""WITH ${duckShingleCte()}, $duckSimhash,
+       |b AS (SELECT doc_id, simhash, simhash >> 20 AS bkt FROM sim)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM b x JOIN b y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val b = hashed(spark, dir)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .withColumn("bkt", expr("simhash >> 20"))
+      .persist() // self-joined
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .filter(col("hamming") <= 8)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Row-preserving exact dedup: keep each text's lowest-doc_id row
@@ -193,5 +224,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
-    q44Simhash, q54WindowDedup)
+    q44Simhash, q54WindowDedup, q63SimhashNearDup)
 }

@@ -167,5 +167,107 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q48EmbeddingNearDup)
+  // ---------------- IVF (inverted-file) variant ----------------
+  // Coarse quantizer: K fixed centroids (the first K vectors by id —
+  // deterministic, no training job needed for the plumbing; swapping
+  // in k-means centroids changes only this CTE/table). Assignment =
+  // argmin L2; search probes the query's nearest `nprobe` lists.
+
+  private val NumCentroids = 16
+  private val NProbe = 2
+
+  private def l2Sql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double))
+       |  * (cast(x as double) - cast(y as double))), cast(0 as double), (s, x) -> s + x)""".stripMargin
+
+  private def duckL2(a: String, b: String): String =
+    s"""list_reduce(list_transform($a, (x, i) -> (x::DOUBLE - $b[i]::DOUBLE)
+       |  * (x::DOUBLE - $b[i]::DOUBLE)), (s, x) -> s + x)""".stripMargin
+
+  private val duckCentroids =
+    s"cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids)"
+
+  /** IVF list assignment: each vector's nearest coarse centroid
+    * (argmin L2, ties → lower centroid id). The centroid set is tiny
+    * and broadcast; assignment is one narrow pass over the corpus.
+    */
+  val q67IvfAssign: QueryDef = QueryDef.sql(
+    "q67_ivf_assign",
+    s"""WITH $duckCentroids,
+       |d AS (SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c)
+       |SELECT vec_id, c_id AS list_id FROM d WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("__d"), col("c_id"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("__d", expr(l2Sql("embedding", "ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF top-3 search: queries probe their 2 nearest lists only —
+    * candidate set shrinks by ~K/nprobe while staying an equi-join
+    * on list_id.
+    */
+  val q68IvfTopK: QueryDef = QueryDef.sql(
+    "q68_ivf_topk",
+    s"""WITH $duckCentroids,
+       |asg AS (SELECT vec_id, c_id AS list_id, embedding FROM (
+       |  SELECT e.vec_id, c.c_id, e.embedding,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |qp AS (SELECT q_id, qe, c_id AS list_id FROM (
+       |  SELECT e.vec_id AS q_id, e.embedding AS qe, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rn <= $NProbe),
+       |c AS (SELECT qp.q_id, a.vec_id,
+       |    round(${duckDot("qp.qe", "a.embedding")} /
+       |      (sqrt(${duckNorm("qp.qe")}) * sqrt(${duckNorm("a.embedding")})), 6) AS cos_sim
+       |  FROM qp JOIN asg a ON a.list_id = qp.list_id AND a.vec_id <> qp.q_id),
+       |r AS (SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(col("__d"), col("c_id"))
+    val asg = emb.crossJoin(broadcast(cent))
+      .withColumn("__d", expr(l2Sql("embedding", "ce")))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"), col("embedding"))
+      .persist() // probed by every query list
+    val qp = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__d", expr(l2Sql("qe", "ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("__d"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    asg.join(broadcast(qp), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(
+        expr(dotSql("qe", "embedding")) /
+          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
+    q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK)
 }
