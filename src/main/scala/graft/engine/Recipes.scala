@@ -60,13 +60,63 @@ object Recipes {
 
   private val mapper = new ObjectMapper()
 
-  /** Parse the reference-shaped recipe JSON:
-    * `[{"type":"filter","filter":…,"params":{…},"channels":[…],
-    *    "start":…,"end":…}, {"type":"derived","name":…,"expr":…},
-    *   {"type":"delete",…}, {"type":"mark_bad",…}]`
+  /** Parse recipe JSON. Two wire shapes are accepted:
+    *  - graft ADT form: `[{"type":"filter","filter":…,"params":{…},
+    *    "channels":[…],"start":…,"end":…}, {"type":"derived",…},
+    *    {"type":"delete",…}, {"type":"mark_bad",…}]`
+    *  - the reference's saved-recipe form
+    *    (/root/reference/main.py:730-742): `{"operations":
+    *    [{"description":"filter","params":{"channels":[…],
+    *    "filter_type":…, <numeric params>, "apply_selection":…},
+    *    "start":…,"end":…}]}`.
     */
-  def fromJson(json: String): Seq[Op] =
-    mapper.readTree(json).elements().asScala.map(parseOp).toSeq
+  def fromJson(json: String): Seq[Op] = {
+    val root = mapper.readTree(json)
+    if (root.isObject && root.has("operations"))
+      root.get("operations").elements().asScala.map(parseReferenceOp).toSeq
+    else root.elements().asScala.map(parseOp).toSeq
+  }
+
+  /** One entry of the reference's recipe `operations` list. */
+  private def parseReferenceOp(n: JsonNode): Op = {
+    val desc = n.get("description").asText()
+    val p = Option(n.get("params"))
+    def pd(f: String): Option[Double] =
+      p.flatMap(o => Option(o.get(f))).filter(_.isNumber).map(_.asDouble())
+    desc match {
+      case "filter" =>
+        val params = p.map(_.properties().asScala.collect {
+          case e if e.getValue.isNumber => e.getKey -> e.getValue.asDouble()
+        }.toMap).getOrElse(Map.empty)
+        val strParams = p.map(_.properties().asScala.collect {
+          case e if e.getValue.isTextual && e.getKey != "filter_type" &&
+            e.getKey != "preset" => e.getKey -> e.getValue.asText()
+        }.toMap).getOrElse(Map.empty)
+        val channels = p.flatMap(o => Option(o.get("channels")))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        val applySel = p.flatMap(o => Option(o.get("apply_selection")))
+          .exists(_.asBoolean(false))
+        val sel =
+          if (applySel)
+            for (a <- Option(n.get("start")); b <- Option(n.get("end")))
+              yield (a.asDouble(), b.asDouble())
+          else None
+        Op.Filter(p.flatMap(o => Option(o.get("filter_type"))).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException("filter_type missing")),
+          params, channels, sel, strParams)
+      case "delete_segment" | "delete" =>
+        Op.DeleteSegment(pd("start").orElse(Option(n.get("start")).map(_.asDouble())).get,
+          pd("end").orElse(Option(n.get("end")).map(_.asDouble())).get)
+      case "mark_bad" =>
+        Op.MarkBad(Option(n.get("start")).map(_.asDouble()).get,
+          Option(n.get("end")).map(_.asDouble()).get)
+      case d if d.startsWith("derived:") =>
+        Op.Derived(d.stripPrefix("derived:"),
+          p.flatMap(o => Option(o.get("expr"))).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(s"expr missing for $d")))
+      case other => throw new IllegalArgumentException(s"unknown reference op: $other")
+    }
+  }
 
   private def parseOp(n: JsonNode): Op = n.get("type").asText() match {
     case "filter" =>

@@ -134,4 +134,23 @@ class EngineSpec extends AnyFunSuite {
       .orderBy("tn").select("value").collect().map(_.getDouble(0)).toSeq
     assert(viaRecipe == cub)
   }
+
+  test("reference-shaped recipe wire format parses and replays") {
+    val refJson =
+      """{"operations": [
+        |  {"description": "filter",
+        |   "params": {"channels": ["value"], "filter_type": "moving_average",
+        |              "window": 3, "preset": "smooth", "apply_selection": false},
+        |   "start": 0.0, "end": 22.356},
+        |  {"description": "derived:v2", "params": {"expr": "value * 2"}},
+        |  {"description": "delete_segment", "start": 0.5, "end": 1.5}
+        |]}""".stripMargin
+    val ops = Recipes.fromJson(refJson)
+    assert(ops == Seq(
+      Op.Filter("moving_average", Map("window" -> 3.0), Seq("value"), None),
+      Op.Derived("v2", "value * 2"),
+      Op.DeleteSegment(0.5, 1.5)))
+    val replayed = Recipes.compile(spark, s, ops)(seriesDf(1, 2, 3, 4))
+    assert(replayed.count() == 3) // tn 0,1,2,3 minus deleted [0.5,1.5]
+  }
 }
