@@ -19,18 +19,12 @@ import org.apache.spark.sql.functions._
   * (a trial is minutes–hours at ≤ kHz ⇒ ≤ a few 1e7 doubles) is the
   * documented domain bound, same as the reference's in-memory frame.
   *
-  * The runner is schema-generic: series keys and the
-  * (time, tie-break) row identity are string-encoded for the round
-  * trip, and the filtered channel is joined back on that identity, so
-  * any [[Series]] works — including a single key-less trial.
+  * The runner is schema-generic: the series key and (time, tie)
+  * ordering are string-encoded, all original columns ride through the
+  * per-key scan, and the kernel output is appended — one shuffle, no
+  * join-back — so any [[Series]] works, including a key-less trial.
   */
 object SignalKernels {
-
-  /** Internal kernel row shapes (public: encoder codegen requires
-    * accessible classes).
-    */
-  final case class KRow(k: String, rid: String, t: Double, v: Double)
-  final case class KOut(k: String, rid: String, filtered: Double)
 
   private val Sep = "\u0001"
 
@@ -84,30 +78,44 @@ object SignalKernels {
       }
     }
 
-  /** [[applyKernel]] variant whose kernel also sees the time axis. */
+  /** [[applyKernel]] variant whose kernel also sees the time axis.
+    * All original columns ride along through the per-key scan and the
+    * kernel output is appended as `out` — ONE shuffle by series key,
+    * no join-back (an earlier join-on-row-identity variant tripled
+    * the kernel queries' wall time).
+    */
   def applyKernelWithTime(spark: SparkSession, df: DataFrame, s: Series, src: String,
       out: String)(kernel: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
-    import spark.implicits._
+    val base = if (df.columns.contains(out)) df.drop(out) else df
     val keyExpr =
       if (s.keyCols.isEmpty) lit("")
       else concat_ws(Sep, s.keyCols.map(c => col(c).cast("string")): _*)
     val ridExpr = concat_ws(Sep,
       (s.timeCol +: s.tieCols).map(c => col(c).cast("string")): _*)
-    val in = df.select(keyExpr.as("k"), ridExpr.as("rid"),
-      col(s.timeCol).cast("double").as("t"),
-      coalesce(col(src).cast("double"), lit(Double.NaN)).as("v")).as[KRow]
-    val filtered = in.groupByKey(_.k).flatMapGroups { (key, it) =>
-      val pts = it.toArray
-      java.util.Arrays.sort(pts, Ordering.by((p: KRow) => (p.t, p.rid)))
-      val y = kernel(pts.map(_.t), pts.map(_.v))
-      require(y.length == pts.length, "kernel must preserve length")
-      pts.iterator.zip(y.iterator).map { case (p, v) => KOut(key, p.rid, v) }
-    }.toDF("k", "rid", out)
-    df.withColumn("__k", keyExpr).withColumn("__rid", ridExpr)
-      .drop(out)
-      .join(filtered.withColumnRenamed("k", "__k").withColumnRenamed("rid", "__rid"),
-        Seq("__k", "__rid"))
-      .drop("__k", "__rid")
+    val withAux = base
+      .withColumn("__k", keyExpr)
+      .withColumn("__rid", ridExpr)
+      .withColumn("__t", org.apache.spark.sql.functions.col(s.timeCol).cast("double"))
+      .withColumn("__v", coalesce(col(src).cast("double"), lit(Double.NaN)))
+    val n = withAux.schema.size
+    val (ki, ri, ti, vi) = (n - 4, n - 3, n - 2, n - 1)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      withAux.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType))
+    val result = withAux
+      .groupByKey((r: org.apache.spark.sql.Row) => r.getString(ki))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((r: org.apache.spark.sql.Row) => (r.getDouble(ti), r.getString(ri))))
+        val y = kernel(rows.map(_.getDouble(ti)), rows.map(_.getDouble(vi)))
+        require(y.length == rows.length, "kernel must preserve length")
+        rows.iterator.zip(y.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    result.drop("__k", "__rid", "__t", "__v")
   }
 
   /** Exact Savitzky–Golay including scipy's edge semantics: interior
