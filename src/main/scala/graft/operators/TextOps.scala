@@ -147,5 +147,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount, q53Fingerprint)
+  /** Character-level Rabin–Karp rolling-hash fingerprint: the 5-gram
+    * polynomial hash at every character position (base 257 mod
+    * 1,000,003 — small enough that 5 terms stay exact in both
+    * engines), summarized as min / max / distinct count. The per-row
+    * expression is the unrolled 5-term window sum, so the "rolling"
+    * scan is a projection, not a sequential kernel.
+    */
+  val q59RollingHashFp: QueryDef = {
+    val (b, m, k) = (257L, 1000003L, 5)
+    val duckTerm = (0 until k).map(j =>
+      s"ord(substr(text, i + $j, 1)) * ${Seq.fill(j)(b).product.max(1L)}").mkString(" + ")
+    val sparkTerm = (0 until k).map(j =>
+      s"ascii(substring(text, i + $j, 1)) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
+    QueryDef.sql(
+      "q59_rolling_hash_fp",
+      s"""WITH h AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(text) - ${k - 1}),
+         |    i -> ($duckTerm) % $m) AS hs
+         |  FROM documents WHERE len(text) >= $k)
+         |SELECT doc_id, list_aggregate(hs, 'min') AS fp_min,
+         |  list_aggregate(hs, 'max') AS fp_max,
+         |  len(list_distinct(hs)) AS n_distinct
+         |FROM h ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.sources.Tables.documents(spark, dir)
+        .filter(length(col("text")) >= k)
+        .withColumn("hs", expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> ($sparkTerm) % $m)"))
+        .select(col("doc_id"),
+          expr("array_min(hs)").as("fp_min"),
+          expr("array_max(hs)").as("fp_max"),
+          size(expr("array_distinct(hs)")).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
+    q53Fingerprint, q59RollingHashFp)
 }
