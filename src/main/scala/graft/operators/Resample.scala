@@ -57,7 +57,7 @@ object Resample {
     val pPart = probes
       .select((keyNames.map(col) :+ col(s.timeCol) :+ lit(null).cast("double").as("__v") :+
         lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
-      .toDF(sPart.columns: _*)
+      .toDF(sPart.columns.toIndexedSeq: _*)
 
     val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
@@ -105,7 +105,7 @@ object Resample {
         interp.map(c => lit(null).cast("double").as(s"__v_$c")) ++
         labelCols.map(c => lit(null).cast(samples.schema(c).dataType).as(c)) ++
         s.tieCols.map(_ => lit(null).cast("long")): _*)
-      .toDF(sPart.columns: _*)
+      .toDF(sPart.columns.toIndexedSeq: _*)
 
     val ord = col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L)))
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
@@ -149,7 +149,7 @@ object Resample {
     val pPart = probes
       .select((keyNames.map(col) :+ col(s.timeCol) :+ lit(null).cast("double").as("__v") :+
         lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
-      .toDF(sPart.columns: _*)
+      .toDF(sPart.columns.toIndexedSeq: _*)
 
     val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
