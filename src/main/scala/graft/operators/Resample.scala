@@ -22,6 +22,17 @@ object Resample {
 
   import SeriesOps.Series
 
+  /** Null-safe tie-break columns, materialized so every window spec
+    * in a pass sorts on identical attributes (one sort per pass).
+    */
+  private def withOrdCols(df: DataFrame, s: Series): DataFrame =
+    s.tieCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__ord_$i", coalesce(col(c), lit(-1L)))
+    }
+
+  private def ordCols(s: Series): Seq[org.apache.spark.sql.Column] =
+    col(s.timeCol) +: col("__g") +: s.tieCols.indices.map(i => col(s"__ord_$i"))
+
   /** `np.interp`-style linear resample of `value` onto the uniform
     * per-series grid `{0, step, 2·step, … ≤ max(t)}`, ends clamped to
     * the nearest sample (filter_engine.py:165). Returns one row per
@@ -59,7 +70,11 @@ object Resample {
         lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
       .toDF(sPart.columns.toIndexedSeq: _*)
 
-    val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
+    // materialize the tie-break as a column: all window specs then
+    // sort on the same attributes, so the before/after frames share
+    // ONE in-partition sort instead of re-sorting per frame
+    val union = withOrdCols(sPart.unionAll(pPart), s)
+    val ord = ordCols(s)
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
     val before = w.rowsBetween(Window.unboundedPreceding, 0)
     val after = w.rowsBetween(0, Window.unboundedFollowing)
@@ -70,7 +85,7 @@ object Resample {
     val nv = first(v, ignoreNulls = true).over(after)
     val nt = first(when(v.isNotNull, tt), ignoreNulls = true).over(after)
 
-    sPart.unionAll(pPart)
+    union
       .withColumn("__pv", pv).withColumn("__pt", pt)
       .withColumn("__nv", nv).withColumn("__nt", nt)
       .filter(col("__g") === 1)
@@ -107,7 +122,7 @@ object Resample {
         s.tieCols.map(_ => lit(null).cast("long")): _*)
       .toDF(sPart.columns.toIndexedSeq: _*)
 
-    val ord = col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L)))
+    val ord = ordCols(s)
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
     val before = w.rowsBetween(Window.unboundedPreceding, 0)
     val after = w.rowsBetween(0, Window.unboundedFollowing)
@@ -116,7 +131,7 @@ object Resample {
     val wholeW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tt = col(s.timeCol)
 
-    val lerped = interp.foldLeft(sPart.unionAll(pPart)) { (d, c) =>
+    val lerped = interp.foldLeft(withOrdCols(sPart.unionAll(pPart), s)) { (d, c) =>
       val v = col(s"__v_$c")
       val pv = last(v, ignoreNulls = true).over(before)
       val pt = last(when(v.isNotNull, tt), ignoreNulls = true).over(before)
@@ -151,11 +166,10 @@ object Resample {
         lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
       .toDF(sPart.columns.toIndexedSeq: _*)
 
-    val ord = (col(s.timeCol) +: col("__g") +: s.tieCols.map(c => coalesce(col(c), lit(-1L))))
-    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ordCols(s): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    sPart.unionAll(pPart)
+    withOrdCols(sPart.unionAll(pPart), s)
       .withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__g") === 1)
       .select((keyNames.map(col) :+ col(s.timeCol) :+ col(out)): _*)
