@@ -222,7 +222,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering: connected components over the LSH candidate
+    * pairs — cluster id = the component's minimum doc_id (the
+    * keep-one-per-cluster step that finishes a dedup pipeline).
+    * Min-label propagation: each round joins labels across edges and
+    * keeps the minimum; rounds needed = component diameter (tiny for
+    * dup clusters; the same loop is the standard Spark shape for CC
+    * at scale — alternating-star variants only matter for web-graph
+    * diameters). Convergence is checked with a single-row aggregate.
+    */
+  val q70NeardupClusters: QueryDef = QueryDef.sql(
+    "q70_neardup_clusters",
+    s"""WITH RECURSIVE $duckSig, $duckPairs,
+       |nodes AS (SELECT doc_a AS d FROM prs UNION SELECT doc_b FROM prs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |walk(d, r) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d)
+       |SELECT d AS doc_id, min(r) AS cluster_id
+       |FROM walk GROUP BY d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val pairs = lshPairs(spark, dir).persist()
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = pairs.select(col("doc_a").as("d"))
+      .unionAll(pairs.select(col("doc_b").as("d")))
+      .distinct()
+      .withColumn("lab", col("d"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = labels
+        .unionAll(edges.join(labels, edges("a") === labels("d"))
+          .select(col("b").as("d"), col("lab")))
+        .groupBy("d").agg(min("lab").as("lab"))
+        .persist()
+      val sumBefore = labels.agg(sum("lab")).head().getLong(0)
+      val sumAfter = next.agg(sum("lab")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = sumBefore == sumAfter
+      rounds += 1
+    }
+    labels.select(col("d").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
-    q44Simhash, q54WindowDedup, q63SimhashNearDup)
+    q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters)
 }
