@@ -158,8 +158,11 @@ object TextOps {
     val (b, m, k) = (257L, 1000003L, 5)
     val duckTerm = (0 until k).map(j =>
       s"ord(substr(text, i + $j, 1)) * ${Seq.fill(j)(b).product.max(1L)}").mkString(" + ")
+    // element_at over a precomputed char-code array: substring(text, i, 1)
+    // re-scans the string from the start per call (O(len²) per doc —
+    // measured 18 s at sf0.1); the array index is O(1)
     val sparkTerm = (0 until k).map(j =>
-      s"ascii(substring(text, i + $j, 1)) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
+      s"element_at(bs, i + $j) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
     QueryDef.sql(
       "q59_rolling_hash_fp",
       s"""WITH h AS (SELECT doc_id, list_transform(
@@ -172,6 +175,7 @@ object TextOps {
          |FROM h ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       graft.sources.Tables.documents(spark, dir)
         .filter(length(col("text")) >= k)
+        .withColumn("bs", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
         .withColumn("hs", expr(
           s"transform(sequence(1, length(text) - ${k - 1}), i -> ($sparkTerm) % $m)"))
         .select(col("doc_id"),
