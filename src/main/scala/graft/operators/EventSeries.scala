@@ -202,15 +202,31 @@ object EventSeries {
     */
   val q22SpikeThreshold: QueryDef = QueryDef.sql(
     "q22_spike_threshold",
-    s"""$S, d AS (SELECT user_id, abs(value - lag(value) OVER ($OW)) AS ad FROM s)
-       |SELECT user_id, round(avg(ad) + 3 * stddev_pop(ad), 6) AS threshold
-       |FROM d WHERE ad IS NOT NULL GROUP BY user_id
-       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    s"""$S, d AS (SELECT user_id,
+       |  CAST(round(abs(value - lag(value) OVER ($OW)) * 1000.0) AS BIGINT) AS adm FROM s),
+       |th AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(adm) AS DOUBLE) AS s1, CAST(sum(adm * adm) AS DOUBLE) AS s2
+       |  FROM d WHERE adm IS NOT NULL GROUP BY user_id)
+       |SELECT user_id,
+       |  round((s1 / nd + 3 * sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0.0))) / 1000.0, 6) AS threshold
+       |FROM th ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    // |Δx| quantized to integer milli-units; mean+3σ derived from the
+    // EXACT integer moments Σm and Σm² (order-insensitive), so both
+    // engines evaluate the identical IEEE expression on identical
+    // inputs — no partial-aggregation flakiness
     val d = Tables.seriesNorm(spark, dir)
-      .withColumn("ad", abs(col("value") - lag(col("value"), 1).over(s.ordered)))
-      .filter(col("ad").isNotNull)
-    d.groupBy("user_id")
-      .agg(round(avg("ad") + lit(3) * stddev_pop("ad"), 6).as("threshold"))
+      .withColumn("adm",
+        round(abs(col("value") - lag(col("value"), 1).over(s.ordered)) * lit(1e3))
+          .cast("bigint"))
+      .filter(col("adm").isNotNull)
+    val th = d.groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(col("adm")).cast("double").as("s1"),
+        sum(col("adm") * col("adm")).cast("double").as("s2"))
+    val m1 = col("s1") / col("nd")
+    th.select(col("user_id"),
+        round((m1 + lit(3) * sqrt(greatest(col("s2") / col("nd") - m1 * m1, lit(0.0)))) / lit(1e3), 6)
+          .as("threshold"))
       .orderBy("user_id")
   }
 
@@ -219,15 +235,19 @@ object EventSeries {
     */
   val q23Calibration: QueryDef = QueryDef.sql(
     "q23_calibration",
-    s"""$S, d AS (SELECT user_id, tn, value - lag(value) OVER ($OW) AS diff FROM s)
-       |SELECT user_id, round(avg(diff), 6) AS offset
-       |FROM d WHERE diff IS NOT NULL AND tn BETWEEN 0 AND $selEnd
+    s"""$S, d AS (SELECT user_id, tn,
+       |  CAST(round((value - lag(value) OVER ($OW)) * 1000000.0) AS BIGINT) AS dm FROM s)
+       |SELECT user_id,
+       |  round(CAST(sum(dm) AS DOUBLE) / count(*) / 1000000.0, 6) AS offset
+       |FROM d WHERE dm IS NOT NULL AND tn BETWEEN 0 AND $selEnd
        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    // micro-quantized diff -> exact integer sum -> order-insensitive mean
     Tables.seriesNorm(spark, dir)
-      .withColumn("diff", col("value") - lag(col("value"), 1).over(s.ordered))
-      .filter(col("diff").isNotNull && col("tn").between(0, selEnd))
+      .withColumn("dm",
+        round((col("value") - lag(col("value"), 1).over(s.ordered)) * lit(1e6)).cast("bigint"))
+      .filter(col("dm").isNotNull && col("tn").between(0, selEnd))
       .groupBy("user_id")
-      .agg(round(avg("diff"), 6).as("offset"))
+      .agg(round(sum("dm").cast("double") / count(lit(1)) / lit(1e6), 6).as("offset"))
       .orderBy("user_id")
   }
 
@@ -269,13 +289,17 @@ object EventSeries {
   val q26EpisodeExtents: QueryDef = QueryDef.sql(
     "q26_episode_extents",
     s"""$S SELECT user_id, event_type, min(tn) AS t_start, max(tn) AS t_end,
-       |  count(*) AS n, round(avg(value), 6) AS mean_value
+       |  count(*) AS n,
+       |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_value
        |FROM s GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    // micro-quantized mean: exact associative sum, stable run-to-run
+    val micro = round(col("value") * lit(1e6)).cast("bigint")
     Tables.seriesNorm(spark, dir)
       .groupBy("user_id", "event_type")
       .agg(min("tn").as("t_start"), max("tn").as("t_end"),
-        count(lit(1)).as("n"), round(avg("value"), 6).as("mean_value"))
+        count(lit(1)).as("n"),
+        round(sum(micro).cast("double") / count(lit(1)) / lit(1e6), 6).as("mean_value"))
       .orderBy("user_id", "event_type")
   }
 

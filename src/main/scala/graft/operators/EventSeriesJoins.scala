@@ -128,6 +128,12 @@ object EventSeriesJoins {
 
   /** Sessionization: gap > 12 h starts a new session — the scalable
     * generalization of the reference's suggestion-segment merging.
+    *
+    * Float determinism: `value` is quantized to integer micro-units
+    * BEFORE summing, so the aggregation is exact and associative —
+    * Spark's run-to-run partial-aggregation order can't flip the
+    * rounded total (double sums are order-sensitive; bigint sums are
+    * not). Identical quantization on the DuckDB side.
     */
   val q30Sessionize: QueryDef = QueryDef.sql(
     "q30_sessionize",
@@ -135,16 +141,19 @@ object EventSeriesJoins {
        |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
        |x AS (SELECT *, sum(brk) OVER ($PW) AS session_id FROM g)
        |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
-       |  count(*) AS n, round(sum(value), 4) AS total
+       |  count(*) AS n,
+       |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
        |FROM x GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
     val lagT = lag(col("tn"), 1).over(s.ordered)
     val brk = when(lagT.isNull || col("tn") - lagT > 43200.0, 1).otherwise(0)
+    val micro = round(col("value") * lit(1e6)).cast("bigint")
     Tables.seriesNorm(spark, dir)
       .withColumn("session_id", sum(brk).over(s.running))
       .groupBy("user_id", "session_id")
       .agg(min("tn").as("s_start"), max("tn").as("s_end"),
-        count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        count(lit(1)).as("n"),
+        round(sum(micro).cast("double") / lit(1e6), 4).as("total"))
       .orderBy("user_id", "session_id")
   }
 
@@ -154,11 +163,15 @@ object EventSeriesJoins {
   val q31SpikeIslands: QueryDef = QueryDef.sql(
     "q31_spike_islands",
     s"""$S, d AS (SELECT user_id, event_id, tn,
-       |  abs(value - lag(value) OVER ($OW)) AS ad FROM s),
-       |th AS (SELECT user_id, avg(ad) + 3 * stddev_pop(ad) AS thr
-       |  FROM d WHERE ad IS NOT NULL GROUP BY user_id),
+       |  CAST(round(abs(value - lag(value) OVER ($OW)) * 1000.0) AS BIGINT) AS adm FROM s),
+       |th AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(adm) AS DOUBLE) AS s1, CAST(sum(adm * adm) AS DOUBLE) AS s2
+       |  FROM d WHERE adm IS NOT NULL GROUP BY user_id),
+       |t2 AS (SELECT user_id,
+       |    s1 / nd + 3 * sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0.0)) AS thr FROM th),
        |f AS (SELECT d.user_id, event_id, tn,
-       |  (ad IS NOT NULL AND ad > thr) AS fl FROM d JOIN th ON d.user_id = th.user_id),
+       |  (adm IS NOT NULL AND CAST(adm AS DOUBLE) > thr) AS fl
+       |  FROM d JOIN t2 ON d.user_id = t2.user_id),
        |e AS (SELECT *, CASE WHEN fl AND NOT coalesce(
        |    lag(fl) OVER (PARTITION BY user_id ORDER BY tn, event_id), false)
        |    THEN 1 ELSE 0 END AS edge FROM f),
@@ -168,12 +181,25 @@ object EventSeriesJoins {
        |  count(*) AS n_rows
        |FROM i WHERE fl GROUP BY user_id, island_id
        |ORDER BY user_id, island_id""".stripMargin) { (spark, dir) =>
+    // Determinism: |Δx| quantized to integer milli-units, then the
+    // mean+3σ threshold is derived from EXACT integer moments
+    // (Σm, Σm² fit in 2^53 at this value range, so the bigint→double
+    // casts are exact and the identical IEEE expression tree yields
+    // bit-identical thresholds in Spark and DuckDB regardless of
+    // partial-aggregation order).
     val d = Tables.seriesNorm(spark, dir)
-      .withColumn("ad", abs(col("value") - lag(col("value"), 1).over(s.ordered)))
-    val th = d.filter(col("ad").isNotNull).groupBy("user_id")
-      .agg((avg("ad") + lit(3) * stddev_pop("ad")).as("thr"))
-    val flagged = d.join(broadcast(th), Seq("user_id"))
-      .withColumn("fl", col("ad").isNotNull && col("ad") > col("thr"))
+      .withColumn("adm",
+        round(abs(col("value") - lag(col("value"), 1).over(s.ordered)) * lit(1e3))
+          .cast("bigint"))
+    val th = d.filter(col("adm").isNotNull).groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(col("adm")).cast("double").as("s1"),
+        sum(col("adm") * col("adm")).cast("double").as("s2"))
+    val m1 = col("s1") / col("nd")
+    val t2 = th.select(col("user_id"),
+      (m1 + lit(3) * sqrt(greatest(col("s2") / col("nd") - m1 * m1, lit(0.0)))).as("thr"))
+    val flagged = d.join(broadcast(t2), Seq("user_id"))
+      .withColumn("fl", col("adm").isNotNull && col("adm").cast("double") > col("thr"))
     SeriesOps.islands(flagged, s, col("fl"))
       .orderBy("user_id", "island_id")
   }
@@ -192,7 +218,8 @@ object EventSeriesJoins {
        |iv AS (SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end
        |  FROM x GROUP BY user_id, session_id)
        |SELECT iv.user_id, iv.session_id, count(*) AS n_in,
-       |  round(avg(e.value), 6) AS mean_v
+       |  round(CAST(sum(CAST(round(e.value * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000.0, 6) AS mean_v
        |FROM iv JOIN s e ON e.user_id = iv.user_id
        |  AND e.tn BETWEEN iv.s_start AND iv.s_end
        |GROUP BY iv.user_id, iv.session_id
@@ -204,12 +231,16 @@ object EventSeriesJoins {
       .withColumn("session_id", sum(brk).over(s.running))
       .groupBy("user_id", "session_id")
       .agg(min("tn").as("s_start"), max("tn").as("s_end"))
+    // mean over micro-quantized integers: exact associative sum, so
+    // the rounded mean is identical run-to-run and engine-to-engine
+    val micro = round(col("e.value") * lit(1e6)).cast("bigint")
     events.as("e")
       .join(broadcast(intervals.as("iv")),
         col("e.user_id") === col("iv.user_id") &&
           col("e.tn").between(col("iv.s_start"), col("iv.s_end")))
       .groupBy(col("iv.user_id").as("user_id"), col("iv.session_id").as("session_id"))
-      .agg(count(lit(1)).as("n_in"), round(avg(col("e.value")), 6).as("mean_v"))
+      .agg(count(lit(1)).as("n_in"),
+        round(sum(micro).cast("double") / count(lit(1)) / lit(1e6), 6).as("mean_v"))
       .orderBy("user_id", "session_id")
   }
 
@@ -307,8 +338,8 @@ object EventSeriesJoins {
   val q61EpisodeOverlay: QueryDef = QueryDef.sql(
     "q61_episode_overlay",
     s"""$S, e AS (SELECT user_id, event_id, tn, event_type,
-       |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
-       |    OVER ($PW) AS episode FROM s),
+       |  coalesce(last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+       |    OVER ($PW), -1) AS episode FROM s),
        |c AS (SELECT user_id, episode, event_type, count(*) AS cnt,
        |    min(tn) AS mn, max(tn) AS mx
        |  FROM e GROUP BY user_id, episode, event_type),
@@ -320,10 +351,14 @@ object EventSeriesJoins {
        |      ORDER BY cnt DESC, event_type) AS rn FROM c)
        |SELECT t.user_id, t.episode, t.t_start, t.t_end, t.n_rows, m.mode_type
        |FROM t JOIN m ON m.user_id = t.user_id
-       |  AND m.episode IS NOT DISTINCT FROM t.episode AND m.rn = 1
+       |  AND m.episode = t.episode AND m.rn = 1
        |ORDER BY t.user_id, t.episode""".stripMargin) { (spark, dir) =>
-    val ep = last(when(col("event_type") === "purchase", col("event_id")),
-      ignoreNulls = true).over(s.running)
+    // rows before the first purchase get the integer sentinel episode
+    // -1 (event_id >= 0) instead of NULL: no null group keys, no
+    // NULLS FIRST/LAST divergence in the final ordering, plain
+    // equi-join semantics on both engines
+    val ep = coalesce(last(when(col("event_type") === "purchase", col("event_id")),
+      ignoreNulls = true).over(s.running), lit(-1L))
     val c = Tables.seriesNorm(spark, dir)
       .withColumn("episode", ep)
       .groupBy("user_id", "episode", "event_type")
@@ -335,11 +370,9 @@ object EventSeriesJoins {
       .orderBy(col("cnt").desc, col("event_type"))
     val m = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("episode"), col("event_type").as("mode_type"))
-    // null-safe on episode: rows before the first purchase form a
-    // NULL-episode group that plain equi-join keys would drop
     t.as("t").join(m.as("m"),
         col("t.user_id") === col("m.user_id") &&
-          col("t.episode") <=> col("m.episode"))
+          col("t.episode") === col("m.episode"))
       .select(col("t.user_id").as("user_id"), col("t.episode").as("episode"),
         col("t_start"), col("t_end"), col("n_rows"), col("mode_type"))
       .orderBy("user_id", "episode")

@@ -27,28 +27,35 @@ object Relational {
   val q01PricingSummary: QueryDef = QueryDef.sql(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  round(CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+      |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_qty,
+      |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 4) AS avg_price,
+      |  round(CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    // money/quantity columns carry <= 2 decimals (the derived
+    // disc-price <= 4), so integer cent/basis-point sums are EXACT and
+    // associative: partial-aggregation order can't flip the rounding
+    def q2(c: org.apache.spark.sql.Column) = sum(round(c * lit(100.0)).cast("bigint")).cast("double")
+    val q4 = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))
+      .cast("bigint")).cast("double")
+    val n = count(lit(1))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(q2(col("l_quantity")) / lit(100.0), 2).as("sum_qty"),
+        round(q2(col("l_extendedprice")) / lit(100.0), 2).as("sum_base_price"),
+        round(q4 / lit(1e4), 2).as("sum_disc_price"),
+        round(q2(col("l_quantity")) / n / lit(100.0), 6).as("avg_qty"),
+        round(q2(col("l_extendedprice")) / n / lit(100.0), 4).as("avg_price"),
+        round(q2(col("l_discount")) / n / lit(100.0), 6).as("avg_disc"),
+        n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -59,7 +66,7 @@ object Relational {
   val q02RevenueByNation: QueryDef = QueryDef.sql(
     "q02_revenue_by_nation",
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -75,7 +82,8 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))
+          .cast("bigint")).cast("double") / lit(1e4), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -86,7 +94,7 @@ object Relational {
   val q03TopCustomers: QueryDef = QueryDef.sql(
     "q03_top_customers",
     """SELECT c_custkey, c_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -97,7 +105,8 @@ object Relational {
       .join(broadcast(Tables.orders(spark, dir)), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))
+        .cast("bigint")).cast("double") / lit(1e4), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
   }
@@ -176,15 +185,18 @@ object Relational {
     */
   val q07SaltedAgg: QueryDef = QueryDef.sql(
     "q07_salted_agg",
-    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     Tables.orders(spark, dir)
       .withColumn("__salt", pmod(hash(col("o_orderkey")), lit(16)))
       .groupBy("o_orderpriority", "__salt")
-      .agg(count(lit(1)).as("pn"), sum("o_totalprice").as("ps"))
+      .agg(count(lit(1)).as("pn"),
+        sum(round(col("o_totalprice") * lit(100.0)).cast("bigint")).as("ps"))
       .groupBy("o_orderpriority")
-      .agg(sum("pn").as("n"), round(sum("ps"), 2).as("revenue"))
+      .agg(sum("pn").as("n"),
+        round(sum("ps").cast("double") / lit(100.0), 2).as("revenue"))
       .orderBy("o_orderpriority")
   }
 

@@ -29,6 +29,14 @@ object StreamingSessions {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** HALF_UP micro-unit quantization — bit-identical to Spark's
+    * `round(value * 1e6)` and DuckDB's `round(value * 1000000.0)`,
+    * so the session total is an EXACT integer sum (order-insensitive)
+    * in all three evaluators.
+    */
+  private def micro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Per-key batch handler: orders the user's events, splits on
     * time gaps > [[GapSeconds]], emits one row per session. State is
     * carried so a multi-batch deployment would resume correctly
@@ -41,17 +49,17 @@ object StreamingSessions {
     if (evs.isEmpty) return Iterator.empty
     val t0 = evs.head._1
     val out = Vector.newBuilder[SessionRow]
-    var sid = 0L; var start = 0.0; var end = 0.0; var n = 0L; var sum = 0.0
+    var sid = 0L; var start = 0.0; var end = 0.0; var n = 0L; var sum = 0L
     var prev = Double.NaN
     evs.foreach { case (t, v) =>
       val tn = t - t0
       if (n == 0 || tn - prev > GapSeconds) {
-        if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum))
-        sid += 1; start = tn; n = 0; sum = 0.0
+        if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
+        sid += 1; start = tn; n = 0; sum = 0L
       }
-      end = tn; n += 1; sum += v.getOrElse(0.0); prev = tn
+      end = tn; n += 1; sum += v.map(micro).getOrElse(0L); prev = tn
     }
-    if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum))
+    if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
     val sessions = out.result()
     state.update(sessions.last)
     sessions.iterator
@@ -95,7 +103,8 @@ object StreamingSessions {
        |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
        |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
-       |  count(*) AS n, round(sum(value), 4) AS total
+       |  count(*) AS n,
+       |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
        |FROM x GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
     run(spark, dir).orderBy("user_id", "session_id")
@@ -118,7 +127,9 @@ object StreamingSessions {
       .withWatermark("ets", "1 day")
     val agg = stream
       .groupBy(col("user_id"), window(col("ets"), "1 day"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * lit(1e6)).cast("bigint")).cast("double") / lit(1e6), 4)
+          .as("total"))
       .select(col("user_id"), col("window.start").cast("long").as("day_start"),
         col("n"), col("total"))
     val q = agg.writeStream
@@ -134,7 +145,8 @@ object StreamingSessions {
        |  FROM events)
        |SELECT user_id,
        |  CAST(floor(t / 86400) * 86400 AS BIGINT) AS day_start,
-       |  count(*) AS n, round(sum(value), 4) AS total
+       |  count(*) AS n,
+       |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
        |FROM e GROUP BY user_id, day_start
        |ORDER BY user_id, day_start""".stripMargin) { (spark, dir) =>
     runWindowed(spark, dir).orderBy("user_id", "day_start")
