@@ -1,0 +1,288 @@
+package graft.functions
+
+import graft.functions.Dsp.Biquad
+
+/** DuckDB oracle SQL generators for the sequential per-series kernels
+  * (W4/W5 `filtfilt`, W3 exact Savitzky–Golay, W10 cubic spline).
+  *
+  * These kernels are pure double recurrences, so the oracle mirrors
+  * the EXACT IEEE operation order of the Scala kernel as generated
+  * SQL: recursive CTEs carry the filter/elimination state row by row,
+  * and every coefficient is embedded as an e-notation literal (DuckDB
+  * parses those as DOUBLE; plain decimals become DECIMAL) produced by
+  * `Double.toString`, which round-trips bit-exactly. Identical inputs
+  * + identical op order = bit-identical doubles in both engines, so
+  * the driver's hash compare is stable — the same determinism policy
+  * as the quantized aggregates.
+  *
+  * Every intermediate CTE is MATERIALIZED: DuckDB inlines CTEs
+  * referenced once, and inlining a chain of recursive CTEs into a
+  * later recursion's step re-evaluates the whole chain per iteration
+  * (measured: minutes + tens of GB at sf0.01; materialized: <1 s).
+  */
+object KernelOracles {
+
+  /** DOUBLE literal that DuckDB parses to exactly `d`. */
+  def lit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** One joint pass of the biquad cascade over `src(user_id, i, x)` →
+    * recursive CTE `out(user_id, i, y, z1_k, z2_k…)`. Joint stepping
+    * (all sections advanced per sample) is bit-identical to the
+    * kernel's section-at-a-time passes because each section is causal:
+    * sample i's section-k output depends only on section-(k-1) outputs
+    * up to i and section-k state — same ops, same order.
+    */
+  private def cascadeCte(sos: Array[Biquad], src: String, out: String): String = {
+    val ns = sos.length
+    val stateCols = (0 until ns).flatMap(k => Seq(s"z1_$k", s"z2_$k"))
+    // ---- seed: init each section's state from ITS first input
+    // (scipy lfilter_zi steady state scaled by x0), then run x0
+    // through the loop body — out(0) comes from the loop, not dc*x0.
+    var inner = s"(SELECT user_id, i, x AS u0 FROM $src WHERE i = 0)"
+    var carry = Seq("user_id", "i", "u0")
+    var u = "u0"
+    for ((s, k) <- sos.zipWithIndex) {
+      val dc = lit((s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2))
+      val (b0, b1, b2, a1, a2) = (lit(s.b0), lit(s.b1), lit(s.b2), lit(s.a1), lit(s.a2))
+      inner = s"(SELECT ${carry.mkString(", ")}, $dc * $u AS yss$k FROM $inner q)"
+      carry :+= s"yss$k"
+      inner = s"(SELECT ${carry.mkString(", ")}, $b2 * $u - $a2 * yss$k AS z2i$k FROM $inner q)"
+      carry :+= s"z2i$k"
+      inner = s"(SELECT ${carry.mkString(", ")}, $b1 * $u - $a1 * yss$k + z2i$k AS z1i$k FROM $inner q)"
+      carry :+= s"z1i$k"
+      inner = s"(SELECT ${carry.mkString(", ")}, $b0 * $u + z1i$k AS y$k FROM $inner q)"
+      carry :+= s"y$k"
+      inner = s"(SELECT ${carry.mkString(", ")}, " +
+        s"$b1 * $u - $a1 * y$k + z2i$k AS z1_$k, " +
+        s"$b2 * $u - $a2 * y$k AS z2_$k FROM $inner q)"
+      carry ++= Seq(s"z1_$k", s"z2_$k")
+      u = s"y$k"
+    }
+    val seed = s"SELECT user_id, i, y${ns - 1} AS y, ${stateCols.mkString(", ")} FROM $inner q"
+    // ---- step: y = b0*x + z1; z1' = b1*x - a1*y + z2; z2' = b2*x - a2*y
+    inner = s"(SELECT e.user_id, e.i, e.x AS u0, " +
+      stateCols.map(c => s"t.$c AS p$c").mkString(", ") +
+      s" FROM $out t JOIN $src e ON e.user_id = t.user_id AND e.i = t.i + 1)"
+    carry = Seq("user_id", "i", "u0") ++ stateCols.map("p" + _)
+    u = "u0"
+    for ((s, k) <- sos.zipWithIndex) {
+      val (b0, b1, b2, a1, a2) = (lit(s.b0), lit(s.b1), lit(s.b2), lit(s.a1), lit(s.a2))
+      inner = s"(SELECT ${carry.mkString(", ")}, $b0 * $u + pz1_$k AS y$k FROM $inner q)"
+      carry :+= s"y$k"
+      inner = s"(SELECT ${carry.mkString(", ")}, " +
+        s"$b1 * $u - $a1 * y$k + pz2_$k AS z1_$k, " +
+        s"$b2 * $u - $a2 * y$k AS z2_$k FROM $inner q)"
+      carry ++= Seq(s"z1_$k", s"z2_$k")
+      u = s"y$k"
+    }
+    val step = s"SELECT user_id, i, y${ns - 1} AS y, ${stateCols.mkString(", ")} FROM $inner q"
+    s"$out AS ($seed\nUNION ALL\n$step)"
+  }
+
+  /** filtfilt over `r(user_id, i, x)` using shared `plen(user_id, n,
+    * pl)`: odd-reflection pad, forward cascade, reverse, backward
+    * cascade, reverse, slice. Emits CTEs suffixed `sfx`; the output
+    * relation `ffout$sfx` has (user_id, i, y) on original indices.
+    */
+  private def filtfiltCtes(sos: Array[Biquad], sfx: String): Seq[String] = Seq(
+    s"""ext$sfx AS MATERIALIZED (
+       |  SELECT b.user_id, p.pl - b.i AS i, 2e0 * f.xf - b.x AS x
+       |    FROM r b JOIN plen p ON b.user_id = p.user_id JOIN x0n f ON b.user_id = f.user_id
+       |    WHERE b.i BETWEEN 1 AND p.pl
+       |  UNION ALL
+       |  SELECT b.user_id, p.pl + b.i, b.x
+       |    FROM r b JOIN plen p ON b.user_id = p.user_id
+       |  UNION ALL
+       |  SELECT b.user_id, p.pl + p.n + (p.n - 2 - b.i), 2e0 * f.xl - b.x
+       |    FROM r b JOIN plen p ON b.user_id = p.user_id JOIN x0n f ON b.user_id = f.user_id
+       |    WHERE b.i BETWEEN p.n - 1 - p.pl AND p.n - 2)""".stripMargin,
+    cascadeCte(sos, s"ext$sfx", s"fpass$sfx"),
+    s"""frev$sfx AS MATERIALIZED (SELECT f.user_id, (p.n + 2 * p.pl - 1) - f.i AS i, f.y AS x
+       |  FROM fpass$sfx f JOIN plen p ON f.user_id = p.user_id)""".stripMargin,
+    cascadeCte(sos, s"frev$sfx", s"bpass$sfx"),
+    s"""ffout$sfx AS MATERIALIZED (SELECT b.user_id,
+       |    ((p.n + 2 * p.pl - 1) - b.i) - p.pl AS i, b.y
+       |  FROM bpass$sfx b JOIN plen p ON b.user_id = p.user_id
+       |  WHERE ((p.n + 2 * p.pl - 1) - b.i) BETWEEN p.pl AND p.pl + p.n - 1)""".stripMargin)
+
+  /** Shared row/length CTEs over the normalized series. `padMax` =
+    * `3 * (2 * nSections + 1)` like `Dsp.filtfilt`.
+    */
+  private def baseCtes(seriesSql: String, padMax: Int): Seq[String] = Seq(
+    s"""s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql))""".stripMargin,
+    s"""r AS MATERIALIZED (SELECT user_id, event_id, tn, value AS x,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) - 1 AS i FROM s)""".stripMargin,
+    s"""plen AS MATERIALIZED (SELECT user_id, max(i) + 1 AS n, least($padMax, max(i)) AS pl
+       |  FROM r GROUP BY user_id)""".stripMargin,
+    s"""x0n AS MATERIALIZED (SELECT b.user_id,
+       |    max(CASE WHEN b.i = 0 THEN b.x END) AS xf,
+       |    max(CASE WHEN b.i = p.n - 1 THEN b.x END) AS xl
+       |  FROM r b JOIN plen p ON b.user_id = p.user_id GROUP BY b.user_id)""".stripMargin)
+
+  /** q36: zero-phase Butterworth low-pass oracle. */
+  def butterLowpassOracle(seriesSql: String, order: Int, wn: Double): String = {
+    val sos = Dsp.butterLowpassSos(order, wn)
+    val padMax = 3 * (2 * sos.length + 1)
+    val ctes = baseCtes(seriesSql, padMax) ++ filtfiltCtes(sos, "F")
+    s"""WITH RECURSIVE ${ctes.mkString(",\n")}
+       |SELECT r.user_id, r.event_id, r.tn, round(o.y, 6) AS filtered
+       |FROM r JOIN ffoutF o ON o.user_id = r.user_id AND o.i = r.i
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
+  /** q37: band-pass = filtfilt(high cut) − filtfilt(low cut), the
+    * reference's composition (filter_engine.py:125-134).
+    */
+  def butterBandpassOracle(seriesSql: String, order: Int, wnLow: Double, wnHigh: Double): String = {
+    val sosH = Dsp.butterLowpassSos(order, wnHigh)
+    val sosL = Dsp.butterLowpassSos(order, wnLow)
+    val padMax = 3 * (2 * sosH.length + 1)
+    val ctes = baseCtes(seriesSql, padMax) ++ filtfiltCtes(sosH, "H") ++ filtfiltCtes(sosL, "L")
+    s"""WITH RECURSIVE ${ctes.mkString(",\n")}
+       |SELECT r.user_id, r.event_id, r.tn, round(h.y - l.y, 6) AS filtered
+       |FROM r JOIN ffoutH h ON h.user_id = r.user_id AND h.i = r.i
+       |JOIN ffoutL l ON l.user_id = r.user_id AND l.i = r.i
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
+  /** Precomputed Savitzky–Golay edge weight row: the least-squares
+    * polynomial fit is linear in the samples, so the fitted value at
+    * `pos` is a fixed dot product; weight k comes from fitting the
+    * k-th unit vector. Used by BOTH the kernel and the oracle so the
+    * float ops agree exactly.
+    */
+  def savgolEdgeWeights(polyorder: Int, wlen: Int, pos: Int): Array[Double] = {
+    val ts = Array.tabulate(wlen)(_.toDouble)
+    Array.tabulate(wlen) { k =>
+      val xs = Array.tabulate(wlen)(j => if (j == k) 1.0 else 0.0)
+      Dsp.polyfitAt(ts, xs, math.min(polyorder, wlen - 1), pos.toDouble)
+    }
+  }
+
+  /** q38: exact Savitzky–Golay (interior FIR + edge polynomial refit)
+    * as a single projection over per-user value lists. Valid for
+    * series with n ≥ window (shorter series fall back to the kernel's
+    * runtime fit and are not covered — none exist in the test data).
+    */
+  def savgolExactOracle(seriesSql: String, window: Int, polyorder: Int): String = {
+    val h = window / 2
+    val interior = Dsp.savgolCoefficients(window, polyorder)
+    // interior: y_i = Σ_k c_k · x[i−h+k]  (left-assoc, k ascending)
+    val interiorExpr = interior.zipWithIndex
+      .map { case (c, k) => s"${lit(c)} * xs[i + ${k - h} + 1]" }
+      .mkString(" + ")
+    // head edge i ∈ [0,h): window rows 0..i+h, evaluated at i
+    val headCases = (0 until h).map { i =>
+      val w = savgolEdgeWeights(polyorder, i + h + 1, i)
+      val terms = w.zipWithIndex.map { case (c, k) => s"${lit(c)} * xs[${k + 1}]" }.mkString(" + ")
+      s"WHEN i = $i THEN $terms"
+    }
+    // tail edge j = n−1−i ∈ [0,h): window rows i−h..n−1, evaluated at offset h
+    val tailCases = (0 until h).map { j =>
+      val w = savgolEdgeWeights(polyorder, h + j + 1, h)
+      val terms = w.zipWithIndex.map { case (c, k) => s"${lit(c)} * xs[i + ${k - h} + 1]" }.mkString(" + ")
+      s"WHEN n - 1 - i = $j THEN $terms"
+    }
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn, value,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) - 1 AS i FROM s),
+       |lx AS MATERIALIZED (SELECT user_id, list(value ORDER BY i) AS xs, count(*) AS n
+       |  FROM r GROUP BY user_id)
+       |SELECT r.user_id, r.event_id, r.tn,
+       |  round(CASE
+       |    WHEN i >= $h AND i < n - $h THEN $interiorExpr
+       |    ${headCases.mkString("\n    ")}
+       |    ${tailCases.mkString("\n    ")}
+       |  END, 6) AS filtered
+       |FROM r JOIN lx USING (user_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** q66: natural cubic spline interpolation oracle. Thomas-algorithm
+    * forward sweep and back substitution as recursive CTEs over the
+    * non-null knots; evaluation mirrors `Dsp.naturalCubicSpline`
+    * including end clamping and the n=2 / n<2 fallbacks.
+    */
+  def cubicSplineOracle(seriesSql: String): String =
+    s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn,
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v, value AS rawv
+       |  FROM s),
+       |k AS MATERIALIZED (SELECT user_id, tn, v,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn) - 1 AS j
+       |  FROM r WHERE v IS NOT NULL),
+       |kl AS MATERIALIZED (SELECT user_id, list(tn ORDER BY j) AS lts,
+       |    list(v ORDER BY j) AS lxs, count(*) AS kn
+       |  FROM k GROUP BY user_id),
+       |-- forward sweep: w = b - a*cp_prev (j=1: w=b); cp = c/w; dp = (d - a*dp_prev)/w
+       |fwd AS (
+       |  SELECT user_id, 1 AS j, c / w AS cp, d / w AS dp FROM (
+       |    SELECT user_id, lts[3] - lts[2] AS c,
+       |      2e0 * ((lts[2] - lts[1]) + (lts[3] - lts[2])) AS w,
+       |      6e0 * ((lxs[3] - lxs[2]) / (lts[3] - lts[2])
+       |           - (lxs[2] - lxs[1]) / (lts[2] - lts[1])) AS d
+       |    FROM kl WHERE kn >= 3) q
+       |  UNION ALL
+       |  SELECT user_id, j, c / w AS cp, (d - a * pdp) / w AS dp FROM (
+       |    SELECT f.user_id, f.j + 1 AS j,
+       |      kl.lts[f.j + 3] - kl.lts[f.j + 2] AS c,
+       |      kl.lts[f.j + 2] - kl.lts[f.j + 1] AS a,
+       |      2e0 * ((kl.lts[f.j + 2] - kl.lts[f.j + 1]) + (kl.lts[f.j + 3] - kl.lts[f.j + 2]))
+       |        - (kl.lts[f.j + 2] - kl.lts[f.j + 1]) * f.cp AS w,
+       |      6e0 * ((kl.lxs[f.j + 3] - kl.lxs[f.j + 2]) / (kl.lts[f.j + 3] - kl.lts[f.j + 2])
+       |           - (kl.lxs[f.j + 2] - kl.lxs[f.j + 1]) / (kl.lts[f.j + 2] - kl.lts[f.j + 1])) AS d,
+       |      f.dp AS pdp
+       |    FROM fwd f JOIN kl ON kl.user_id = f.user_id
+       |    WHERE f.j + 1 <= kl.kn - 2) q),
+       |fm AS MATERIALIZED (SELECT user_id, j, cp, dp FROM fwd),
+       |-- back substitution: m(j) = dp(j) - cp(j) * m(j+1), m(kn-1) = 0;
+       |-- m(0) and m(kn-1) stay 0 via the coalesce at evaluation
+       |bwd AS (
+       |  SELECT f.user_id, f.j, f.dp - f.cp * 0e0 AS m
+       |    FROM fm f JOIN kl ON kl.user_id = f.user_id WHERE f.j = kl.kn - 2
+       |  UNION ALL
+       |  SELECT f.user_id, f.j, f.dp - f.cp * b.m
+       |    FROM bwd b JOIN fm f ON f.user_id = b.user_id AND f.j = b.j - 1
+       |    WHERE b.j >= 2),
+       |bm AS MATERIALIZED (SELECT user_id, j, m FROM bwd),
+       |ev AS MATERIALIZED (
+       |  SELECT r.user_id, r.event_id, r.tn, r.v, r.rawv, kl.lts, kl.lxs, kl.kn,
+       |    CASE WHEN kl.kn >= 2
+       |      THEN greatest(kl.lts[1], least(kl.lts[kl.kn], r.tn)) END AS tc
+       |  FROM r JOIN kl ON kl.user_id = r.user_id),
+       |ei AS MATERIALIZED (
+       |  SELECT *, CASE WHEN kn >= 3 THEN
+       |      CASE WHEN len(list_filter(lts, e -> e <= tc)) - 1 >= kn - 1
+       |           THEN kn - 2 ELSE len(list_filter(lts, e -> e <= tc)) - 1 END
+       |    END AS i0
+       |  FROM ev)
+       |SELECT ei.user_id, ei.event_id, ei.tn,
+       |  round(CASE
+       |    WHEN v IS NOT NULL THEN v
+       |    WHEN kn < 2 THEN 'NaN'::DOUBLE
+       |    WHEN kn = 2 THEN lxs[1] + ((lxs[2] - lxs[1]) / (lts[2] - lts[1])) * (tc - lts[1])
+       |    ELSE (lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]) * lxs[i0 + 1]
+       |       + (tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]) * lxs[i0 + 2]
+       |       + (((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1])
+       |            * ((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
+       |            * ((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
+       |          - (lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
+       |          * coalesce(mi.m, 0e0)
+       |        + ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1])
+       |            * ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
+       |            * ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
+       |          - (tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
+       |          * coalesce(mi1.m, 0e0))
+       |        * (lts[i0 + 2] - lts[i0 + 1]) * (lts[i0 + 2] - lts[i0 + 1]) / 6e0
+       |  END, 6) AS vc
+       |FROM ei
+       |LEFT JOIN bm mi ON mi.user_id = ei.user_id AND mi.j = ei.i0
+       |LEFT JOIN bm mi1 ON mi1.user_id = ei.user_id AND mi1.j = ei.i0 + 1
+       |ORDER BY ei.user_id, ei.event_id""".stripMargin
+}

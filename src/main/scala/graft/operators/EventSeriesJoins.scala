@@ -116,9 +116,13 @@ object EventSeriesJoins {
   }
 
   /** W10 `method='cubic'`: natural cubic spline through the non-null
-    * knots (per-series kernel — not SQL-expressible, rows-only).
+    * knots. The oracle replays the Thomas-algorithm recurrences as
+    * recursive CTEs with the kernel's exact IEEE op order
+    * ([[graft.functions.KernelOracles.cubicSplineOracle]]).
     */
-  val q66InterpolateCubic: QueryDef = QueryDef.rowsOnly("q66_interpolate_cubic") { (spark, dir) =>
+  val q66InterpolateCubic: QueryDef = QueryDef.sql(
+    "q66_interpolate_cubic",
+    graft.functions.KernelOracles.cubicSplineOracle(Tables.seriesSql)) { (spark, dir) =>
     val df = Tables.seriesNorm(spark, dir)
       .withColumn("v", when(col("event_type") =!= "error", col("value")))
     SignalKernels.interpolateCubic(spark, df, s, "v", "vc")
@@ -302,29 +306,39 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
-  /** W4 zero-phase Butterworth low-pass — sequential IIR recurrence,
-    * not SQL-expressible: rows-only check.
+  /** W4 zero-phase Butterworth low-pass — sequential IIR recurrence.
+    * The oracle replays the biquad-cascade recurrence (odd-reflection
+    * pad, forward/backward passes) as recursive CTEs mirroring the
+    * kernel's exact IEEE op order
+    * ([[graft.functions.KernelOracles.butterLowpassOracle]]).
     */
   private def kernelOut(df: org.apache.spark.sql.DataFrame) =
     df.select(col("user_id"), col("event_id"), col("tn"),
       round(col("filtered"), 6).as("filtered"))
       .orderBy("user_id", "event_id")
 
-  val q36ButterLowpass: QueryDef = QueryDef.rowsOnly("q36_butter_lowpass") { (spark, dir) =>
+  val q36ButterLowpass: QueryDef = QueryDef.sql(
+    "q36_butter_lowpass",
+    graft.functions.KernelOracles.butterLowpassOracle(Tables.seriesSql, 4, 0.2)) { (spark, dir) =>
     kernelOut(SignalKernels.butterLowpass(spark, Tables.seriesNorm(spark, dir),
       s, "value", "filtered", 4, 0.2))
   }
 
   /** W5 band-pass (detrend-style composition of two low-passes). */
-  val q37ButterBandpass: QueryDef = QueryDef.rowsOnly("q37_butter_bandpass") { (spark, dir) =>
+  val q37ButterBandpass: QueryDef = QueryDef.sql(
+    "q37_butter_bandpass",
+    graft.functions.KernelOracles.butterBandpassOracle(Tables.seriesSql, 4, 0.05, 0.4)) { (spark, dir) =>
     kernelOut(SignalKernels.butterBandpass(spark, Tables.seriesNorm(spark, dir),
       s, "value", "filtered", 4, 0.05, 0.4))
   }
 
-  /** W3 exact Savitzky–Golay with scipy edge semantics (polynomial
-    * re-fit on shrunken edge windows) — kernel path.
+  /** W3 exact Savitzky–Golay with scipy edge semantics: interior FIR
+    * plus fixed edge-weight dot products shared verbatim with the
+    * oracle ([[graft.functions.KernelOracles.savgolExactOracle]]).
     */
-  val q38SavgolExact: QueryDef = QueryDef.rowsOnly("q38_savgol_exact") { (spark, dir) =>
+  val q38SavgolExact: QueryDef = QueryDef.sql(
+    "q38_savgol_exact",
+    graft.functions.KernelOracles.savgolExactOracle(Tables.seriesSql, 11, 2)) { (spark, dir) =>
     kernelOut(SignalKernels.savgolExact(spark, Tables.seriesNorm(spark, dir),
       s, "value", "filtered", 11, 2))
   }

@@ -126,6 +126,15 @@ object SignalKernels {
       out: String, window: Int, polyorder: Int): DataFrame = {
     val coefs = Dsp.savgolCoefficients(window, polyorder)
     val h = window / 2
+    // The LS polynomial fit is linear in the samples, so each edge
+    // position is a fixed dot product; precomputing the weight rows
+    // once (driver-side) lets the DuckDB oracle embed the identical
+    // literals and replay the identical fold — bit-exact parity
+    // (graft.functions.KernelOracles.savgolExactOracle).
+    val headW = Array.tabulate(h)(i =>
+      graft.functions.KernelOracles.savgolEdgeWeights(polyorder, i + h + 1, i))
+    val tailW = Array.tabulate(h)(j =>
+      graft.functions.KernelOracles.savgolEdgeWeights(polyorder, h + j + 1, h))
     applyKernel(spark, df, s, src, out) { x =>
       val n = x.length
       val y = new Array[Double](n)
@@ -136,7 +145,16 @@ object SignalKernels {
           var k = 0
           while (k < window) { acc += coefs(k) * x(i - h + k); k += 1 }
           y(i) = acc
+        } else if (n >= window) {
+          val wv = if (i < h) headW(i) else tailW(n - 1 - i)
+          val lo = if (i < h) 0 else i - h
+          var acc = 0.0
+          var k = 0
+          while (k < wv.length) { acc += wv(k) * x(lo + k); k += 1 }
+          y(i) = acc
         } else if (n >= polyorder + 1) {
+          // series shorter than the window: runtime re-fit on the
+          // clipped window (not oracle-covered; none in the test data)
           val lo = math.max(0, i - h); val hi = math.min(n - 1, i + h)
           val ts = (lo to hi).map(_.toDouble).toArray
           val xs = (lo to hi).map(x(_)).toArray
