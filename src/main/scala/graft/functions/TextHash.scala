@@ -81,11 +81,26 @@ object TextHash {
 
   /** Shingle base-hash array of a text column. */
   def shingleHashes(text: Column, k: Int = ShingleK): Column =
-    transform(shingles(text, k), s => base32(s))
+    shingleHashesFromWords(split(text, " "), k)
 
-  /** Shingle base-hash array over a word-array column (hot path). */
+  /** Shingle base-hash array over a word-array column (hot path) —
+    * the native [[ShingleHash32]] fusion: one primitive loop per row
+    * instead of an interpreted `transform` frame + `concat_ws` +
+    * `slice` per shingle. Value-identical to
+    * [[shingleHashesFromWordsHof]] (parity spec).
+    */
   def shingleHashesFromWords(ws: Column, k: Int = ShingleK): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      ShingleHash32(org.apache.spark.sql.GraftExpressionBridge.expression(ws), k))
+
+  /** Built-in HOF form of [[shingleHashesFromWords]] (parity spec). */
+  def shingleHashesFromWordsHof(ws: Column, k: Int = ShingleK): Column =
     transform(shinglesFromWords(ws, k), s => base32(s))
+
+  /** Native 32-bit SimHash column over a shingle-hash array. */
+  def simhash32(hs: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      SimHash32(org.apache.spark.sql.GraftExpressionBridge.expression(hs)))
 
   /** Spark array-of-structs literal of the MinHash permutations, for
     * shuffle-free per-row signatures.

@@ -148,10 +148,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simhashExpr =
-    """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
-      |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
-      |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+  /** Native 32-bit SimHash ([[graft.functions.SimHash32]]): one pass
+    * over the hash array instead of 32 interpreted `filter` lambdas
+    * per row; value-identical to the `aggregate(sequence(0,31), …)`
+    * composition the oracle mirrors.
+    */
+  private def simhashCol = TextHash.simhash32(col("hs"))
 
   private val duckSimhash =
     s"""bits AS (SELECT doc_id, j,
@@ -171,7 +173,7 @@ object Dedup {
     s"""WITH ${duckShingleCte()}, $duckSimhash
        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     hashed(spark, dir)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"), simhashCol.as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -190,7 +192,7 @@ object Dedup {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val b = hashed(spark, dir)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"), simhashCol.as("simhash"))
       .withColumn("bkt", expr("simhash >> 20"))
       .persist() // self-joined
     b.as("x").join(b.as("y"),

@@ -38,9 +38,6 @@ object TextOps {
     * zero → 'und'.
     */
   val q50LangId: QueryDef = {
-    val sparkScores = langMarkers.map { case (l, ms) =>
-      l -> s"size(filter(ws, w -> array_contains(${sqlList(ms, "array(", ")")}, w)))"
-    }
     val duckScores = langMarkers.map { case (l, ms) =>
       l -> s"len(list_filter(ws, w -> list_contains(${sqlList(ms, "[", "]")}, w)))"
     }
@@ -54,9 +51,15 @@ object TextOps {
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
          |SELECT doc_id, ${inlineCase(duckScores)} AS lang_pred
          |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // native marker voting (graft.functions.LangIdExpr): one hash
+      // probe per word instead of 5 interpreted per-word filter
+      // passes; identical argmax/tie semantics to the oracle CASE
+      val langId = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.LangIdExpr(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("ws")), langMarkers))
       graft.sources.Tables.documents(spark, dir)
         .withColumn("ws", split(col("text"), " "))
-        .select(col("doc_id"), expr(inlineCase(sparkScores)).as("lang_pred"))
+        .select(col("doc_id"), langId.as("lang_pred"))
         .orderBy("doc_id")
     }
   }
@@ -132,18 +135,20 @@ object TextOps {
        |  CASE WHEN len(fps) = 0 THEN 0
        |       ELSE list_reduce(list_prepend(0::BIGINT, fps), (s, x) -> xor(s, x)) END AS fp_xor
        |FROM fp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // native windowed-min + distinct summary (WinnowFingerprint):
+    // one primitive loop instead of a lambda frame per window
+    val fp = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.WinnowFingerprint(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("hs")), 4))
     graft.sources.Tables.documents(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("hs", TextHash.shingleHashesFromWords(col("ws")))
-      .withColumn("fps", expr(
-        """array_distinct(case when size(hs) >= 4 then
-          |  transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))
-          |  else cast(array() as array<bigint>) end)""".stripMargin))
+      .withColumn("fp", fp)
       .select(col("doc_id"),
-        size(col("fps")).cast("long").as("n_fp"),
-        expr("array_min(fps)").as("fp_min"),
-        expr("array_max(fps)").as("fp_max"),
-        expr("aggregate(fps, cast(0 as bigint), (s, x) -> s ^ x)").as("fp_xor"))
+        col("fp.n_fp").as("n_fp"),
+        col("fp.fp_min").as("fp_min"),
+        col("fp.fp_max").as("fp_max"),
+        col("fp.fp_xor").as("fp_xor"))
       .orderBy("doc_id")
   }
 
@@ -158,11 +163,6 @@ object TextOps {
     val (b, m, k) = (257L, 1000003L, 5)
     val duckTerm = (0 until k).map(j =>
       s"ord(substr(text, i + $j, 1)) * ${Seq.fill(j)(b).product.max(1L)}").mkString(" + ")
-    // element_at over a precomputed char-code array: substring(text, i, 1)
-    // re-scans the string from the start per call (O(len²) per doc —
-    // measured 18 s at sf0.1); the array index is O(1)
-    val sparkTerm = (0 until k).map(j =>
-      s"element_at(bs, i + $j) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
     QueryDef.sql(
       "q59_rolling_hash_fp",
       s"""WITH h AS (SELECT doc_id, list_transform(
@@ -173,15 +173,19 @@ object TextOps {
          |  list_aggregate(hs, 'max') AS fp_max,
          |  len(list_distinct(hs)) AS n_distinct
          |FROM h ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // native whole-scan (RollingHashSummary): one codepoint pass
+      // per doc; exact-integer hash identical to the oracle's
+      // unrolled 5-term polynomial
+      val fp = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.RollingHashSummary(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("text")), b, m, k))
       graft.sources.Tables.documents(spark, dir)
         .filter(length(col("text")) >= k)
-        .withColumn("bs", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
-        .withColumn("hs", expr(
-          s"transform(sequence(1, length(text) - ${k - 1}), i -> ($sparkTerm) % $m)"))
+        .withColumn("fp", fp)
         .select(col("doc_id"),
-          expr("array_min(hs)").as("fp_min"),
-          expr("array_max(hs)").as("fp_max"),
-          size(expr("array_distinct(hs)")).cast("long").as("n_distinct"))
+          col("fp.fp_min").as("fp_min"),
+          col("fp.fp_max").as("fp_max"),
+          col("fp.n_distinct").as("n_distinct"))
         .orderBy("doc_id")
     }
   }

@@ -47,6 +47,50 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     assert(rows(0) == rows(1) && rows(0) != rows(2))
   }
 
+  test("native ShingleHash32 ≡ transform(shingles, base32) composition") {
+    val d = Seq("x y z w v u t", "a b", "", "one two three four",
+        "héllo wörld ünïcode test words")
+      .toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(TextHash.shingleHashesFromWords(col("ws")).as("fast"),
+        TextHash.shingleHashesFromWordsHof(col("ws")).as("ref"))
+    d.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
+  test("native SimHash32 ≡ aggregate/filter bit-vote composition") {
+    val d = Seq("x y z w v u t", "one two three four five",
+        "p q r s t u v w x y z")
+      .toDF("text")
+      .withColumn("hs", TextHash.shingleHashes(col("text")))
+      .select(TextHash.simhash32(col("hs")).as("fast"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+          |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
+          |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("ref"))
+    d.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("native RollingHashSummary ≡ unrolled polynomial transform") {
+    val (b, m, k) = (257L, 1000003L, 5)
+    val sparkTerm = (0 until k).map(j =>
+      s"element_at(bs, i + $j) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
+    val fp = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.RollingHashSummary(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("text")), b, m, k))
+    val d = Seq("hello world this is a test", "abcde", "aaaaaaaaaa")
+      .toDF("text")
+      .withColumn("bs", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
+      .withColumn("hs", expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> ($sparkTerm) % $m)"))
+      .select(fp.as("fast"),
+        expr("array_min(hs)").as("rmin"), expr("array_max(hs)").as("rmax"),
+        size(expr("array_distinct(hs)")).cast("long").as("rdis"))
+    d.collect().foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getLong(0) == r.getLong(1) && s.getLong(1) == r.getLong(2)
+        && s.getLong(2) == r.getLong(3), r.toString)
+    }
+  }
+
   test("native MinHashSignature ≡ transform/array_min composition") {
     val d = Seq("x y z w v u t", "a b c d", "p q r s t u v w x y z")
       .toDF("text")
