@@ -41,14 +41,15 @@ object Similarity {
   private def duckNorm(a: String): String =
     s"list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (s, x) -> s + x)"
 
-  /** 8-bit random-hyperplane bucket of an embedding column (Spark). */
-  private def bucketCol: Column = expr(
-    s"""aggregate(sequence(0, ${NumPlanes - 1}), cast(0 as bigint), (acc, p) ->
-       |  acc + if(
-       |    aggregate(zip_with(embedding, element_at($planesSparkLit, p + 1),
-       |        (x, w) -> cast(x as double) * w),
-       |      cast(0 as double), (s, x) -> s + x) > 0,
-       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
+  /** 8-bit random-hyperplane bucket of an embedding column — native
+    * [[graft.functions.HyperplaneBucket]] (one double loop per row
+    * instead of 8 interpreted zip_with/aggregate dot products).
+    */
+  private def bucketCol: Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.HyperplaneBucket(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("embedding")),
+        planes.map(_.map(_.toDouble))))
 
   /** DuckDB CTE: vec_id → 8-bit hyperplane bucket. */
   private val duckBuckets =
@@ -176,10 +177,6 @@ object Similarity {
   private val NumCentroids = 16
   private val NProbe = 2
 
-  private def l2Sql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double))
-       |  * (cast(x as double) - cast(y as double))), cast(0 as double), (s, x) -> s + x)""".stripMargin
-
   private def duckL2(a: String, b: String): String =
     s"""list_reduce(list_transform($a, (x, i) -> (x::DOUBLE - $b[i]::DOUBLE)
        |  * (x::DOUBLE - $b[i]::DOUBLE)), (s, x) -> s + x)""".stripMargin
@@ -187,9 +184,32 @@ object Similarity {
   private val duckCentroids =
     s"cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids)"
 
+  /** Collect the coarse-quantizer codebook to the driver (IVF
+    * codebooks are small by construction — K centroids, here the
+    * first K vectors by id) and return the native per-row
+    * nearest-centroid expression over it. This replaces an exploded
+    * crossJoin + WindowExec argmin (K× row blow-up, then a window
+    * over N single-vector partitions) with one narrow projection —
+    * the assignment stage at 100 TB is a full-scan map, no shuffle.
+    */
+  private def nearestCol(spark: SparkSession, dir: String, nprobe: Int,
+      embCol: Column): Column = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0)).toSeq
+    val cents = rows.map(_.getSeq[Float](1).toSeq).toSeq
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.GraftExpressionBridge.expression(embCol),
+        ids, cents, nprobe))
+  }
+
   /** IVF list assignment: each vector's nearest coarse centroid
-    * (argmin L2, ties → lower centroid id). The centroid set is tiny
-    * and broadcast; assignment is one narrow pass over the corpus.
+    * (argmin L2, ties → lower centroid id) as a per-row codebook
+    * scan — one narrow pass over the corpus, zero shuffle.
     */
   val q67IvfAssign: QueryDef = QueryDef.sql(
     "q67_ivf_assign",
@@ -200,15 +220,9 @@ object Similarity {
        |  FROM embeddings e, cent c)
        |SELECT vec_id, c_id AS list_id FROM d WHERE rn = 1
        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
-    val cent = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy("vec_id").orderBy(col("__d"), col("c_id"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("__d", expr(l2Sql("embedding", "ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
       .orderBy("vec_id")
   }
 
@@ -239,23 +253,13 @@ object Similarity {
        |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val cent = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(col("__d"), col("c_id"))
-    val asg = emb.crossJoin(broadcast(cent))
-      .withColumn("__d", expr(l2Sql("embedding", "ce")))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"), col("embedding"))
-      .persist() // probed by every query list
+    val asg = emb
+      .select(col("vec_id"),
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+        col("embedding"))
     val qp = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cent))
-      .withColumn("__d", expr(l2Sql("qe", "ce")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("__d"), col("c_id"))))
-      .filter(col("rn") <= NProbe)
-      .select(col("q_id"), col("qe"), col("c_id").as("list_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(nearestCol(spark, dir, NProbe, col("embedding"))).as("list_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     asg.join(broadcast(qp), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
