@@ -330,9 +330,69 @@ object EventSeries {
     }
   }
 
+  /** Seasonal fold (plot2d.py:497-552): fold the series onto one
+    * period — `season_id = floor(tn/period)`, `t_mod = tn − floor(tn/
+    * period)·period` (the explicit floor form, identical in both
+    * engines; `%` is fmod-shaped and could differ in ulps) — then
+    * per-(series, season) overlay stats. Seasons with fewer than two
+    * samples are dropped, mirroring the reference's `mask < 2` skip.
+    */
+  val q71SeasonalFold: QueryDef = {
+    val period = 604800.0 // one week
+    QueryDef.sql(
+      "q71_seasonal_fold",
+      s"""$S, f AS (SELECT user_id, value,
+         |    CAST(floor(tn / $period) AS BIGINT) AS season_id,
+         |    tn - floor(tn / $period) * $period AS t_mod
+         |  FROM s)
+         |SELECT user_id, season_id, count(*) AS n,
+         |  min(t_mod) AS tm_min, max(t_mod) AS tm_max,
+         |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0, 6) AS mean_v
+         |FROM f GROUP BY user_id, season_id HAVING count(*) >= 2
+         |ORDER BY user_id, season_id""".stripMargin) { (spark, dir) =>
+      val micro = round(col("value") * lit(1e6)).cast("bigint")
+      Tables.seriesNorm(spark, dir)
+        .withColumn("season_id", floor(col("tn") / period).cast("bigint"))
+        .withColumn("t_mod", col("tn") - floor(col("tn") / period) * period)
+        .groupBy("user_id", "season_id")
+        .agg(count(lit(1)).as("n"),
+          min("t_mod").as("tm_min"), max("t_mod").as("tm_max"),
+          round(sum(micro).cast("double") / count(lit(1)) / lit(1e6), 6).as("mean_v"))
+        .filter(col("n") >= 2)
+        .orderBy("user_id", "season_id")
+    }
+  }
+
+  /** Channel×time heatmap matrix (plot2d.py:554-584): the series
+    * pivoted onto a channel-major long form — one row per
+    * (sample, channel) with the channel's value where the sample
+    * carries it and the reference's `nan_to_num` zero elsewhere. The
+    * channel set is data-derived (distinct event types, broadcast),
+    * so the pivot stays a broadcast join + projection — no shuffle of
+    * the fact side.
+    */
+  val q72HeatmapMatrix: QueryDef = QueryDef.sql(
+    "q72_heatmap_matrix",
+    s"""$S, ch AS (SELECT DISTINCT event_type AS channel FROM events)
+       |SELECT user_id, event_id, tn, channel,
+       |  CASE WHEN event_type = channel THEN value ELSE 0.0 END AS v
+       |FROM s CROSS JOIN ch
+       |ORDER BY user_id, event_id, channel""".stripMargin) { (spark, dir) =>
+    val ch = Tables.events(spark, dir)
+      .select(col("event_type").as("channel")).distinct()
+    Tables.seriesNorm(spark, dir)
+      .crossJoin(broadcast(ch))
+      .select(col("user_id"), col("event_id"), col("tn"), col("channel"),
+        when(col("event_type") === col("channel"), col("value"))
+          .otherwise(lit(0.0)).as("v"))
+      .orderBy("user_id", "event_id", "channel")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10TimeSlice, q11DeleteCollapse, q12MarkBad, q13Zscore, q14PercentNorm,
     q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
-    q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped)
+    q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
+    q71SeasonalFold, q72HeatmapMatrix)
 }
