@@ -27,7 +27,14 @@ object Bench {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // scope caches per query: intra-query persists (self-join
+      // intermediates) stay effective, but nothing leaks into the
+      // next query's memory budget — in a 69-query session the
+      // accumulated MEMORY_AND_DISK relations would otherwise evict
+      // unpredictably at larger SF
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -29,10 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Graft {
 
   /** A loaded trial: classified frame + series descriptor + inferred
-    * sample rate (data_model.py:64-126 pipeline).
+    * sample rate (data_model.py:64-126 pipeline). `sampleRate` is the
+    * single-trial rate; a multi-trial batch carries the per-trial
+    * table in `sampleRates` (the reference infers fs per loaded file,
+    * so one scalar would be wrong across trials of different rates).
     */
   final case class Trial(df: DataFrame, schema: TrialReader.TrialSchema,
-      series: Series, sampleRate: Double)
+      series: Series, sampleRate: Double,
+      sampleRates: Option[DataFrame] = None)
 
   /** Session defaults tuned for the engine: AQE on (skew-join +
     * coalescing) — shuffle partitions come from the deploy (set
@@ -58,8 +62,17 @@ object Graft {
     val schema = TrialReader.classify(raw)
     val df = TrialReader.ensureBadMaskAndTime(raw, schema, trialCol)
     val timeCol = schema.timeCol.getOrElse("normalized_time")
-    val fs = TrialReader.inferSampleRate(df, timeCol, trialCol)
-    Trial(df, schema, Series(trialCol.toSeq, timeCol), fs)
+    trialCol match {
+      case None =>
+        val fs = TrialReader.inferSampleRate(df, timeCol)
+        Trial(df, schema, Series(Nil, timeCol), fs)
+      case Some(tc) =>
+        // per-trial rates (reference infers fs per loaded file);
+        // the scalar field keeps the fallback default for callers
+        // that only need a nominal rate
+        val rates = TrialReader.inferSampleRates(df, timeCol, tc)
+        Trial(df, schema, Series(Seq(tc), timeCol), 120.0, Some(rates))
+    }
   }
 
   /** Apply a filter spec to channels, optionally selection-scoped —

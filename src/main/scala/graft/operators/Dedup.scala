@@ -33,12 +33,15 @@ object Dedup {
     * persisted: every dedup query consumes this table, and at
     * production scale it is the materialize-once signature input.
     */
-  private def hashed(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  private[graft] def hashedFromDocs(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingleHashesFromWords(col("ws")).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist()
+
+  private def hashed(spark: SparkSession, dir: String): DataFrame =
+    hashedFromDocs(docs(spark, dir))
 
   /** Per-doc MinHash signature rows (doc_id, perm, mh) — the native
     * [[graft.functions.MinHashSignature]] loop over the cached
@@ -51,28 +54,68 @@ object Dedup {
   /** Per-doc LSH band keys: 4 bands × 4 signature rows, key = CSV of
     * the band's minhashes in perm order.
     */
-  private def bandKeys(spark: SparkSession, dir: String): DataFrame =
-    hashed(spark, dir)
+  private[graft] def bandKeysFrom(hashedDf: DataFrame): DataFrame =
+    hashedDf
       .withColumn("sig", minhashSignature(col("hs")).cast("array<string>"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
            |  struct(b as band, concat_ws(',', slice(sig, b * $BandRows + 1, $BandRows)) as key))""".stripMargin)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
+  /** A band key counts as skewed above this many member docs; the
+    * blocked self-join spreads its pair workload over this many
+    * id-hash shards.
+    */
+  private[graft] val HotKeyThreshold = 4096L
+  private[graft] val SkewShards = 16
+
   /** Candidate near-dup pairs: docs sharing any full LSH band.
     * The band-key table is persisted before the self-join — otherwise
     * both join sides re-run the whole signature pipeline (at
     * production scale this is "materialize the signature table once,
     * then bucket-join it", the standard MinHash-LSH shape).
+    *
+    * Skew guard: a degenerate corpus (say half the docs identical)
+    * funnels its whole m² pair workload through ONE reducer if the
+    * hot band key is joined plainly, and AQE can only split what the
+    * partitioner spread. Keys above [[HotKeyThreshold]] members are
+    * self-joined block-wise instead: members are id-hashed into
+    * [[SkewShards]] shards and each shard-pair block (i ≤ j) joins
+    * independently, so the hot key's work lands on ~S²/2 reducers.
+    * Cold keys take the plain equi-join. The emitted pair set is
+    * identical either way (spec-pinned).
     */
-  private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = bandKeys(spark, dir).persist()
-    b.as("x").join(b.as("y"),
+  private[graft] def lshPairsFrom(bandKeysDf: DataFrame,
+      hotThreshold: Long = HotKeyThreshold, shards: Int = SkewShards): DataFrame = {
+    val b = bandKeysDf.persist()
+    val counts = b.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+    val tagged = b.join(counts, Seq("band", "key"))
+    val cold = tagged.filter(col("__n") <= hotThreshold)
+    val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val hot = tagged.filter(col("__n") > hotThreshold)
+      .withColumn("s", pmod(hash(col("doc_id")), lit(shards)))
+    // doc in shard s joins as LEFT of blocks (s, s..S-1) and RIGHT of
+    // blocks (0..s, s): every cross-shard pair meets in exactly one
+    // block, same-shard pairs in two (collapsed by the final distinct)
+    val left = hot.withColumn("j", explode(expr(s"sequence(s, ${shards - 1})")))
+    val right = hot.withColumn("i", explode(expr("sequence(0, s)")))
+    val hotPairs = left.as("x").join(right.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.s") === col("y.i") && col("x.j") === col("y.s") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    coldPairs.union(hotPairs).distinct()
   }
+
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(bandKeys(spark, dir))
+
+  private def bandKeys(spark: SparkSession, dir: String): DataFrame =
+    bandKeysFrom(hashed(spark, dir))
 
   private val duckSig =
     s"""${duckShingleCte()}, $duckPermsValues,

@@ -86,13 +86,10 @@ object TrialReader {
 
   /** S4: sample-rate inference `round(1/median(positive Δt), 2)`,
     * fallback 120 Hz (data_model.py:116-126) — exact interpolating
-    * median over the positive time deltas.
+    * median over the positive time deltas of ONE trial.
     */
-  def inferSampleRate(df: DataFrame, timeCol: String,
-      trialCol: Option[String] = None): Double = {
-    val w = trialCol.map(c => Window.partitionBy(col(c)))
-      .getOrElse(Window.partitionBy())
-      .orderBy(col(timeCol))
+  def inferSampleRate(df: DataFrame, timeCol: String): Double = {
+    val w = Window.partitionBy().orderBy(col(timeCol))
     val dts = df
       .withColumn("__dt", col(timeCol) - lag(col(timeCol), 1).over(w))
       .filter(col("__dt") > 0)
@@ -101,6 +98,25 @@ object TrialReader {
       val med = dts.agg(percentile(col("__dt"), lit(0.5))).head().getDouble(0)
       if (med > 0) math.rint(100.0 / med) / 100.0 else 120.0
     }
+  }
+
+  /** S4, multi-trial batch: the reference infers fs PER TRIAL
+    * (data_model.py:116-126 runs on each loaded frame), so a stacked
+    * overlay read needs one rate per key — a per-key median over the
+    * positive Δt, the same aggregation shape as the oracle-checked
+    * q49. Trials without positive deltas fall back to 120 Hz.
+    */
+  def inferSampleRates(df: DataFrame, timeCol: String, trialCol: String): DataFrame = {
+    val w = Window.partitionBy(col(trialCol)).orderBy(col(timeCol))
+    df.withColumn("__dt", col(timeCol) - lag(col(timeCol), 1).over(w))
+      .filter(col("__dt") > 0)
+      .groupBy(col(trialCol))
+      .agg(percentile(col("__dt"), lit(0.5)).as("__med"))
+      .select(col(trialCol),
+        // bround = HALF_EVEN, matching Python round() / math.rint in
+        // the scalar path (reference data_model.py:126)
+        when(col("__med") > 0, bround(lit(1.0) / col("__med"), 2))
+          .otherwise(lit(120.0)).as("fs_hz"))
   }
 
   /** Channel grouping by name substrings (data_model.py:310-357) —

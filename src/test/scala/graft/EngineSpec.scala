@@ -21,6 +21,34 @@ class EngineSpec extends AnyFunSuite {
   private def vcol(d: DataFrame, c: String): Seq[Double] =
     d.orderBy("tn").select(col(c).cast("double")).collect().map(_.getDouble(0)).toSeq
 
+  test("plugin directory discovery: scan, skip invalid, lookup, compile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plugins")
+    java.nio.file.Files.writeString(dir.resolve("double.json"),
+      """{"name": "double_v", "operations": [
+        |  {"type": "derived", "name": "v2", "expr": "value * 2"},
+        |  {"type": "unknown_op"}]}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("smooth.plugin"),
+      """{"id": "smoother", "type": "filter", "filter": "moving_average",
+        |  "channels": ["value"], "params": {"window": 3}}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("broken.json"), "{not valid json")
+    java.nio.file.Files.writeString(dir.resolve("readme.txt"), "not a plugin")
+
+    val ps = Plugins.loadDirectory(dir.toString)
+    assert(ps.size == 2) // broken + non-json skipped
+    assert(Plugins.menuEntries(ps) == Seq("double_v", "smoother"))
+    assert(Plugins.loadDirectory(dir.resolve("missing").toString).isEmpty)
+
+    // single-op plugin body (main.py:803 `plugin.get("operations", [plugin])`)
+    val sm = Plugins.get(ps, "smoother").get
+    assert(sm.ops == Seq(Op.Filter("moving_average", Map("window" -> 3.0),
+      Seq("value"), None)))
+
+    // discovered pipeline replays through the one-job recipe path
+    val out = Recipes.compile(spark, s,
+      Plugins.get(ps, "double_v").get.ops)(seriesDf(1.0, 2.0, 3.0))
+    assert(vcol(out, "v2") == Seq(2.0, 4.0, 6.0))
+  }
+
   test("all 14 reference filters dispatch") {
     FilterEngine.availableFilters.foreach { name =>
       val spec = FilterSpec.fromParams(name, Map("step" -> 1.0))

@@ -62,6 +62,19 @@ class SourcesSpec extends AnyFunSuite {
       Seq.empty[Double].toDF("normalized_time"), "normalized_time") == 120.0)
   }
 
+  test("multi-trial batch infers a rate PER trial, not one global median") {
+    import spark.implicits._
+    // trial a at 120 Hz, trial b at 60 Hz — a single pooled median
+    // would report one wrong rate for both (reference infers per file,
+    // data_model.py:116-126)
+    val df = ((0 to 4).map(i => ("a", i / 120.0)) ++
+      (0 to 4).map(i => ("b", i / 60.0))).toDF("trial_id", "normalized_time")
+    val rates = TrialReader.inferSampleRates(df, "normalized_time", "trial_id")
+      .orderBy("trial_id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toList
+    assert(rates == List("a" -> 120.0, "b" -> 60.0))
+  }
+
   test("channel grouping heuristics, first match wins") {
     val g = TrialReader.channelGroups(Seq(
       "gaze_heading_deg", "head_heading_deg", "left_foot_heading_deg",
