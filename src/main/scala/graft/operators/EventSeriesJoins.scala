@@ -363,7 +363,12 @@ object EventSeriesJoins {
        |m AS (SELECT user_id, episode, event_type AS mode_type,
        |    row_number() OVER (PARTITION BY user_id, episode
        |      ORDER BY cnt DESC, event_type) AS rn FROM c)
-       |SELECT t.user_id, t.episode, t.t_start, t.t_end, t.n_rows, m.mode_type
+       |SELECT t.user_id, t.episode, t.t_start, t.t_end, t.n_rows, m.mode_type,
+       |  'episode:' || m.mode_type AS label,
+       |  CASE WHEN lower('episode:' || m.mode_type) LIKE '%action%'
+       |         OR lower('episode:' || m.mode_type) LIKE '%performing%' THEN '#ffa500'
+       |       WHEN lower('episode:' || m.mode_type) LIKE '%inspect%' THEN '#6bd47a'
+       |       ELSE '#8888ff' END AS color
        |FROM t JOIN m ON m.user_id = t.user_id
        |  AND m.episode = t.episode AND m.rn = 1
        |ORDER BY t.user_id, t.episode""".stripMargin) { (spark, dir) =>
@@ -384,11 +389,20 @@ object EventSeriesJoins {
       .orderBy(col("cnt").desc, col("event_type"))
     val m = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("episode"), col("event_type").as("mode_type"))
+    // annotation label + color rules (main.py:1255-1270): episodes
+    // read as "episode:<mode>"; action/performing → orange,
+    // inspection → green, default indigo
+    val label = concat(lit("episode:"), col("mode_type"))
+    val color = when(lower(label).contains("action") ||
+        lower(label).contains("performing"), "#ffa500")
+      .when(lower(label).contains("inspect"), "#6bd47a")
+      .otherwise("#8888ff")
     t.as("t").join(m.as("m"),
         col("t.user_id") === col("m.user_id") &&
           col("t.episode") === col("m.episode"))
       .select(col("t.user_id").as("user_id"), col("t.episode").as("episode"),
-        col("t_start"), col("t_end"), col("n_rows"), col("mode_type"))
+        col("t_start"), col("t_end"), col("n_rows"), col("mode_type"),
+        label.as("label"), color.as("color"))
       .orderBy("user_id", "episode")
   }
 
