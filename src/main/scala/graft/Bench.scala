@@ -16,6 +16,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE stays off HERE only: at bench scale every stage is
+      // milliseconds and adaptive stage boundaries add ~15% (measured
+      // 64.6 s -> 74.0 s at sf0.1; the iterative q70 doubles). The
+      // deploy-facing session (api.Graft.sparkSession) enables AQE —
+      // at 100 TB runtime re-planning (skew-join splitting, partition
+      // coalescing) is the correct posture.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

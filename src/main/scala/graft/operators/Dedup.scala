@@ -299,17 +299,21 @@ object Dedup {
       .persist()
     var converged = false
     var rounds = 0
+    // per-node labels only ever decrease, so the label-sum is strictly
+    // decreasing until convergence — one single-row action per round
+    // (the previous round's sum is carried, not recomputed)
+    var labSum = labels.agg(sum("lab")).head().getLong(0)
     while (!converged && rounds < 20) {
       val next = labels
         .unionAll(edges.join(labels, edges("a") === labels("d"))
           .select(col("b").as("d"), col("lab")))
         .groupBy("d").agg(min("lab").as("lab"))
         .persist()
-      val sumBefore = labels.agg(sum("lab")).head().getLong(0)
-      val sumAfter = next.agg(sum("lab")).head().getLong(0)
+      val nextSum = next.agg(sum("lab")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = sumBefore == sumAfter
+      converged = labSum == nextSum
+      labSum = nextSum
       rounds += 1
     }
     labels.select(col("d").as("doc_id"), col("lab").as("cluster_id"))
