@@ -87,9 +87,14 @@ object Dedup {
     */
   private[graft] def lshPairsFrom(bandKeysDf: DataFrame,
       hotThreshold: Long = HotKeyThreshold, shards: Int = SkewShards): DataFrame = {
-    val b = bandKeysDf.persist()
-    val counts = b.groupBy("band", "key").agg(count(lit(1)).as("__n"))
-    val tagged = b.join(counts, Seq("band", "key"))
+    // member count via a window over (band, key): ONE shuffle tags
+    // every row (a groupBy+join would shuffle the band-key table
+    // twice more), and the window output stays hash-partitioned on
+    // the join key, so the self-joins below reuse that partitioning
+    val countWindow = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val tagged = bandKeysDf
+      .withColumn("__n", count(lit(1)).over(countWindow))
+      .persist()
     val cold = tagged.filter(col("__n") <= hotThreshold)
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
