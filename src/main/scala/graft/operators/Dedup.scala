@@ -43,6 +43,23 @@ object Dedup {
   private def hashed(spark: SparkSession, dir: String): DataFrame =
     hashedFromDocs(docs(spark, dir))
 
+  /** 100 TB path for the signature relation: `.persist()` implicitly
+    * assumes the shingle-hash table fits cluster memory/disk cache —
+    * at corpus scale the materialize-once input must be an EXPLICIT
+    * parquet table instead. Writes the relation partitioned-by-hash
+    * bucket-friendly (plain parquet; callers choose partitioning) and
+    * returns the on-disk reader every downstream dedup stage shares.
+    */
+  def materializeSignatures(spark: SparkSession, documents: DataFrame,
+      path: String): DataFrame = {
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingleHashesFromWords(col("ws")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Per-doc MinHash signature rows (doc_id, perm, mh) — the native
     * [[graft.functions.MinHashSignature]] loop over the cached
     * shingle hashes, exploded only for the declared output.

@@ -91,6 +91,19 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized signature table feeds the same pairs as the cached path") {
+    import graft.operators.Dedup
+    val docs = (1L to 10L)
+      .map(i => (i, s"shared prefix words number ${i % 3} tail piece here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString + "/sig"
+    val onDisk = Dedup.materializeSignatures(spark, docs, dir)
+    def pairs(h: org.apache.spark.sql.DataFrame) =
+      Dedup.lshPairsFrom(Dedup.bandKeysFrom(h))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(onDisk) == pairs(Dedup.hashedFromDocs(docs)))
+  }
+
   test("LSH skew guard: blocked self-join emits identical pairs on a 50%-duplicate corpus") {
     import graft.operators.Dedup
     // pathological: half the corpus is one identical document, so one
