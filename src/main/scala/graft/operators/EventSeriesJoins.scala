@@ -358,37 +358,37 @@ object EventSeriesJoins {
        |    min(tn) AS mn, max(tn) AS mx
        |  FROM e GROUP BY user_id, episode, event_type),
        |t AS (SELECT user_id, episode,
-       |    sum(cnt) AS n_rows, min(mn) AS t_start, max(mx) AS t_end FROM c
-       |  GROUP BY user_id, episode),
-       |m AS (SELECT user_id, episode, event_type AS mode_type,
-       |    row_number() OVER (PARTITION BY user_id, episode
-       |      ORDER BY cnt DESC, event_type) AS rn FROM c)
-       |SELECT t.user_id, t.episode, t.t_start, t.t_end, t.n_rows, m.mode_type,
-       |  'episode:' || m.mode_type AS label,
-       |  CASE WHEN lower('episode:' || m.mode_type) LIKE '%action%'
-       |         OR lower('episode:' || m.mode_type) LIKE '%performing%' THEN '#ffa500'
-       |       WHEN lower('episode:' || m.mode_type) LIKE '%inspect%' THEN '#6bd47a'
+       |    sum(cnt) AS n_rows, min(mn) AS t_start, max(mx) AS t_end,
+       |    arg_min(event_type,
+       |      lpad(CAST(100000000 - cnt AS VARCHAR), 10, '0') || event_type) AS mode_type
+       |  FROM c GROUP BY user_id, episode)
+       |SELECT user_id, episode, t_start, t_end, n_rows, mode_type,
+       |  'episode:' || mode_type AS label,
+       |  CASE WHEN lower('episode:' || mode_type) LIKE '%action%'
+       |         OR lower('episode:' || mode_type) LIKE '%performing%' THEN '#ffa500'
+       |       WHEN lower('episode:' || mode_type) LIKE '%inspect%' THEN '#6bd47a'
        |       ELSE '#8888ff' END AS color
-       |FROM t JOIN m ON m.user_id = t.user_id
-       |  AND m.episode = t.episode AND m.rn = 1
-       |ORDER BY t.user_id, t.episode""".stripMargin) { (spark, dir) =>
+       |FROM t ORDER BY user_id, episode""".stripMargin) { (spark, dir) =>
     // rows before the first purchase get the integer sentinel episode
     // -1 (event_id >= 0) instead of NULL: no null group keys, no
-    // NULLS FIRST/LAST divergence in the final ordering, plain
-    // equi-join semantics on both engines
+    // NULLS FIRST/LAST divergence in the final ordering.
     val ep = coalesce(last(when(col("event_type") === "purchase", col("event_id")),
       ignoreNulls = true).over(s.running), lit(-1L))
-    val c = Tables.seriesNorm(spark, dir)
+    // mode via min_by on a sortable "(count desc, type asc)" string
+    // key (the key embeds the type, so it is unique per group and the
+    // pick is deterministic) — ONE aggregation instead of the
+    // groupBy + rank-window + join + persist it replaces: two
+    // shuffles total for the whole rollup
+    val modeKey = concat(
+      lpad((lit(100000000L) - col("cnt")).cast("string"), 10, "0"),
+      col("event_type"))
+    val rolled = Tables.seriesNorm(spark, dir)
       .withColumn("episode", ep)
       .groupBy("user_id", "episode", "event_type")
       .agg(count(lit(1)).as("cnt"), min("tn").as("mn"), max("tn").as("mx"))
-      .persist() // feeds both the extent rollup and the mode pick
-    val t = c.groupBy("user_id", "episode")
-      .agg(sum("cnt").as("n_rows"), min("mn").as("t_start"), max("mx").as("t_end"))
-    val w = Window.partitionBy("user_id", "episode")
-      .orderBy(col("cnt").desc, col("event_type"))
-    val m = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("episode"), col("event_type").as("mode_type"))
+      .groupBy("user_id", "episode")
+      .agg(sum("cnt").as("n_rows"), min("mn").as("t_start"), max("mx").as("t_end"),
+        min_by(col("event_type"), modeKey).as("mode_type"))
     // annotation label + color rules (main.py:1255-1270): episodes
     // read as "episode:<mode>"; action/performing → orange,
     // inspection → green, default indigo
@@ -397,10 +397,8 @@ object EventSeriesJoins {
         lower(label).contains("performing"), "#ffa500")
       .when(lower(label).contains("inspect"), "#6bd47a")
       .otherwise("#8888ff")
-    t.as("t").join(m.as("m"),
-        col("t.user_id") === col("m.user_id") &&
-          col("t.episode") === col("m.episode"))
-      .select(col("t.user_id").as("user_id"), col("t.episode").as("episode"),
+    rolled
+      .select(col("user_id"), col("episode"),
         col("t_start"), col("t_end"), col("n_rows"), col("mode_type"),
         label.as("label"), color.as("color"))
       .orderBy("user_id", "episode")
