@@ -144,4 +144,73 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  // ---- native text expressions ≡ interpreted HOF compositions on
+  // randomized corpora (value-identity, not approximate)
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("native ShingleHash32 / SimHash32 / WinnowFingerprint ≡ HOF forms on random docs") {
+    import graft.functions.TextHash
+    forSamples(Gen.listOfN(12, docGen), 4) { texts =>
+      val df = texts.toDF("text")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("fast_hs", TextHash.shingleHashesFromWords(col("ws")))
+        .withColumn("ref_hs", TextHash.shingleHashesFromWordsHof(col("ws")))
+      df.collect().foreach { r =>
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"shingle mismatch: ${r.getString(0)}")
+      }
+      val fp = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.WinnowFingerprint(
+          org.apache.spark.sql.GraftExpressionBridge.expression(col("hs")), 4))
+      val d2 = texts.toDF("text")
+        .withColumn("hs", TextHash.shingleHashes(col("text")))
+        .select(TextHash.simhash32(col("hs")).as("fast_sh"), expr(
+          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+            |  acc + if(2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) > size(hs),
+            |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin).as("ref_sh"),
+          fp.as("fast_fp"),
+          expr("""array_distinct(case when size(hs) >= 4 then
+            |  transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))
+            |  else cast(array() as array<bigint>) end)""".stripMargin).as("ref_fps"))
+      d2.collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), "simhash mismatch")
+        val st = r.getStruct(2)
+        val fps = r.getSeq[Long](3)
+        assert(st.getLong(0) == fps.size.toLong, "winnow count mismatch")
+        if (fps.nonEmpty) {
+          assert(st.getLong(1) == fps.min && st.getLong(2) == fps.max, "winnow min/max")
+          assert(st.getLong(3) == fps.foldLeft(0L)(_ ^ _), "winnow xor")
+        } else assert(st.isNullAt(1) && st.isNullAt(2) && st.getLong(3) == 0L)
+      }
+    }
+  }
+
+  test("native RollingHashSummary ≡ unrolled polynomial on random texts") {
+    val (b, m, k) = (257L, 1000003L, 5)
+    val sparkTerm = (0 until k).map(j =>
+      s"element_at(bs, i + $j) * ${Seq.fill(j)(b).product.max(1L)}L").mkString(" + ")
+    val fpc = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.RollingHashSummary(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("text")), b, m, k))
+    forSamples(Gen.listOfN(10, docGen.suchThat(_.length >= k)), 3) { texts =>
+      val d = texts.toDF("text")
+        .filter(length(col("text")) >= k)
+        .withColumn("bs", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
+        .withColumn("hs", expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> ($sparkTerm) % $m)"))
+        .select(fpc.as("fast"),
+          expr("array_min(hs)").as("rmin"), expr("array_max(hs)").as("rmax"),
+          size(expr("array_distinct(hs)")).cast("long").as("rdis"))
+      d.collect().foreach { r =>
+        val st = r.getStruct(0)
+        assert(st.getLong(0) == r.getLong(1) && st.getLong(1) == r.getLong(2)
+          && st.getLong(2) == r.getLong(3), r.toString)
+      }
+    }
+  }
 }
