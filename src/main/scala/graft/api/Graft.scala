@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.engine.{Annotation, EngineState, FilterEngine, FilterSpec, Recipes, Session}
+import graft.engine.{Annotation, EngineState, FilterEngine, FilterSpec, Plugins, Recipes, Session}
 import graft.operators.SeriesOps.Series
 import graft.sources.{AnnotationStore, TrialReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -92,6 +92,21 @@ object Graft {
   def replayRecipe(spark: SparkSession, recipeJson: String, df: DataFrame,
       series: Series): DataFrame =
     Recipes.compile(spark, series, Recipes.fromJson(recipeJson))(df)
+
+  /** Discover plugins in a directory (plugin_system.py:13-46). */
+  def loadPlugins(dir: String): Seq[Plugins.Plugin] =
+    Plugins.loadDirectory(dir)
+
+  /** Apply a discovered plugin by name to a trial — the reference's
+    * `apply_plugin` (main.py:796-820), compiled through the same
+    * one-job recipe path; unknown names are a no-op like the
+    * reference's early return.
+    */
+  def applyPlugin(spark: SparkSession, trial: Trial,
+      plugins: Seq[Plugins.Plugin], name: String): DataFrame =
+    Plugins.get(plugins, name)
+      .map(p => Recipes.compile(spark, trial.series, p.ops)(trial.df))
+      .getOrElse(trial.df)
 
   /** Write the cleaned frame (S5). */
   def saveClean(df: DataFrame, path: String): Unit =

@@ -52,5 +52,18 @@ class GraftApiSpec extends AnyFunSuite {
     val replayed = Graft.replayRecipe(spark, recipe, trial.df, trial.series)
     assert(replayed.columns.contains("g2"))
     assert(replayed.count() == 48)
+
+    // plugin discovery through the facade (apply_plugin path)
+    val pdir = dir.resolve("plugins")
+    Files.createDirectories(pdir)
+    Files.writeString(pdir.resolve("gain.json"),
+      """{"name": "gain", "type": "derived", "name2": "x",
+        | "operations": [{"type": "derived", "name": "g3", "expr": "gaze_heading_deg * 3"}]}""".stripMargin)
+    val plugins = Graft.loadPlugins(pdir.toString)
+    val withPlugin = Graft.applyPlugin(spark, trial, plugins, "gain")
+    assert(withPlugin.columns.contains("g3"))
+    // unknown plugin is a no-op, like the reference's early return
+    assert(Graft.applyPlugin(spark, trial, plugins, "nope").columns.sameElements(
+      trial.df.columns))
   }
 }
