@@ -152,5 +152,37 @@ object StreamingSessions {
     runWindowed(spark, dir).orderBy("user_id", "day_start")
   }
 
-  val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed)
+  /** Streaming exact-dedup counts: per-text-hash occurrence counts as
+    * a stateful streaming aggregation over the documents stream
+    * (`readStream` → `groupBy(hash)` → complete-mode memory sink) —
+    * the streaming half of q40's exact dedup. Counts (not
+    * keep-first picks) keep the single-batch output deterministic;
+    * in a continuous deployment the same query maintains the
+    * seen-hash state that an online dedup filter joins against.
+    */
+  def runDedup(spark: SparkSession, dir: String,
+      sinkName: String = "stream_dedup"): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(graft.functions.TextHash.base32(col("text")).as("thash"))
+    val agg = stream.groupBy("thash").agg(count(lit(1)).as("n_copies"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  val q73StreamDedup: graft.QueryDef = graft.QueryDef.sql(
+    "q73_stream_dedup",
+    """SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS thash,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY thash""".stripMargin) { (spark, dir) =>
+    runDedup(spark, dir).orderBy("thash")
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
+    q73StreamDedup)
 }
