@@ -185,16 +185,16 @@ object SeriesOps {
     val t = col(s.timeCol)
     val surv = df.filter(t < start || t > end)
     val dtCol = t - lag(t, 1).over(s.ordered)
-    val withDt = surv.withColumn("__dt", dtCol)
-    val med = withDt.filter(col("__dt") > 0)
-      .groupBy(s.keyCols.map(col): _*)
-      .agg(round(percentile(col("__dt"), lit(0.5)), 3).as("__dtm"))
-    // dt medians: one row per series — broadcast back, no second shuffle
-    // of the fact side beyond the window's own partitioning.
+    // per-series median as a whole-partition window aggregate: rides
+    // the SAME hash partitioning as the lag/rank windows (one shuffle
+    // total), where a groupBy + join-back needs a second aggregation
+    // shuffle and — with millions of series — a medians table too big
+    // to broadcast. `percentile` ignores the nulls the `when` injects,
+    // matching the dt > 0 filter semantics.
+    val dtm = round(percentile(when(dtCol > 0, dtCol), lit(0.5)).over(s.whole), 3)
     val rn = row_number().over(s.ordered)
-    withDt.join(broadcast(med), s.keyCols, "left")
-      .withColumn(s.timeCol, round((rn - 1).cast("double") * coalesce(col("__dtm"), lit(1.0)), 3))
-      .drop("__dt", "__dtm")
+    surv.withColumn(s.timeCol,
+      round((rn - 1).cast("double") * coalesce(dtm, lit(1.0)), 3))
   }
 
   /** Angular frame transform with wrap to [-180, 180)
