@@ -190,20 +190,21 @@ object EventSeriesJoins {
     // (Σm, Σm² fit in 2^53 at this value range, so the bigint→double
     // casts are exact and the identical IEEE expression tree yields
     // bit-identical thresholds in Spark and DuckDB regardless of
-    // partial-aggregation order).
+    // partial-aggregation order). The moments are whole-partition
+    // window aggregates riding the same per-series shuffle as the
+    // lag/island windows — no second aggregation shuffle, no
+    // thresholds table to join back.
     val d = Tables.seriesNorm(spark, dir)
       .withColumn("adm",
         round(abs(col("value") - lag(col("value"), 1).over(s.ordered)) * lit(1e3))
           .cast("bigint"))
-    val th = d.filter(col("adm").isNotNull).groupBy("user_id")
-      .agg(count(lit(1)).cast("double").as("nd"),
-        sum(col("adm")).cast("double").as("s1"),
-        sum(col("adm") * col("adm")).cast("double").as("s2"))
-    val m1 = col("s1") / col("nd")
-    val t2 = th.select(col("user_id"),
-      (m1 + lit(3) * sqrt(greatest(col("s2") / col("nd") - m1 * m1, lit(0.0)))).as("thr"))
-    val flagged = d.join(broadcast(t2), Seq("user_id"))
-      .withColumn("fl", col("adm").isNotNull && col("adm").cast("double") > col("thr"))
+    val nd = count(col("adm")).over(s.whole).cast("double")
+    val s1 = sum(col("adm")).over(s.whole).cast("double")
+    val s2 = sum(col("adm") * col("adm")).over(s.whole).cast("double")
+    val m1 = s1 / nd
+    val thr = m1 + lit(3) * sqrt(greatest(s2 / nd - m1 * m1, lit(0.0)))
+    val flagged = d
+      .withColumn("fl", col("adm").isNotNull && col("adm").cast("double") > thr)
     SeriesOps.islands(flagged, s, col("fl"))
       .orderBy("user_id", "island_id")
   }
