@@ -120,93 +120,171 @@ object Dsp {
     }
   }
 
-  /** Butterworth biquad cascade (second-order sections) for an
-    * order-`order` lowpass at normalized cutoff `wn` = cutoff/(fs/2).
-    * Standard bilinear-transform design — equivalent to
-    * `scipy.signal.butter(order, wn, output='sos')`.
-    */
-  final case class Biquad(b0: Double, b1: Double, b2: Double, a1: Double, a2: Double)
+  // ------------------------------------------------------------------
+  // Butterworth transfer-function design + zero-phase filtering.
+  //
+  // This is the exact published algorithm the reference invokes
+  // (filter_engine.py:115-134): `b, a = scipy.signal.butter(order, wn,
+  // btype)` followed by `scipy.signal.filtfilt(b, a, x)` with its
+  // defaults (odd extension, padlen = 3·max(len(a), len(b)), initial
+  // conditions from `lfilter_zi`, direct-form-II-transposed passes).
+  // The design chain mirrors scipy's buttap → lp2lp_zpk / lp2bp_zpk →
+  // bilinear_zpk → zpk2tf; an independent numpy reimplementation of
+  // the same chain (scripts/golden_dsp.py) cross-checks it in DspSpec.
+  // ------------------------------------------------------------------
 
-  def butterLowpassSos(order: Int, wn: Double): Array[Biquad] = {
-    require(wn > 0 && wn < 1, s"normalized cutoff must be in (0,1), got $wn")
-    // prewarped analog cutoff
-    val warped = math.tan(math.Pi * wn / 2.0)
-    val nSections = (order + 1) / 2
-    val sections = new Array[Biquad](nSections)
-    var si = 0
-    // complex pole pairs of the analog Butterworth prototype
-    val pairs = (0 until order / 2).map { k =>
-      val theta = math.Pi * (2.0 * k + 1.0) / (2.0 * order) + math.Pi / 2.0
-      (math.cos(theta), math.sin(theta)) // pole = cosθ + i·sinθ, Re<0
-    }
-    for ((re, im) <- pairs) {
-      // analog section: H(s) = wc² / (s² - 2·re·wc·s + wc²)
-      val wc = warped
-      // bilinear transform with T=2 (matched to prewarp above)
-      val a0s = 1.0 - 2.0 * re * wc + wc * wc
-      val b0 = wc * wc / a0s
-      val a1 = (2.0 * wc * wc - 2.0) / a0s
-      val a2 = (1.0 + 2.0 * re * wc + wc * wc) / a0s
-      sections(si) = Biquad(b0, 2 * b0, b0, a1, a2)
-      si += 1
-    }
-    if (order % 2 == 1) {
-      // real pole section: H(s) = wc / (s + wc)
-      val wc = warped
-      val a0s = 1.0 + wc
-      sections(si) = Biquad(wc / a0s, wc / a0s, 0.0, (wc - 1.0) / a0s, 0.0)
-    }
-    sections
+  /** Digital transfer function b(z)/a(z); `a(0)` is exactly 1. */
+  final case class Tf(b: Array[Double], a: Array[Double]) {
+    require(a(0) == 1.0, "transfer function must be normalized (a0 = 1)")
+    require(a.length == b.length, "b and a must be the same length")
+    def ntaps: Int = b.length
   }
 
-  /** One forward pass of a biquad cascade (direct form II transposed),
-    * with each section's state initialized at its steady-state
-    * response to the first sample — scipy `filtfilt`'s
-    * `zi = lfilter_zi(...) * x[0]`, which removes the startup
-    * transient (a constant signal passes through exactly).
+  private final case class Cplx(re: Double, im: Double) {
+    def +(o: Cplx): Cplx = Cplx(re + o.re, im + o.im)
+    def -(o: Cplx): Cplx = Cplx(re - o.re, im - o.im)
+    def *(o: Cplx): Cplx = Cplx(re * o.re - im * o.im, re * o.im + im * o.re)
+    def /(o: Cplx): Cplx = {
+      val d = o.re * o.re + o.im * o.im
+      Cplx((re * o.re + im * o.im) / d, (im * o.re - re * o.im) / d)
+    }
+    def *(s: Double): Cplx = Cplx(re * s, im * s)
+    /** Principal square root. */
+    def sqrt: Cplx = {
+      val m = math.hypot(re, im)
+      val sr = math.sqrt((m + re) / 2.0)
+      val si = math.sqrt((m - re) / 2.0)
+      Cplx(sr, if (im >= 0) si else -si)
+    }
+  }
+
+  /** Monic polynomial with the given roots (numpy `poly`): real part
+    * of the expanded coefficients, highest degree first.
     */
-  def sosFilter(sos: Array[Biquad], x: Array[Double]): Array[Double] = {
-    var y = x
-    for (s <- sos) {
-      val out = new Array[Double](y.length)
-      val x0 = if (y.nonEmpty) y(0) else 0.0
-      val dc = (s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2)
-      val y0 = dc * x0
-      var z2 = s.b2 * x0 - s.a2 * y0
-      var z1 = s.b1 * x0 - s.a1 * y0 + z2
-      var i = 0
-      while (i < y.length) {
-        val xi = y(i)
-        val yi = s.b0 * xi + z1
-        z1 = s.b1 * xi - s.a1 * yi + z2
-        z2 = s.b2 * xi - s.a2 * yi
-        out(i) = yi
-        i += 1
-      }
-      y = out
+  private def polyFromRoots(roots: Seq[Cplx]): Array[Double] = {
+    var c = Array(Cplx(1, 0))
+    for (r <- roots) {
+      val next = new Array[Cplx](c.length + 1)
+      next(0) = c(0)
+      for (i <- 1 until c.length) next(i) = c(i) - r * c(i - 1)
+      next(c.length) = Cplx(0, 0) - r * c(c.length - 1)
+      c = next
+    }
+    c.map(_.re)
+  }
+
+  /** Analog Butterworth prototype poles (scipy `buttap`). */
+  private def buttapPoles(order: Int): Seq[Cplx] =
+    (1 to order).map { k =>
+      val theta = math.Pi * (2.0 * k + order - 1.0) / (2.0 * order)
+      Cplx(math.cos(theta), math.sin(theta))
+    }
+
+  /** zpk → (b, a) via the bilinear transform at fs = 2 (scipy
+    * `bilinear_zpk` + `zpk2tf`). `zeros` are the analog zeros.
+    */
+  private def bilinearTf(zeros: Seq[Cplx], poles: Seq[Cplx], k: Double): Tf = {
+    val fs2 = 4.0 // 2 * fs with scipy's fs = 2.0
+    val zd = zeros.map(z => (Cplx(fs2, 0) + z) / (Cplx(fs2, 0) - z)) ++
+      Seq.fill(poles.length - zeros.length)(Cplx(-1, 0))
+    val pd = poles.map(p => (Cplx(fs2, 0) + p) / (Cplx(fs2, 0) - p))
+    val num = zeros.foldLeft(Cplx(1, 0))((acc, z) => acc * (Cplx(fs2, 0) - z))
+    val den = poles.foldLeft(Cplx(1, 0))((acc, p) => acc * (Cplx(fs2, 0) - p))
+    val kd = k * (num / den).re
+    val a = polyFromRoots(pd)
+    val b = polyFromRoots(zd).map(_ * kd)
+    // a(0) is exactly 1 by construction (monic product of (1, …))
+    Tf(b, a.map(_ / a(0)))
+  }
+
+  /** `scipy.signal.butter(order, wn, btype='low')` → (b, a). `wn` is
+    * the cutoff normalized to Nyquist, in (0, 1).
+    */
+  def butterLowpassTf(order: Int, wn: Double): Tf = {
+    require(wn > 0 && wn < 1, s"normalized cutoff must be in (0,1), got $wn")
+    val warped = 4.0 * math.tan(math.Pi * wn / 2.0)
+    val poles = buttapPoles(order).map(_ * warped)
+    val k = math.pow(warped, order)
+    bilinearTf(Nil, poles, k)
+  }
+
+  /** `scipy.signal.butter(order, [wnLow, wnHigh], btype='band')` →
+    * (b, a): lp2bp_zpk pole transform, `order` zeros at s = 0.
+    */
+  def butterBandpassTf(order: Int, wnLow: Double, wnHigh: Double): Tf = {
+    require(0 < wnLow && wnLow < wnHigh && wnHigh < 1,
+      s"band edges must satisfy 0 < low < high < 1, got ($wnLow, $wnHigh)")
+    val w1 = 4.0 * math.tan(math.Pi * wnLow / 2.0)
+    val w2 = 4.0 * math.tan(math.Pi * wnHigh / 2.0)
+    val bw = w2 - w1
+    val wo = math.sqrt(w1 * w2)
+    val pHp = buttapPoles(order).map(_ * (bw / 2.0))
+    val woSq = Cplx(wo * wo, 0)
+    val pBp = pHp.map(p => p + (p * p - woSq).sqrt) ++
+      pHp.map(p => p - (p * p - woSq).sqrt)
+    val zeros = Seq.fill(order)(Cplx(0, 0))
+    val k = math.pow(bw, order)
+    bilinearTf(zeros, pBp, k)
+  }
+
+  /** Steady-state direct-form-II-transposed state for a unit step
+    * (scipy `lfilter_zi`): solves (I − Aᵀ)·zi = B for the companion
+    * matrix A of `a`.
+    */
+  def lfilterZi(tf: Tf): Array[Double] = {
+    val a = tf.a; val b = tf.b
+    val m = tf.ntaps - 1
+    val mat = Array.ofDim[Double](m, m)
+    for (i <- 0 until m; j <- 0 until m) {
+      val compT = if (j == 0) -a(i + 1) else if (i == j - 1) 1.0 else 0.0
+      mat(i)(j) = (if (i == j) 1.0 else 0.0) - compT
+    }
+    val rhs = Array.tabulate(m)(i => b(i + 1) - a(i + 1) * b(0))
+    solve(mat, rhs)
+  }
+
+  /** One direct-form-II-transposed pass with initial state `zi`
+    * (scipy `lfilter(b, a, x, zi=zi)`); op order matches scipy's
+    * update exactly so the DuckDB oracle can mirror it bit-for-bit.
+    */
+  def lfilter(tf: Tf, x: Array[Double], zi: Array[Double]): Array[Double] = {
+    val b = tf.b; val a = tf.a
+    val m = tf.ntaps - 1
+    val z = zi.clone()
+    val y = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i)
+      val yi = b(0) * xi + z(0)
+      var j = 0
+      while (j < m - 1) { z(j) = b(j + 1) * xi + z(j + 1) - a(j + 1) * yi; j += 1 }
+      z(m - 1) = b(m) * xi - a(m) * yi
+      y(i) = yi
+      i += 1
     }
     y
   }
 
-  /** Zero-phase filtering: forward pass, reverse, forward pass,
-    * reverse — `scipy.signal.filtfilt` with odd-reflection padding of
-    * length `3·(2·nSections)` like scipy's default `padlen`.
+  /** Zero-phase filtering — `scipy.signal.filtfilt(b, a, x)` with its
+    * defaults: odd reflection of `padlen = 3·ntaps` samples at each
+    * end (clamped to n−1 for short series, where scipy would raise),
+    * `lfilter_zi`-scaled initial conditions, forward pass, backward
+    * pass, trim.
     */
-  def filtfilt(sos: Array[Biquad], x: Array[Double]): Array[Double] = {
-    if (x.length < 2) return x.clone()
-    val padLen = math.min(3 * (2 * sos.length + 1), x.length - 1)
+  def filtfiltTf(tf: Tf, x: Array[Double]): Array[Double] = {
     val n = x.length
-    // odd reflection: 2·x[0] - x[padLen..1], x, 2·x[n-1] - x[n-2..]
+    if (n < 2) return x.clone()
+    val padLen = math.min(3 * tf.ntaps, n - 1)
     val ext = new Array[Double](n + 2 * padLen)
     var i = 0
     while (i < padLen) { ext(i) = 2 * x(0) - x(padLen - i); i += 1 }
     System.arraycopy(x, 0, ext, padLen, n)
     i = 0
     while (i < padLen) { ext(n + padLen + i) = 2 * x(n - 1) - x(n - 2 - i); i += 1 }
-    val fwd = sosFilter(sos, ext)
+    val zi = lfilterZi(tf)
+    val fwd = lfilter(tf, ext, zi.map(_ * ext(0)))
     val rev = fwd.reverse
-    val back = sosFilter(sos, rev)
-    val out = back.reverse
-    out.slice(padLen, padLen + n)
+    val back = lfilter(tf, rev, zi.map(_ * rev(0)))
+    back.reverse.slice(padLen, padLen + n)
   }
 }

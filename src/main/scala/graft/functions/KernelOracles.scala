@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.Dsp.Biquad
+import graft.functions.Dsp.Tf
 
 /** DuckDB oracle SQL generators for the sequential per-series kernels
   * (W4/W5 `filtfilt`, W3 exact Savitzky–Golay, W10 cubic spline).
@@ -28,57 +28,34 @@ object KernelOracles {
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
 
-  /** One joint pass of the biquad cascade over `src(user_id, i, x)` →
-    * recursive CTE `out(user_id, i, y, z1_k, z2_k…)`. Joint stepping
-    * (all sections advanced per sample) is bit-identical to the
-    * kernel's section-at-a-time passes because each section is causal:
-    * sample i's section-k output depends only on section-(k-1) outputs
-    * up to i and section-k state — same ops, same order.
+  /** One `lfilter(b, a, ·, zi·x0)` pass over `src(user_id, i, x)` →
+    * recursive CTE `out(user_id, i, y, z_0…z_{m-1})`: the direct-form-
+    * II-transposed recurrence of [[Dsp.lfilter]] with the same
+    * expression shapes —
+    *   y       = b0·x + z0
+    *   z_j     = b_{j+1}·x + z_{j+1} − a_{j+1}·y   (j < m−1)
+    *   z_{m-1} = b_m·x − a_m·y
+    * seeded at i = 0 with z_j = zi_j·x0 (`lfilter_zi` literals scaled
+    * by the first extended sample, like scipy filtfilt).
     */
-  private def cascadeCte(sos: Array[Biquad], src: String, out: String): String = {
-    val ns = sos.length
-    val stateCols = (0 until ns).flatMap(k => Seq(s"z1_$k", s"z2_$k"))
-    // ---- seed: init each section's state from ITS first input
-    // (scipy lfilter_zi steady state scaled by x0), then run x0
-    // through the loop body — out(0) comes from the loop, not dc*x0.
-    var inner = s"(SELECT user_id, i, x AS u0 FROM $src WHERE i = 0)"
-    var carry = Seq("user_id", "i", "u0")
-    var u = "u0"
-    for ((s, k) <- sos.zipWithIndex) {
-      val dc = lit((s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2))
-      val (b0, b1, b2, a1, a2) = (lit(s.b0), lit(s.b1), lit(s.b2), lit(s.a1), lit(s.a2))
-      inner = s"(SELECT ${carry.mkString(", ")}, $dc * $u AS yss$k FROM $inner q)"
-      carry :+= s"yss$k"
-      inner = s"(SELECT ${carry.mkString(", ")}, $b2 * $u - $a2 * yss$k AS z2i$k FROM $inner q)"
-      carry :+= s"z2i$k"
-      inner = s"(SELECT ${carry.mkString(", ")}, $b1 * $u - $a1 * yss$k + z2i$k AS z1i$k FROM $inner q)"
-      carry :+= s"z1i$k"
-      inner = s"(SELECT ${carry.mkString(", ")}, $b0 * $u + z1i$k AS y$k FROM $inner q)"
-      carry :+= s"y$k"
-      inner = s"(SELECT ${carry.mkString(", ")}, " +
-        s"$b1 * $u - $a1 * y$k + z2i$k AS z1_$k, " +
-        s"$b2 * $u - $a2 * y$k AS z2_$k FROM $inner q)"
-      carry ++= Seq(s"z1_$k", s"z2_$k")
-      u = s"y$k"
-    }
-    val seed = s"SELECT user_id, i, y${ns - 1} AS y, ${stateCols.mkString(", ")} FROM $inner q"
-    // ---- step: y = b0*x + z1; z1' = b1*x - a1*y + z2; z2' = b2*x - a2*y
-    inner = s"(SELECT e.user_id, e.i, e.x AS u0, " +
-      stateCols.map(c => s"t.$c AS p$c").mkString(", ") +
-      s" FROM $out t JOIN $src e ON e.user_id = t.user_id AND e.i = t.i + 1)"
-    carry = Seq("user_id", "i", "u0") ++ stateCols.map("p" + _)
-    u = "u0"
-    for ((s, k) <- sos.zipWithIndex) {
-      val (b0, b1, b2, a1, a2) = (lit(s.b0), lit(s.b1), lit(s.b2), lit(s.a1), lit(s.a2))
-      inner = s"(SELECT ${carry.mkString(", ")}, $b0 * $u + pz1_$k AS y$k FROM $inner q)"
-      carry :+= s"y$k"
-      inner = s"(SELECT ${carry.mkString(", ")}, " +
-        s"$b1 * $u - $a1 * y$k + pz2_$k AS z1_$k, " +
-        s"$b2 * $u - $a2 * y$k AS z2_$k FROM $inner q)"
-      carry ++= Seq(s"z1_$k", s"z2_$k")
-      u = s"y$k"
-    }
-    val step = s"SELECT user_id, i, y${ns - 1} AS y, ${stateCols.mkString(", ")} FROM $inner q"
+  private def df2tCte(tf: Tf, src: String, out: String): String = {
+    val m = tf.ntaps - 1
+    val zi = Dsp.lfilterZi(tf)
+    val b = tf.b.map(lit); val a = tf.a.map(lit)
+    val stateCols = (0 until m).map(j => s"z_$j")
+    def states(x: String, prior: Int => String): String =
+      ((0 until m - 1).map { j =>
+        s"${b(j + 1)} * $x + ${prior(j + 1)} - ${a(j + 1)} * y AS z_$j"
+      } :+ s"${b(m)} * $x - ${a(m)} * y AS z_${m - 1}").mkString(", ")
+    val seed =
+      s"SELECT user_id, i, y, ${states("x", j => s"${lit(zi(j))} * x")} FROM " +
+        s"(SELECT user_id, i, x, ${b(0)} * x + ${lit(zi(0))} * x AS y FROM $src WHERE i = 0) q"
+    val step =
+      s"SELECT user_id, i, y, ${states("x", j => s"pz_$j")} FROM " +
+        s"(SELECT q0.*, ${b(0)} * x + pz_0 AS y FROM " +
+        s"(SELECT e.user_id, e.i, e.x, " +
+        stateCols.map(c => s"t.$c AS p$c").mkString(", ") +
+        s" FROM $out t JOIN $src e ON e.user_id = t.user_id AND e.i = t.i + 1) q0) q"
     s"$out AS ($seed\nUNION ALL\n$step)"
   }
 
@@ -87,7 +64,7 @@ object KernelOracles {
     * cascade, reverse, slice. Emits CTEs suffixed `sfx`; the output
     * relation `ffout$sfx` has (user_id, i, y) on original indices.
     */
-  private def filtfiltCtes(sos: Array[Biquad], sfx: String): Seq[String] = Seq(
+  private def filtfiltCtes(tf: Tf, sfx: String): Seq[String] = Seq(
     s"""ext$sfx AS MATERIALIZED (
        |  SELECT b.user_id, p.pl - b.i AS i, 2e0 * f.xf - b.x AS x
        |    FROM r b JOIN plen p ON b.user_id = p.user_id JOIN x0n f ON b.user_id = f.user_id
@@ -99,17 +76,18 @@ object KernelOracles {
        |  SELECT b.user_id, p.pl + p.n + (p.n - 2 - b.i), 2e0 * f.xl - b.x
        |    FROM r b JOIN plen p ON b.user_id = p.user_id JOIN x0n f ON b.user_id = f.user_id
        |    WHERE b.i BETWEEN p.n - 1 - p.pl AND p.n - 2)""".stripMargin,
-    cascadeCte(sos, s"ext$sfx", s"fpass$sfx"),
+    df2tCte(tf, s"ext$sfx", s"fpass$sfx"),
     s"""frev$sfx AS MATERIALIZED (SELECT f.user_id, (p.n + 2 * p.pl - 1) - f.i AS i, f.y AS x
        |  FROM fpass$sfx f JOIN plen p ON f.user_id = p.user_id)""".stripMargin,
-    cascadeCte(sos, s"frev$sfx", s"bpass$sfx"),
+    df2tCte(tf, s"frev$sfx", s"bpass$sfx"),
     s"""ffout$sfx AS MATERIALIZED (SELECT b.user_id,
        |    ((p.n + 2 * p.pl - 1) - b.i) - p.pl AS i, b.y
        |  FROM bpass$sfx b JOIN plen p ON b.user_id = p.user_id
        |  WHERE ((p.n + 2 * p.pl - 1) - b.i) BETWEEN p.pl AND p.pl + p.n - 1)""".stripMargin)
 
   /** Shared row/length CTEs over the normalized series. `padMax` =
-    * `3 * (2 * nSections + 1)` like `Dsp.filtfilt`.
+    * `3 * ntaps` like `Dsp.filtfiltTf` (scipy's default padlen),
+    * clamped per series to n−1.
     */
   private def baseCtes(seriesSql: String, padMax: Int): Seq[String] = Seq(
     s"""s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
@@ -123,29 +101,28 @@ object KernelOracles {
        |    max(CASE WHEN b.i = p.n - 1 THEN b.x END) AS xl
        |  FROM r b JOIN plen p ON b.user_id = p.user_id GROUP BY b.user_id)""".stripMargin)
 
-  /** q36: zero-phase Butterworth low-pass oracle. */
+  /** q36: zero-phase Butterworth low-pass oracle —
+    * `butter(order, wn)` + `filtfilt` (filter_engine.py:115-123).
+    */
   def butterLowpassOracle(seriesSql: String, order: Int, wn: Double): String = {
-    val sos = Dsp.butterLowpassSos(order, wn)
-    val padMax = 3 * (2 * sos.length + 1)
-    val ctes = baseCtes(seriesSql, padMax) ++ filtfiltCtes(sos, "F")
+    val tf = Dsp.butterLowpassTf(order, wn)
+    val ctes = baseCtes(seriesSql, 3 * tf.ntaps) ++ filtfiltCtes(tf, "F")
     s"""WITH RECURSIVE ${ctes.mkString(",\n")}
        |SELECT r.user_id, r.event_id, r.tn, round(o.y, 6) AS filtered
        |FROM r JOIN ffoutF o ON o.user_id = r.user_id AND o.i = r.i
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 
-  /** q37: band-pass = filtfilt(high cut) − filtfilt(low cut), the
-    * reference's composition (filter_engine.py:125-134).
+  /** q37: zero-phase Butterworth band-pass oracle —
+    * `butter(order, [low, high], btype='band')` + `filtfilt`
+    * (filter_engine.py:125-134).
     */
   def butterBandpassOracle(seriesSql: String, order: Int, wnLow: Double, wnHigh: Double): String = {
-    val sosH = Dsp.butterLowpassSos(order, wnHigh)
-    val sosL = Dsp.butterLowpassSos(order, wnLow)
-    val padMax = 3 * (2 * sosH.length + 1)
-    val ctes = baseCtes(seriesSql, padMax) ++ filtfiltCtes(sosH, "H") ++ filtfiltCtes(sosL, "L")
+    val tf = Dsp.butterBandpassTf(order, wnLow, wnHigh)
+    val ctes = baseCtes(seriesSql, 3 * tf.ntaps) ++ filtfiltCtes(tf, "B")
     s"""WITH RECURSIVE ${ctes.mkString(",\n")}
-       |SELECT r.user_id, r.event_id, r.tn, round(h.y - l.y, 6) AS filtered
-       |FROM r JOIN ffoutH h ON h.user_id = r.user_id AND h.i = r.i
-       |JOIN ffoutL l ON l.user_id = r.user_id AND l.i = r.i
+       |SELECT r.user_id, r.event_id, r.tn, round(o.y, 6) AS filtered
+       |FROM r JOIN ffoutB o ON o.user_id = r.user_id AND o.i = r.i
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 

@@ -38,28 +38,23 @@ object SignalKernels {
     applyKernelWithTime(spark, df, s, src, out)((_, xs) => kernel(xs))
 
   /** Zero-phase Butterworth low-pass, normalized cutoff `wn` ∈ (0,1)
-    * (fraction of Nyquist), scipy-style odd-reflection padding with
-    * steady-state section init.
+    * (fraction of Nyquist) — `butter(order, wn)` + `filtfilt(b, a, x)`
+    * exactly as the reference (filter_engine.py:115-123).
     */
   def butterLowpass(spark: SparkSession, df: DataFrame, s: Series, src: String,
       out: String, order: Int, wn: Double): DataFrame = {
-    val sos = Dsp.butterLowpassSos(order, wn)
-    applyKernel(spark, df, s, src, out)(Dsp.filtfilt(sos, _))
+    val tf = Dsp.butterLowpassTf(order, wn)
+    applyKernel(spark, df, s, src, out)(Dsp.filtfiltTf(tf, _))
   }
 
-  /** Zero-phase band-pass as the reference's fallback composition
-    * (filter_engine.py:125-134): low-pass at the high cut minus
-    * low-pass at the low cut (subtracting the slow component).
+  /** Zero-phase Butterworth band-pass — `butter(order, [low, high],
+    * btype='band')` + `filtfilt(b, a, x)` exactly as the reference
+    * (filter_engine.py:125-134).
     */
   def butterBandpass(spark: SparkSession, df: DataFrame, s: Series, src: String,
       out: String, order: Int, wnLow: Double, wnHigh: Double): DataFrame = {
-    val sosHigh = Dsp.butterLowpassSos(order, wnHigh)
-    val sosLow = Dsp.butterLowpassSos(order, wnLow)
-    applyKernel(spark, df, s, src, out) { x =>
-      val fast = Dsp.filtfilt(sosHigh, x)
-      val slow = Dsp.filtfilt(sosLow, x)
-      Array.tabulate(x.length)(i => fast(i) - slow(i))
-    }
+    val tf = Dsp.butterBandpassTf(order, wnLow, wnHigh)
+    applyKernel(spark, df, s, src, out)(Dsp.filtfiltTf(tf, _))
   }
 
   /** Cubic-spline interpolation of missing samples (`method='cubic'`,

@@ -26,24 +26,73 @@ class DspSpec extends AnyFunSuite {
       assert(approx(Dsp.polyfitAt(ts, xs, 2, t0), 2.0 * t0 * t0 - 3.0 * t0 + 1.0, 1e-8))
   }
 
-  test("butterworth sections have unit DC gain") {
+  test("butterworth lowpass has unit DC gain and -3dB at the cutoff") {
     for (order <- 1 to 6; wn <- Seq(0.1, 0.3, 0.7)) {
-      val sos = Dsp.butterLowpassSos(order, wn)
-      val dc = sos.map(s => (s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2)).product
+      val tf = Dsp.butterLowpassTf(order, wn)
+      val dc = tf.b.sum / tf.a.sum
       assert(approx(dc, 1.0, 1e-9), s"order=$order wn=$wn dc=$dc")
+      assert(approx(gainAt(tf, math.Pi * wn), 1.0 / math.sqrt(2.0), 1e-9),
+        s"order=$order wn=$wn cutoff gain")
     }
   }
 
+  /** |H(e^{jw})| for the transfer function. */
+  private def gainAt(tf: Dsp.Tf, w: Double): Double = {
+    def polyAt(c: Array[Double]): (Double, Double) =
+      c.zipWithIndex.foldLeft((0.0, 0.0)) { case ((re, im), (ci, i)) =>
+        (re + ci * math.cos(-i * w), im + ci * math.sin(-i * w))
+      }
+    val (nr, ni) = polyAt(tf.b); val (dr, di) = polyAt(tf.a)
+    math.hypot(nr, ni) / math.hypot(dr, di)
+  }
+
+  test("bandpass kills DC, passes the band, attenuates outside it") {
+    val tf = Dsp.butterBandpassTf(4, 0.05, 0.4)
+    assert(math.abs(tf.b.sum / tf.a.sum) < 1e-9, "DC leak")
+    assert(gainAt(tf, math.Pi * 0.2) > 0.99, "passband")
+    assert(approx(gainAt(tf, math.Pi * 0.05), 1.0 / math.sqrt(2.0), 1e-6), "low edge")
+    assert(approx(gainAt(tf, math.Pi * 0.4), 1.0 / math.sqrt(2.0), 1e-6), "high edge")
+    assert(gainAt(tf, math.Pi * 0.9) < 0.01, "stopband")
+  }
+
   test("filtfilt passes a constant signal unchanged") {
-    val sos = Dsp.butterLowpassSos(4, 0.2)
+    val tf = Dsp.butterLowpassTf(4, 0.2)
     val x = Array.fill(50)(3.25)
-    Dsp.filtfilt(sos, x).foreach(v => assert(approx(v, 3.25, 1e-9)))
+    Dsp.filtfiltTf(tf, x).foreach(v => assert(approx(v, 3.25, 1e-9)))
   }
 
   test("filtfilt is zero-phase on a slow ramp (interior)") {
-    val sos = Dsp.butterLowpassSos(2, 0.5)
+    val tf = Dsp.butterLowpassTf(2, 0.5)
     val x = Array.tabulate(100)(i => i * 0.1)
-    val y = Dsp.filtfilt(sos, x)
+    val y = Dsp.filtfiltTf(tf, x)
     for (i <- 20 until 80) assert(approx(y(i), x(i), 1e-3), s"i=$i ${y(i)}")
+  }
+
+  test("lowpass design matches the numpy scipy-chain golden (b, a)") {
+    val tf = Dsp.butterLowpassTf(4, 0.2)
+    tf.b.zip(DspGolden.lowpassB).foreach { case (s, g) => assert(approx(s, g, 1e-12)) }
+    tf.a.zip(DspGolden.lowpassA).foreach { case (s, g) => assert(approx(s, g, 1e-12)) }
+  }
+
+  test("bandpass design matches the numpy scipy-chain golden (b, a)") {
+    val tf = Dsp.butterBandpassTf(4, 0.05, 0.4)
+    tf.b.zip(DspGolden.bandpassB).foreach { case (s, g) => assert(approx(s, g, 1e-12)) }
+    tf.a.zip(DspGolden.bandpassA).foreach { case (s, g) => assert(approx(s, g, 1e-12)) }
+  }
+
+  test("lowpass filtfilt matches the numpy scipy-chain golden output") {
+    val tf = Dsp.butterLowpassTf(4, 0.2)
+    val y = Dsp.filtfiltTf(tf, DspGolden.goldenInput)
+    y.zip(DspGolden.goldenLowpass).foreach { case (s, g) =>
+      assert(approx(s, g, 1e-9), s"lowpass diff ${s - g}")
+    }
+  }
+
+  test("bandpass filtfilt matches the numpy scipy-chain golden output") {
+    val tf = Dsp.butterBandpassTf(4, 0.05, 0.4)
+    val y = Dsp.filtfiltTf(tf, DspGolden.goldenInput)
+    y.zip(DspGolden.goldenBandpass).foreach { case (s, g) =>
+      assert(approx(s, g, 1e-9), s"bandpass diff ${s - g}")
+    }
   }
 }
