@@ -112,6 +112,26 @@ object Graft {
   def saveClean(df: DataFrame, path: String): Unit =
     TrialReader.saveClean(df, path)
 
+  /** Materialize a relation as a bucketed, bucket-sorted parquet
+    * table. Joins and aggregations on the bucket keys against another
+    * table bucketed the same way (same keys, same bucket count) then
+    * plan with NO shuffle exchange on either side — the co-location
+    * contract that makes repeated large-scale joins affordable: pay
+    * the shuffle once at write time, never again per query. At 100 TB
+    * this is the materialization path for the hot join spines
+    * (orders ⋈ lineitem, signature ⋈ signature); `buckets` should be
+    * sized so one bucket of the larger table fits an executor's
+    * memory (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket pre-
+    * compression).
+    */
+  def materializeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** Persist session annotations/deletions/history (S6). */
   def saveAnnotations(path: String, session: Session, sampleRate: Double): Unit =
     AnnotationStore.write(path, AnnotationStore.SessionMeta(

@@ -30,38 +30,45 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-  private def sqlList(ws: Seq[String], l: String, r: String): String =
+  private[operators] def sqlList(ws: Seq[String], l: String, r: String): String =
     ws.map(w => s"'$w'").mkString(l, ", ", r)
+
+  /** DuckDB CASE expression over a word-list column `ws` implementing
+    * the marker-voting language prediction (first language in fixed
+    * order achieving the max marker count; all zero → 'und').
+    */
+  def duckLangCase: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> s"len(list_filter(ws, w -> list_contains(${sqlList(ms, "[", "]")}, w)))"
+    }
+    val m = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }.mkString("\n  ")
+    s"CASE WHEN $m = 0 THEN 'und'\n  $whens END"
+  }
+
+  /** Native marker-voting prediction over a word-array column
+    * (graft.functions.LangIdExpr): one hash probe per word instead of
+    * 5 interpreted per-word filter passes; identical argmax/tie
+    * semantics to [[duckLangCase]].
+    */
+  def langPred(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.LangIdExpr(
+        org.apache.spark.sql.GraftExpressionBridge.expression(ws), langMarkers))
 
   /** Language ID: count marker hits per language over the word list,
     * predict the first language (fixed order) achieving the max; all
     * zero → 'und'.
     */
-  val q50LangId: QueryDef = {
-    val duckScores = langMarkers.map { case (l, ms) =>
-      l -> s"len(list_filter(ws, w -> list_contains(${sqlList(ms, "[", "]")}, w)))"
-    }
-    def inlineCase(scores: Seq[(String, String)]): String = {
-      val m = scores.map(_._2).mkString("greatest(", ", ", ")")
-      val whens = scores.map { case (l, s) => s"WHEN $s = $m THEN '$l'" }.mkString("\n  ")
-      s"CASE WHEN $m = 0 THEN 'und'\n  $whens END"
-    }
-    QueryDef.sql(
-      "q50_lang_id",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-         |SELECT doc_id, ${inlineCase(duckScores)} AS lang_pred
-         |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      // native marker voting (graft.functions.LangIdExpr): one hash
-      // probe per word instead of 5 interpreted per-word filter
-      // passes; identical argmax/tie semantics to the oracle CASE
-      val langId = org.apache.spark.sql.GraftExpressionBridge.column(
-        graft.functions.LangIdExpr(
-          org.apache.spark.sql.GraftExpressionBridge.expression(col("ws")), langMarkers))
-      graft.sources.Tables.documents(spark, dir)
-        .withColumn("ws", split(col("text"), " "))
-        .select(col("doc_id"), langId.as("lang_pred"))
-        .orderBy("doc_id")
-    }
+  val q50LangId: QueryDef = QueryDef.sql(
+    "q50_lang_id",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id, $duckLangCase AS lang_pred
+       |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), langPred(col("ws")).as("lang_pred"))
+      .orderBy("doc_id")
   }
 
   /** Quality score: word count, mean word length, stopword ratio →

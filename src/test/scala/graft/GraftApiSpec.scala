@@ -66,4 +66,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.applyPlugin(spark, trial, plugins, "nope").columns.sameElements(
       trial.df.columns))
   }
+
+  test("bucketed materialization joins without a shuffle exchange") {
+    import spark.implicits._
+    val dim = (0L until 200L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val fact = (0L until 2000L).map(i => (i % 200L, i * 1.5)).toDF("k", "v")
+    Graft.materializeBucketed(dim, "bk_dim", Seq("k"), 4, Seq("k"))
+    Graft.materializeBucketed(fact, "bk_fact", Seq("k"), 4, Seq("k"))
+
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(f) */ f.k, sum(f.v) AS sv, max(d.name) AS nm
+        |FROM bk_fact f JOIN bk_dim d ON f.k = d.k
+        |GROUP BY f.k""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located scan-to-join-to-agg: the bucket layout satisfies the
+    // join and the aggregate's distribution, so no Exchange anywhere
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(joined.count() == 200)
+
+    val expected = fact.groupBy("k").sum("v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    joined.collect().foreach(r => assert(r.getDouble(1) == expected(r.getLong(0))))
+  }
 }
