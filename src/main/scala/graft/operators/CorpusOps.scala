@@ -116,5 +116,94 @@ object CorpusOps {
       .orderBy("lang_pred")
   }
 
-  val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample, q76RetentionPipeline)
+  /** Benchmark-contamination probe: flag corpus documents whose
+    * distinct 3-word shingles overlap a (small) benchmark set's
+    * shingle vocabulary. The benchmark relation is broadcast, so the
+    * corpus side never shuffles for the join; the per-doc hit count
+    * collapses in the map-side partial aggregate (all of a doc's
+    * shingles live in its own row). The 100 TB shape for decontam
+    * sweeps: broadcast the eval-set n-grams, stream the corpus once.
+    */
+  val q77Contamination: QueryDef = {
+    import graft.functions.TextHash
+    QueryDef.sql(
+      "q77_contamination",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ${TextHash.duckBase32("array_to_string(ws[i:i+2], ' ')")}))) AS h
+         |  FROM w),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |probe AS (SELECT sh.doc_id, count(*) AS n_sh, count(b.h) AS n_hit
+         |  FROM sh LEFT JOIN bench b ON sh.h = b.h
+         |  WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id)
+         |SELECT doc_id, n_sh, n_hit, round(n_hit * 1.0 / n_sh, 6) AS overlap
+         |FROM probe WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val sh = docs(spark, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(TextHash.shingleHashesFromWords(col("ws")))).as("h"))
+      val bench = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit") * 1.0 / col("n_sh"), 6).as("overlap"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Data-mixture report: per-source document/token totals, corpus
+    * share, and mean quality — the dashboard a mixture-weighting step
+    * consumes. One hash aggregate over per-row projections; the share
+    * divides grouped counts via a window over the (tiny) grouped
+    * result; quality means use the same order-insensitive integer
+    * micro-unit sums as q76.
+    */
+  val q78MixtureReport: QueryDef = QueryDef.sql(
+    "q78_mixture_report",
+    s"""WITH w AS (SELECT source, len(text) AS nc, string_split(text, ' ') AS ws FROM documents),
+       |m AS (SELECT source, nc, len(ws) AS n_words,
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
+       |    len(list_filter(ws, x -> list_contains(${TextOps.sqlList(TextOps.stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |  FROM w),
+       |q AS (SELECT source, nc, n_words,
+       |    round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
+       |      + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
+       |  FROM m)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(n_words) AS n_tokens,
+       |  sum(CAST(ceil(nc / 4.0) AS BIGINT)) AS bpe_est,
+       |  round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS doc_share,
+       |  round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_quality
+       |FROM q GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val grouped = docs(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("mean_wlen",
+        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, x -> array_contains(${TextOps.sqlList(TextOps.stopwords, "array(", ")")}, x)))") /
+          col("n_words"))
+      .withColumn("quality",
+        round(lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
+          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        sum(ceil(length(col("text")) / 4.0).cast("long")).as("bpe_est"),
+        sum(round(col("quality") * 1e6).cast("long")).as("qsum"))
+    grouped
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("bpe_est"),
+        round(col("n_docs") * 1.0 /
+          sum(col("n_docs")).over(Window.partitionBy()), 6).as("doc_share"),
+        round(col("qsum").cast("double") / col("n_docs") / 1e6, 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
+    q76RetentionPipeline, q77Contamination, q78MixtureReport)
 }
