@@ -1,0 +1,115 @@
+package graft.api
+
+import graft.operators.{Dedup, TextOps}
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public DataFrame-level corpus pipeline API — the operators the
+  * declared queries (q40–q78) exercise, exposed as composable
+  * `DataFrame => DataFrame` stages for library users.
+  *
+  * Input contract: a corpus relation with a unique `doc_id` (long)
+  * and a `text` (string) column; other columns ride through where
+  * noted. Every stage is the same scale shape the oracle-checked
+  * query uses: projections stay shuffle-free, joins are broadcast or
+  * bucket-keyed, and near-dup candidate generation is LSH-bucketed
+  * with the hot-key skew guard.
+  */
+object Corpus {
+
+  /** Add `lang_pred` (marker-voting language ID, q50 semantics). */
+  def languageId(corpus: DataFrame): DataFrame =
+    corpus.withColumn("lang_pred", TextOps.langPred(split(col("text"), " ")))
+
+  /** Add `n_words`, `mean_wlen`, `stop_ratio`, `quality` (q51). */
+  def qualityScore(corpus: DataFrame): DataFrame =
+    TextOps.withQuality(corpus)
+
+  /** Keep one row per distinct `text` (the lowest `doc_id`), all
+    * columns preserved — q40/q54 semantics with q76's narrow
+    * `md5(text)` shuffle key.
+    */
+  def exactDedup(corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    corpus.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Near-duplicate candidate pairs `(doc_a, doc_b)` via MinHash-LSH
+    * band buckets (q42), optionally verified to a minimum shingle-set
+    * Jaccard similarity (q43). Pass `minJaccard = 0` to skip the
+    * verify join.
+    */
+  def nearDupPairs(corpus: DataFrame, minJaccard: Double = 0.0): DataFrame = {
+    val hashed = Dedup.hashedFromDocs(corpus)
+    val pairs = Dedup.lshPairsFrom(Dedup.bandKeysFrom(hashed))
+    if (minJaccard <= 0.0) pairs
+    else {
+      val sets = hashed.select(col("doc_id"), array_distinct(col("hs")).as("sh"))
+      pairs
+        .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))) /
+            size(array_union(col("sa"), col("sb"))).cast("double"))
+        .filter(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+  }
+
+  /** Add a deterministic `bucket` in [0, buckets) from the stable
+    * doc_id hash (q75): reproducible train/held-out splits.
+    */
+  def sampleBucket(corpus: DataFrame, buckets: Int = 100): DataFrame =
+    corpus.withColumn("bucket",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets)
+
+  /** Per-document benchmark-overlap probe (q77): fraction of the
+    * doc's distinct 3-word shingles present in `benchmark`'s shingle
+    * vocabulary. The benchmark side is broadcast; returns
+    * `(doc_id, n_sh, n_hit, overlap)` for docs with any overlap.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    def sh(df: DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(TextHash.shingleHashesFromWords(col("ws")))).as("h"))
+    val bench = sh(benchmark).select("h").distinct()
+    sh(corpus)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_sh"), 6).as("overlap"))
+  }
+
+  /** Per-`source` mixture report (q78): doc/token/BPE-estimate
+    * totals, corpus share, and order-insensitive mean quality.
+    */
+  def mixtureReport(corpus: DataFrame): DataFrame =
+    TextOps.withQuality(corpus)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        sum(ceil(length(col("text")) / 4.0).cast("long")).as("bpe_est"),
+        sum(round(col("quality") * 1e6).cast("long")).as("qsum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("bpe_est"),
+        round(col("n_docs") * 1.0 /
+          sum(col("n_docs")).over(Window.partitionBy()), 6).as("doc_share"),
+        round(col("qsum").cast("double") / col("n_docs") / 1e6, 6).as("avg_quality"))
+
+  /** Top-k vocabulary (q74): token occurrence + document frequency,
+    * total-ordered cut.
+    */
+  def vocabTopK(corpus: DataFrame, k: Int = 50): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occur").desc, col("token"))
+      .limit(k)
+}

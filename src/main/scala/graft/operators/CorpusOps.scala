@@ -93,19 +93,7 @@ object CorpusOps {
        |FROM l WHERE rn = 1 AND quality >= 0.35
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-    docs(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("mean_wlen",
-        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(ws, x -> array_contains(${TextOps.sqlList(TextOps.stopwords, "array(", ")")}, x)))") /
-          col("n_words"))
-      .withColumn("quality",
-        round(lit(0.4) * col("stop_ratio")
-          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
-          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
+    TextOps.withQuality(docs(spark, dir).withColumn("rn", row_number().over(w)))
       .withColumn("lang_pred", TextOps.langPred(col("ws")))
       .filter(col("rn") === 1 && col("quality") >= 0.35)
       .groupBy("lang_pred")
@@ -179,18 +167,7 @@ object CorpusOps {
        |  round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS doc_share,
        |  round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_quality
        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val grouped = docs(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("mean_wlen",
-        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(ws, x -> array_contains(${TextOps.sqlList(TextOps.stopwords, "array(", ")")}, x)))") /
-          col("n_words"))
-      .withColumn("quality",
-        round(lit(0.4) * col("stop_ratio")
-          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
-          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
+    val grouped = TextOps.withQuality(docs(spark, dir))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),

@@ -71,6 +71,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Add the quality columns (`ws`, `n_words`, `mean_wlen`,
+    * `stop_ratio`, `quality`) to any relation with a `text` column —
+    * the per-row metric stack shared by q51/q76/q78 and the public
+    * [[graft.api.Corpus]] facade. Pure projections: zero shuffle.
+    */
+  def withQuality(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("mean_wlen",
+        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))") /
+          col("n_words"))
+      .withColumn("quality",
+        round(lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
+          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
+
   /** Quality score: word count, mean word length, stopword ratio →
     * bounded composite in [0, 1].
     */
@@ -86,20 +104,11 @@ object TextOps {
        |  round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
        |    + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
        |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    graft.sources.Tables.documents(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("mean_wlen",
-        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))") /
-          col("n_words"))
+    withQuality(graft.sources.Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_words"),
         round(col("mean_wlen"), 6).as("mean_wlen"),
         round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(lit(0.4) * col("stop_ratio")
-          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
-          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6).as("quality"))
+        col("quality"))
       .orderBy("doc_id")
   }
 

@@ -183,6 +183,38 @@ object StreamingSessions {
     runDedup(spark, dir).orderBy("thash")
   }
 
+  /** Streaming data-mixture monitor: per-source doc and token totals
+    * maintained as a streaming aggregation over the documents stream —
+    * the online twin of the batch q78 report. In a continuous
+    * ingestion deployment this is the live mixture dashboard; the
+    * single-batch run is oracle-checked against the batch SQL so the
+    * streaming and batch paths must agree exactly.
+    */
+  def runMixture(spark: SparkSession, dir: String,
+      sinkName: String = "stream_mixture"): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val agg = stream.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  val q79StreamMixture: graft.QueryDef = graft.QueryDef.sql(
+    "q79_stream_mixture",
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' '))) AS n_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    runMixture(spark, dir).orderBy("source")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
-    q73StreamDedup)
+    q73StreamDedup, q79StreamMixture)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.api.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public corpus facade must agree with the oracle-checked
+  * declared queries it mirrors (drift guard), and its dedup/sampling
+  * stages must satisfy their invariants on a corpus with known
+  * duplicates.
+  */
+class CorpusApiSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.sources.Tables.documents(spark, sfDir)
+
+  test("contamination facade matches the declared q77 result") {
+    val viaFacade = Corpus.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+      .orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.CorpusOps.q77Contamination.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
+  test("mixture report facade matches the declared q78 result") {
+    val viaFacade = Corpus.mixtureReport(docs).orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.CorpusOps.q78MixtureReport.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
+  test("exactDedup keeps the lowest doc_id per text and all columns") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s1"),
+      (3L, "delta epsilon", "s2"), (4L, "delta epsilon", "s2"),
+      (5L, "unique text here", "s3")).toDF("doc_id", "text", "source")
+    val out = Corpus.exactDedup(corpus).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(out.head.schema.fieldNames.toSeq == Seq("doc_id", "text", "source"))
+  }
+
+  test("sampleBucket is stable and in range") {
+    val corpus = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val b1 = Corpus.sampleBucket(corpus).select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Corpus.sampleBucket(corpus.orderBy(col("doc_id").desc))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)                       // order-independent
+    assert(b1.values.forall(b => b >= 0 && b < 100))
+    val rate = b1.values.count(_ < 10).toDouble / b1.size
+    assert(rate > 0.04 && rate < 0.2, s"10% bucket rate was $rate")
+  }
+
+  test("nearDupPairs finds seeded near-duplicates and verifies jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base), (2L, base + " ok"),
+      (3L, "completely different words about spark catalyst execution plans"),
+      (4L, "another unrelated document mentioning parquet columnar storage"))
+      .toDF("doc_id", "text")
+    val pairs = Corpus.nearDupPairs(corpus, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
