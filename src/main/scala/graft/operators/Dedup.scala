@@ -310,7 +310,23 @@ object Dedup {
        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d)
        |SELECT d AS doc_id, min(r) AS cluster_id
        |FROM walk GROUP BY d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val pairs = lshPairs(spark, dir).persist()
+    connectedComponents(lshPairs(spark, dir))
+      .select(col("d").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label-propagation connected components over undirected pair
+    * edges `(doc_a, doc_b)` → `(d, lab)` with `lab` = the component's
+    * minimum doc_id. Rounds needed = component diameter (tiny for
+    * dup clusters; the same loop is the standard Spark shape for CC
+    * at scale — alternating-star variants only matter for web-graph
+    * diameters). Convergence is checked with a single-row aggregate:
+    * per-node labels only ever decrease, so the label-sum is strictly
+    * decreasing until convergence (the previous round's sum is
+    * carried, not recomputed).
+    */
+  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist()
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist()
@@ -321,9 +337,6 @@ object Dedup {
       .persist()
     var converged = false
     var rounds = 0
-    // per-node labels only ever decrease, so the label-sum is strictly
-    // decreasing until convergence — one single-row action per round
-    // (the previous round's sum is carried, not recomputed)
     var labSum = labels.agg(sum("lab")).head().getLong(0)
     while (!converged && rounds < 20) {
       val next = labels
@@ -338,11 +351,58 @@ object Dedup {
       labSum = nextSum
       rounds += 1
     }
-    labels.select(col("d").as("doc_id"), col("lab").as("cluster_id"))
-      .orderBy("doc_id")
+    // labels is persisted and fully materialized by the convergence
+    // actions; the intermediates can drop out of the cache now
+    pairs.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-canonical selection: the step after q70 that a real
+    * dedup pipeline ends with — inside every near-dup cluster keep
+    * the highest-quality member (ties → lowest doc_id), not merely
+    * the first. Output: one row per cluster with the kept doc, the
+    * member count, and the winning quality. The argmax is a
+    * WindowGroupLimit-eligible row_number over the (small) clustered
+    * subset; quality values are the bit-identical per-row q51 metric
+    * on both engines, so the DESC ordering cannot diverge.
+    */
+  val q80ClusterCanonical: QueryDef = QueryDef.sql(
+    "q80_cluster_canonical",
+    s"""WITH RECURSIVE $duckSig, $duckPairs,
+       |nodes AS (SELECT doc_a AS d FROM prs UNION SELECT doc_b FROM prs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |walk(d, r) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d),
+       |lbl AS (SELECT d AS doc_id, min(r) AS cluster_id FROM walk GROUP BY d),
+       |${TextOps.duckQualityCtes},
+       |j AS (SELECT l.cluster_id, l.doc_id, q.quality,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN qq q ON q.doc_id = l.doc_id)
+       |SELECT cluster_id, doc_id AS keep_id, n_members, quality AS best_quality
+       |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    val labels = connectedComponents(lshPairs(spark, dir))
+      .select(col("d").as("doc_id"), col("lab").as("cluster_id"))
+    val qual = TextOps.withQuality(docs(spark, dir)).select(col("doc_id"), col("quality"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val argmax = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    labels.join(qual, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(argmax))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
   }
 
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
-    q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters)
+    q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
+    q80ClusterCanonical)
 }

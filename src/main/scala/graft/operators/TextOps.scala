@@ -89,6 +89,19 @@ object TextOps {
           + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
           + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
 
+  /** DuckDB CTE chain `qw, qm, qq` ending in `qq(doc_id, quality)` —
+    * the oracle twin of [[withQuality]] (same expression tree, so the
+    * per-row doubles are bit-identical across engines).
+    */
+  def duckQualityCtes: String =
+    s"""qw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |qm AS (SELECT doc_id, len(ws) AS n_words,
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
+       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |  FROM qw),
+       |qq AS (SELECT doc_id, round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
+       |    + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality FROM qm)""".stripMargin
+
   /** Quality score: word count, mean word length, stopword ratio →
     * bounded composite in [0, 1].
     */
