@@ -181,6 +181,50 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Token-budget sharding: pack the doc_id-ordered corpus into
+    * shards of ~`TokenBudget` tokens (a doc goes to the shard where
+    * its running token count starts) and report per-shard extents.
+    *
+    * The running sum is the classic two-phase distributed prefix sum,
+    * NOT one global window (which would serialize the corpus through
+    * a single partition): per-row sums run inside fixed doc_id blocks
+    * (the partitioned window), block totals form a tiny relation
+    * whose prefix offsets broadcast back. The only unpartitioned
+    * window runs over that block table — corpus_size / BlockDocs
+    * rows, trivially driver-scale even at 100 TB.
+    */
+  val TokenBudget = 4000L
+  val BlockDocs = 64L
+
+  val q81TokenShards: QueryDef = QueryDef.sql(
+    "q81_token_shards",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents),
+       |c AS (SELECT doc_id, nw, sum(nw) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+       |s AS (SELECT doc_id, nw, (cum - nw) // $TokenBudget AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs, sum(nw) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        expr(s"doc_id div $BlockDocs").as("blk"))
+    val blockOffsets = toks.groupBy("blk").agg(sum("nw").as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "off")
+    val inBlock = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(blockOffsets), "blk")
+      .withColumn("cum", sum(col("nw")).over(inBlock) + col("off"))
+      .withColumn("shard", expr(s"(cum - nw) div $TokenBudget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
-    q76RetentionPipeline, q77Contamination, q78MixtureReport)
+    q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards)
 }
