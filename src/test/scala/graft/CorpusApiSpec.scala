@@ -58,6 +58,24 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(rate > 0.04 && rate < 0.2, s"10% bucket rate was $rate")
   }
 
+  test("q81 two-phase prefix sum equals the naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.operators.CorpusOps.q81TokenShards.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val budget = graft.operators.CorpusOps.TokenBudget
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .withColumn("cum", sum("nw").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard", expr(s"(cum - nw) div $budget"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+      .collect().map(_.toSeq).toSeq
+    assert(out == naive)
+  }
+
   test("nearDupPairs finds seeded near-duplicates and verifies jaccard") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq(
