@@ -225,6 +225,38 @@ object CorpusOps {
       .orderBy("shard")
   }
 
+  /** Within-document repetition metrics: the duplicate-3-gram
+    * fraction (1 − distinct/total over the doc's word 3-grams) — the
+    * standard repetition signal corpus filters threshold on. A pure
+    * per-row projection over the native shingle-hash loop: full scan
+    * throughput, zero shuffle.
+    */
+  val q82Repetition: QueryDef = {
+    import graft.functions.TextHash
+    QueryDef.sql(
+      "q82_repetition",
+      s"""WITH g AS (SELECT doc_id, list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ${TextHash.duckBase32("array_to_string(ws[i:i+2], ' ')")}) AS hs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |SELECT doc_id, len(hs) AS n_grams,
+         |  len(list_distinct(hs)) AS n_distinct,
+         |  round(1.0 - len(list_distinct(hs)) / len(hs), 6) AS dup_frac
+         |FROM g WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("hs", TextHash.shingleHashesFromWords(col("ws")))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          size(col("hs")).cast("long").as("n_grams"),
+          size(array_distinct(col("hs"))).cast("long").as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("hs"))) / size(col("hs")), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
-    q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards)
+    q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
+    q82Repetition)
 }
