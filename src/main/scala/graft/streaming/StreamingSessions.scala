@@ -215,6 +215,63 @@ object StreamingSessions {
     runMixture(spark, dir).orderBy("source")
   }
 
+  /** Streaming contamination probe: the corpus arrives as a stream
+    * and joins a STATIC broadcast benchmark shingle set (stream-static
+    * equi-join) before a stateful per-doc aggregation — the online
+    * decontamination filter shape: the eval-set n-grams are a fixed
+    * side input, every arriving document is scored on ingest. Single-
+    * batch run is oracle-checked against the same SQL as batch q77.
+    */
+  def runContamination(spark: SparkSession, dir: String,
+      sinkName: String = "stream_contam"): DataFrame = {
+    import graft.functions.TextHash
+    val docsStatic = Tables.documents(spark, dir)
+    val bench = docsStatic.filter(col("doc_id") % 50 === 0)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(array_distinct(TextHash.shingleHashesFromWords(col("ws")))).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val schema = docsStatic.schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(TextHash.shingleHashesFromWords(col("ws")))).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  val q83StreamContamination: graft.QueryDef = {
+    import graft.functions.TextHash
+    graft.QueryDef.sql(
+      "q83_stream_contamination",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ${TextHash.duckBase32("array_to_string(ws[i:i+2], ' ')")}))) AS h
+         |  FROM w),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |probe AS (SELECT sh.doc_id, count(*) AS n_sh, count(b.h) AS n_hit
+         |  FROM sh LEFT JOIN bench b ON sh.h = b.h
+         |  WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id)
+         |SELECT doc_id, n_sh, n_hit, round(n_hit * 1.0 / n_sh, 6) AS overlap
+         |FROM probe WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      runContamination(spark, dir)
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit") * 1.0 / col("n_sh"), 6).as("overlap"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
-    q73StreamDedup, q79StreamMixture)
+    q73StreamDedup, q79StreamMixture, q83StreamContamination)
 }
