@@ -68,6 +68,25 @@ def main(sf_dir, out_dir):
         problems = []
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+        else:
+            # Type parity: the driver's comparator canonicalizes DuckDB
+            # HUGEINT/DECIMAL differently from BIGINT/DOUBLE, so a type
+            # mismatch hash-fails on the driver even when values are
+            # equal (this is exactly what sank q30..q81 in r01/r02).
+            # Plain int widths canonicalize identically (TINYINT..BIGINT
+            # all pass the driver's gate — proven by r02 greens), but
+            # HUGEINT does not; nor do DECIMAL-vs-DOUBLE or FLOAT-vs-
+            # DOUBLE, so everything else must match exactly.
+            INT_CLASS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "UTINYINT", "USMALLINT", "UINTEGER"}
+            def tclass(t):
+                return "INT" if t in INT_CLASS else t
+            got_types = {c: str(t) for c, t in zip(got_cols, got.types)}
+            exp_types = {c: str(t) for c, t in zip(exp_cols, exp.types)}
+            for c in got_types:
+                if tclass(got_types[c]) != tclass(exp_types[c]):
+                    problems.append(
+                        f"type[{c}] spark={got_types[c]} oracle={exp_types[c]}")
         if len(got_rows) != len(exp_rows):
             problems.append(f"rows spark={len(got_rows)} oracle={len(exp_rows)}")
         if not problems and table_digest(got_rows, got_cols) != table_digest(exp_rows, exp_cols):

@@ -162,8 +162,8 @@ object CorpusOps {
        |      + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
        |  FROM m)
        |SELECT source, count(*) AS n_docs,
-       |  sum(n_words) AS n_tokens,
-       |  sum(CAST(ceil(nc / 4.0) AS BIGINT)) AS bpe_est,
+       |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(ceil(nc / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est,
        |  round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS doc_share,
        |  round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_quality
        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
@@ -201,8 +201,8 @@ object CorpusOps {
     s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents),
        |c AS (SELECT doc_id, nw, sum(nw) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
-       |s AS (SELECT doc_id, nw, (cum - nw) // $TokenBudget AS shard FROM c)
-       |SELECT shard, count(*) AS n_docs, sum(nw) AS n_tokens,
+       |s AS (SELECT doc_id, nw, CAST((cum - nw) // $TokenBudget AS BIGINT) AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
     val toks = docs(spark, dir)

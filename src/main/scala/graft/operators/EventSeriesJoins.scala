@@ -143,7 +143,7 @@ object EventSeriesJoins {
     "q30_sessionize",
     s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
        |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
-       |x AS (SELECT *, sum(brk) OVER ($PW) AS session_id FROM g)
+       |x AS (SELECT *, CAST(sum(brk) OVER ($PW) AS BIGINT) AS session_id FROM g)
        |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
        |  count(*) AS n,
        |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
@@ -179,8 +179,8 @@ object EventSeriesJoins {
        |e AS (SELECT *, CASE WHEN fl AND NOT coalesce(
        |    lag(fl) OVER (PARTITION BY user_id ORDER BY tn, event_id), false)
        |    THEN 1 ELSE 0 END AS edge FROM f),
-       |i AS (SELECT *, sum(edge) OVER (PARTITION BY user_id ORDER BY tn, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id FROM e)
+       |i AS (SELECT *, CAST(sum(edge) OVER (PARTITION BY user_id ORDER BY tn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id FROM e)
        |SELECT user_id, island_id, min(tn) AS seg_start, max(tn) AS seg_end,
        |  count(*) AS n_rows
        |FROM i WHERE fl GROUP BY user_id, island_id
@@ -219,7 +219,7 @@ object EventSeriesJoins {
     "q32_interval_join",
     s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
        |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
-       |x AS (SELECT *, sum(brk) OVER ($PW) AS session_id FROM g),
+       |x AS (SELECT *, CAST(sum(brk) OVER ($PW) AS BIGINT) AS session_id FROM g),
        |iv AS (SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end
        |  FROM x GROUP BY user_id, session_id)
        |SELECT iv.user_id, iv.session_id, count(*) AS n_in,
@@ -359,7 +359,7 @@ object EventSeriesJoins {
        |    min(tn) AS mn, max(tn) AS mx
        |  FROM e GROUP BY user_id, episode, event_type),
        |t AS (SELECT user_id, episode,
-       |    sum(cnt) AS n_rows, min(mn) AS t_start, max(mx) AS t_end,
+       |    CAST(sum(cnt) AS BIGINT) AS n_rows, min(mn) AS t_start, max(mx) AS t_end,
        |    arg_min(event_type,
        |      lpad(CAST(100000000 - cnt AS VARCHAR), 10, '0') || event_type) AS mode_type
        |  FROM c GROUP BY user_id, episode)

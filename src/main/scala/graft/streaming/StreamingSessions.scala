@@ -100,8 +100,8 @@ object StreamingSessions {
        |g AS (SELECT *, CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL
        |    OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > $GapSeconds
        |    THEN 1 ELSE 0 END AS brk FROM s),
-       |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+       |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)
        |SELECT user_id, session_id, min(tn) AS s_start, max(tn) AS s_end,
        |  count(*) AS n,
        |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
@@ -210,7 +210,7 @@ object StreamingSessions {
   val q79StreamMixture: graft.QueryDef = graft.QueryDef.sql(
     "q79_stream_mixture",
     """SELECT source, count(*) AS n_docs,
-      |  sum(len(string_split(text, ' '))) AS n_tokens
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     runMixture(spark, dir).orderBy("source")
   }
