@@ -256,7 +256,35 @@ object CorpusOps {
     }
   }
 
+  /** Stratified train/val/test split (80/10/10): membership is a
+    * pure function of `md5(doc_id)` — a zero-shuffle projection that
+    * assigns every document the same split on any cluster layout, so
+    * held-out sets stay stable as the corpus is re-partitioned or
+    * re-processed. Reported per (split, source) so mixture drift
+    * across splits is visible; token sums are integer (exact).
+    */
+  val q87SplitAssign: QueryDef = QueryDef.sql(
+    "q87_split_assign",
+    """WITH b AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+      |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+      |SELECT split, source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin) { (spark, dir) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs(spark, dir)
+      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", bucket)
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
-    q82Repetition)
+    q82Repetition, q87SplitAssign)
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch / approximate-analytics operators: the bounded-state
+  * summaries a 100 TB pipeline uses where exact answers would shuffle
+  * the full value set. Each query also emits the exact answer (cheap
+  * at test scale) so the sketch error is visible in the output and
+  * the whole thing stays oracle-checkable — the sketches here are
+  * DETERMINISTIC (hash-defined, order-insensitive), so DuckDB can
+  * replay them bit-for-bit with plain SQL.
+  */
+object Sketches {
+
+  private def md5p32(c: Column): Column =
+    GraftExpressionBridge.column(
+      graft.functions.Md5Prefix32(GraftExpressionBridge.expression(c)))
+
+  /** KMV distinct-token estimate per source vs the exact count.
+    *
+    * Scale shape: ONE hash aggregation keyed by source; the KMV state
+    * is a ≤ k-long sorted array merged map-side
+    * ([[graft.functions.KmvSketchAgg]]), so the shuffle carries a few
+    * hundred bytes per (partition, source) — the exact `countDistinct`
+    * beside it is the test-scale reference answer. Estimate =
+    * (k-1)·2^32 / kth_min once the sketch is full, else exact-by-
+    * construction.
+    */
+  val SketchK = 64
+
+  val q84KmvDistinct: QueryDef = QueryDef.sql(
+    "q84_kmv_distinct",
+    s"""WITH t AS (SELECT DISTINCT source, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM t)
+       |SELECT source, count(*) AS n_exact,
+       |  max(CASE WHEN rn <= $SketchK THEN h END) AS kth_hash,
+       |  round(CASE WHEN count(CASE WHEN rn <= $SketchK THEN 1 END) < $SketchK
+       |    THEN CAST(count(CASE WHEN rn <= $SketchK THEN 1 END) AS DOUBLE)
+       |    ELSE ${SketchK - 1}.0 * 4294967296.0 / max(CASE WHEN rn <= $SketchK THEN h END)
+       |    END, 4) AS est_distinct
+       |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val kmv = udaf(new graft.functions.KmvSketchAgg(SketchK))
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), md5p32(col("token")).as("h"))
+    toks.groupBy("source")
+      .agg(countDistinct("h").as("n_exact"), kmv(col("h")).as("ks"))
+      .select(col("source"), col("n_exact"),
+        element_at(col("ks"), -1).as("kth_hash"),
+        round(when(size(col("ks")) < SketchK, size(col("ks")).cast("double"))
+          .otherwise(lit((SketchK - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("ks"), -1)), 4).as("est_distinct"))
+      .orderBy("source")
+  }
+
+  /** Distributed histogram percentiles (p50/p95 per series): values
+    * quantized to integer milli-units, ONE (user, bin) count
+    * aggregate with map-side combine, then the quantile is the first
+    * bin whose cumulative count crosses ⌈q·n⌉ — the scalable
+    * percentile pattern (an exact sort-based percentile would
+    * range-shuffle the full 100 TB; the histogram shuffles one row
+    * per occupied bin). Integer counts + integer bins ⇒ bit-identical
+    * on any partitioning and in DuckDB.
+    */
+  val q86HistQuantile: QueryDef = QueryDef.sql(
+    "q86_hist_quantile",
+    s"""WITH b AS (SELECT user_id, CAST(round(value * 1000.0) AS BIGINT) AS vm
+       |  FROM (${Tables.seriesSql}) WHERE value IS NOT NULL),
+       |c AS (SELECT user_id, vm, count(*) AS cnt FROM b GROUP BY user_id, vm),
+       |w AS (SELECT user_id, vm,
+       |  CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY vm
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |  CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c)
+       |SELECT user_id, max(n) AS n_rows,
+       |  min(CASE WHEN cum >= ceil(n * 0.5) THEN vm END) / 1000.0 AS p50,
+       |  min(CASE WHEN cum >= ceil(n * 0.95) THEN vm END) / 1000.0 AS p95
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val b = Tables.series(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), round(col("value") * lit(1e3)).cast("bigint").as("vm"))
+    val c = b.groupBy("user_id", "vm").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("user_id").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("user_id")
+    c.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(whole))
+      .groupBy("user_id")
+      .agg(max("n").as("n_rows"),
+        (min(when(col("cum") >= ceil(col("n") * lit(0.5)), col("vm"))) / lit(1e3)).as("p50"),
+        (min(when(col("cum") >= ceil(col("n") * lit(0.95)), col("vm"))) / lit(1e3)).as("p95"))
+      .orderBy("user_id")
+  }
+
+  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile)
+}

@@ -272,6 +272,57 @@ object StreamingSessions {
     }
   }
 
+  /** Stream-stream interval join: purchase events joined to the
+    * non-purchase events of the same user in the preceding 6 hours.
+    * Both sides are watermarked and the join condition bounds the
+    * event-time range, so Spark can expire buffered state — the
+    * unbounded-deployment shape (state per side ≈ watermark window ×
+    * arrival rate, independent of stream length). The time axis stays
+    * integer microseconds end-to-end; `dt` is an exact µs difference
+    * divided once, so the output is bit-stable under any micro-batch
+    * split and matches the batch self-join SQL.
+    */
+  def runStreamJoin(spark: SparkSession, dir: String,
+      sinkName: String = "stream_joined"): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .withWatermark("ets", "12 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event"),
+        col("us").as("p_us"), col("ets").as("p_ets"))
+    val clicks = base.filter(col("event_type") =!= "purchase")
+      .withWatermark("ets", "12 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event"),
+        col("us").as("c_us"), col("ets").as("c_ets"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ets") >= col("p_ets") - expr("INTERVAL 6 HOURS") &&
+        col("c_ets") <= col("p_ets"))
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
+        ((col("p_us") - col("c_us")).cast("double") / lit(1e6)).as("dt"))
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  val q85StreamJoin: graft.QueryDef = graft.QueryDef.sql(
+    "q85_stream_join",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events)
+      |SELECT p.user_id AS user_id, p.event_id AS p_event, c.event_id AS c_event,
+      |  CAST(p.us - c.us AS DOUBLE) / 1000000.0 AS dt
+      |FROM e p JOIN e c ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type <> 'purchase'
+      |  AND c.us BETWEEN p.us - 21600000000 AND p.us
+      |ORDER BY user_id, p_event, c_event""".stripMargin) { (spark, dir) =>
+    runStreamJoin(spark, dir).orderBy("user_id", "p_event", "c_event")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
-    q73StreamDedup, q79StreamMixture, q83StreamContamination)
+    q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin)
 }
