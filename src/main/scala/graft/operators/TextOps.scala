@@ -219,6 +219,54 @@ object TextOps {
     }
   }
 
+  /** TF-IDF top-5 terms per document, in fixed-point arithmetic:
+    * `idf_scaled = (N · 10^6) div df` and `score = tf · idf_scaled`
+    * stay integers end-to-end, so the ranking is bit-identical on any
+    * partitioning and in DuckDB. (A log-idf would hinge on `ln`,
+    * which libm and the JVM round differently by ulps — exactly the
+    * cross-engine flakiness the float policy forbids; the rational
+    * weight preserves the rarity ORDER, which is all a top-k needs.)
+    *
+    * Scale shape: tf is one (doc, token) hash aggregate with map-side
+    * combine; df reuses the persisted tf relation (one narrow scan);
+    * the idf join is token-keyed (vocabulary-sized, Zipf-truncated by
+    * the join itself — no row blow-up); the per-doc top-5 compiles to
+    * WindowGroupLimit, pruning to 5 rows per doc map-side before the
+    * rank exchange.
+    */
+  val q89TfidfTopk: QueryDef = QueryDef.sql(
+    "q89_tfidf_topk",
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    tf.tf * ((n.n_total * 1000000) // df.df) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token) AS rnk FROM sc)
+      |SELECT doc_id, rnk, token, tf, df, score
+      |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+    val tf = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docsDf.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    // tf stays persisted until the harness's per-query clearCache()
+    // (Verify/Bench both scope caches that way).
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_total * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "rnk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
-    q53Fingerprint, q59RollingHashFp)
+    q53Fingerprint, q59RollingHashFp, q89TfidfTopk)
 }

@@ -23,6 +23,24 @@ object StreamingSessions {
 
   val GapSeconds = 43200.0
 
+  /** Stateful streaming stages allocate one state-store instance per
+    * shuffle partition per stateful operator (a stream-stream join
+    * keeps FOUR stores per partition), and each store pays a
+    * per-micro-batch commit regardless of row volume. At the bench's
+    * single-batch scale that fixed cost dominates, so the streaming
+    * queries run with a smaller state shuffle than the batch session
+    * default — sized to keys-per-partition, not bytes. The results
+    * are partitioning-independent by construction (integer sums /
+    * per-key session logic), so this is purely a latency knob; a real
+    * deployment sizes it to throughput x watermark instead.
+    */
+  private def withStateShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** HALF_UP like Spark's `round(x, 4)`, so the streaming output
     * hashes identically to the batch/oracle rounding.
     */
@@ -68,7 +86,7 @@ object StreamingSessions {
   /** Run the streaming sessionization to completion over the (one-
     * file) events table and return the collected result table.
     */
-  def run(spark: SparkSession, dir: String, sinkName: String = "stream_sessions"): DataFrame = {
+  def run(spark: SparkSession, dir: String, sinkName: String = "stream_sessions"): DataFrame = withStateShuffle(spark, 8) {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     // file source requires a directory: glob-filter the events table
@@ -117,7 +135,7 @@ object StreamingSessions {
     * state in a continuous deployment.
     */
   def runWindowed(spark: SparkSession, dir: String,
-      sinkName: String = "stream_windows"): DataFrame = {
+      sinkName: String = "stream_windows"): DataFrame = withStateShuffle(spark, 8) {
     val schema = Tables.events(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -161,7 +179,7 @@ object StreamingSessions {
     * seen-hash state that an online dedup filter joins against.
     */
   def runDedup(spark: SparkSession, dir: String,
-      sinkName: String = "stream_dedup"): DataFrame = {
+      sinkName: String = "stream_dedup"): DataFrame = withStateShuffle(spark, 8) {
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -191,7 +209,7 @@ object StreamingSessions {
     * streaming and batch paths must agree exactly.
     */
   def runMixture(spark: SparkSession, dir: String,
-      sinkName: String = "stream_mixture"): DataFrame = {
+      sinkName: String = "stream_mixture"): DataFrame = withStateShuffle(spark, 8) {
     val schema = Tables.documents(spark, dir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -223,7 +241,7 @@ object StreamingSessions {
     * batch run is oracle-checked against the same SQL as batch q77.
     */
   def runContamination(spark: SparkSession, dir: String,
-      sinkName: String = "stream_contam"): DataFrame = {
+      sinkName: String = "stream_contam"): DataFrame = withStateShuffle(spark, 8) {
     import graft.functions.TextHash
     val docsStatic = Tables.documents(spark, dir)
     val bench = docsStatic.filter(col("doc_id") % 50 === 0)
@@ -283,7 +301,7 @@ object StreamingSessions {
     * split and matches the batch self-join SQL.
     */
   def runStreamJoin(spark: SparkSession, dir: String,
-      sinkName: String = "stream_joined"): DataFrame = {
+      sinkName: String = "stream_joined"): DataFrame = withStateShuffle(spark, 8) {
     val schema = Tables.events(spark, dir).schema
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
