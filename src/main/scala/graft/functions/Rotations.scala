@@ -36,6 +36,35 @@ object Rotations {
   def yawFromQuat(w: Double, x: Double, y: Double, z: Double): Double =
     math.toDegrees(math.atan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)))
 
+  /** Orthonormal body frame from a forward direction vector
+    * (plot3d.py:203-210): normalize fwd against a world-up Z, derive
+    * right = up × fwd, re-derive up = fwd × right — the Gram-Schmidt
+    * fallback the reference uses when a channel mapping supplies a
+    * direction instead of a quaternion. Rows are (right, up, fwd),
+    * matching the reference's `np.vstack` order; the reference's
+    * `+ 1e-9` norm guard is preserved so degenerate (zero or
+    * Z-parallel) directions produce the same near-zero rows rather
+    * than NaN.
+    */
+  def directionBasis(dx: Double, dy: Double, dz: Double): Array[Array[Double]] = {
+    val n = math.sqrt(dx * dx + dy * dy + dz * dz) + 1e-9
+    val f = Array(dx / n, dy / n, dz / n)
+    val r0 = Array(-f(1), f(0), 0.0) // up(0,0,1) × fwd
+    val rn = math.sqrt(r0(0) * r0(0) + r0(1) * r0(1)) + 1e-9
+    val r = Array(r0(0) / rn, r0(1) / rn, 0.0)
+    val u = Array( // fwd × right
+      f(1) * r(2) - f(2) * r(1),
+      f(2) * r(0) - f(0) * r(2),
+      f(0) * r(1) - f(1) * r(0))
+    Array(r, u, f)
+  }
+
+  /** Heading in degrees from a rotation matrix's forward row
+    * (plot3d.py:125-133): the XY-plane bearing of row 2.
+    */
+  def headingFromMatrix(m: Array[Array[Double]]): Double =
+    math.toDegrees(math.atan2(m(2)(1), m(2)(0)))
+
   /** Apply a 3×3 matrix to a vector. */
   def rotate(m: Array[Array[Double]], v: (Double, Double, Double)): (Double, Double, Double) = {
     val (x, y, z) = v

@@ -120,6 +120,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("direction basis is right-handed orthonormal off the Z axis") {
+    val gen = for {
+      dx <- Gen.chooseNum(-5.0, 5.0); dy <- Gen.chooseNum(-5.0, 5.0)
+      dz <- Gen.chooseNum(-5.0, 5.0)
+    } yield (dx, dy, dz)
+    forSamples(gen, 30) { case (dx, dy, dz) =>
+      // skip degenerate inputs (zero / Z-parallel), where the
+      // reference's 1e-9 guard intentionally yields near-zero rows
+      if (math.sqrt(dx * dx + dy * dy) > 1e-3) {
+        val m = Rotations.directionBasis(dx, dy, dz)
+        for (i <- 0 until 3; j <- 0 until 3) {
+          val dot = m(i)(0) * m(j)(0) + m(i)(1) * m(j)(1) + m(i)(2) * m(j)(2)
+          assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6, s"rows $i,$j dot=$dot")
+        }
+        // right x up = fwd (right-handed, rows in reference vstack order)
+        val cx = m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)
+        val cy = m(0)(2) * m(1)(0) - m(0)(0) * m(1)(2)
+        val cz = m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)
+        assert(math.abs(cx - m(2)(0)) < 1e-6 && math.abs(cy - m(2)(1)) < 1e-6 &&
+          math.abs(cz - m(2)(2)) < 1e-6)
+        // fwd preserves the input direction
+        val n = math.sqrt(dx * dx + dy * dy + dz * dz)
+        assert(math.abs(m(2)(0) * n - dx) < 1e-4)
+      }
+    }
+  }
+
   test("euler and quaternion agree on pure yaw rotation") {
     forSamples(Gen.chooseNum(-179.0, 179.0), 10) { deg =>
       val half = math.toRadians(deg) / 2
@@ -127,6 +154,15 @@ class PropertySpec extends AnyFunSuite {
       val me = Rotations.eulerToMatrix(deg, 0, 0)
       for (i <- 0 until 3; j <- 0 until 3)
         assert(math.abs(mq(i)(j) - me(i)(j)) < 1e-9)
+    }
+  }
+
+  test("heading from a direction basis recovers the XY bearing") {
+    forSamples(Gen.chooseNum(-179.0, 179.0), 15) { deg =>
+      val r = math.toRadians(deg)
+      val m = Rotations.directionBasis(math.cos(r), math.sin(r), 0.3)
+      // fwd row keeps the XY bearing of the input direction
+      assert(math.abs(Rotations.headingFromMatrix(m) - deg) < 1e-6)
     }
   }
 
