@@ -284,7 +284,38 @@ object CorpusOps {
       .orderBy("split", "source")
   }
 
+  /** Deterministic fixed-size per-stratum sample: EXACTLY k docs per
+    * source (fewer only if the stratum is smaller), chosen by md5
+    * rank — the eval-set construction primitive. Unlike the rate
+    * sample (q75), membership changes minimally as the corpus grows
+    * (a doc is displaced only when a smaller-hash doc arrives), and
+    * unlike `TABLESAMPLE` it is reproducible on any cluster layout.
+    * The per-stratum top-k compiles to WindowGroupLimit: each task
+    * prunes to k rows per source BEFORE the exchange, so the shuffle
+    * carries k·|sources| rows regardless of corpus size.
+    */
+  val SamplePerSource = 20
+
+  val q88StratifiedSample: QueryDef = QueryDef.sql(
+    "q88_stratified_sample",
+    s"""WITH h AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY hk, doc_id) AS rn FROM h)
+       |SELECT source, rn, doc_id, hk FROM r WHERE rn <= $SamplePerSource
+       |ORDER BY source, rn""".stripMargin) { (spark, dir) =>
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), hk.as("hk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SamplePerSource)
+      .select("source", "rn", "doc_id", "hk")
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
-    q82Repetition, q87SplitAssign)
+    q82Repetition, q87SplitAssign, q88StratifiedSample)
 }

@@ -152,12 +152,19 @@ object Dedup {
        |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
        |    AND x.doc_id < y.doc_id)""".stripMargin
 
-  /** Exact dedup: identical text collapses to the minimum doc_id. */
+  /** Exact dedup: identical text collapses to the minimum doc_id.
+    * Grouped on `md5(text)`, not the text itself, so the shuffle key
+    * is 32 chars instead of the full document — at 100 TB that is
+    * the difference between shuffling the corpus and shuffling a
+    * fingerprint table (same move as q54/q76/q80). The oracle groups
+    * by raw text: identical results unless MD5 collides, which at
+    * any realistic corpus size it does not.
+    */
   val q40ExactDedup: QueryDef = QueryDef.sql(
     "q40_exact_dedup",
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (spark, dir) =>
-    docs(spark, dir).groupBy("text")
+    docs(spark, dir).groupBy(md5(col("text")))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")

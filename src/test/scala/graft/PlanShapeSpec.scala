@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins: the scale properties the queries were
+  * designed around, asserted so a refactor can't silently regress
+  * them (e.g. a broadcast join degrading to sort-merge, a group
+  * top-k losing its map-side WindowGroupLimit prune, or a range join
+  * degenerating into a nested loop over all pairs).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("group top-k queries prune map-side (WindowGroupLimit)") {
+    for (q <- Seq("q54_window_dedup", "q88_stratified_sample", "q89_tfidf_topk"))
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost its group-limit prune")
+  }
+
+  test("global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q03_top_customers").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("interval join is a hash join on the series key, never BNLJ") {
+    val p = plan("q32_interval_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup shuffles the md5 of the text, not the text") {
+    assert(plan("q40_exact_dedup").contains("md5"))
+  }
+
+  test("KMV sketch aggregates partially before the exchange") {
+    // partial ObjectHashAggregate below the first Exchange = the
+    // bounded sketch state merges map-side
+    val p = plan("q84_kmv_distinct")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert(p.lastIndexOf("ObjectHashAggregate") > firstExchange,
+      "no partial sketch aggregation below the exchange")
+  }
+
+  test("token-shard prefix sum has no unpartitioned window over the corpus") {
+    // Optimized Window nodes print as
+    //   Window [exprs], [partitionKeys], [ordering]   (partitioned)
+    //   Window [exprs], [ordering]                    (global)
+    // — the only global one allowed is q81's tiny block-totals
+    // offset window (two-phase prefix sum), never one over the docs.
+    val p = SparkEntry.queries("q81_token_shards")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val windows = p.linesIterator.filter(_.trim.stripPrefix("+- ").startsWith("Window ")).toSeq
+    val globals = windows.filter(l => "\\], \\[".r.findAllIn(l).size == 1)
+    assert(windows.size >= 2, s"expected both prefix-sum windows, got:\n${windows.mkString("\n")}")
+    assert(globals.size == 1, s"expected exactly one global (block-totals) window:\n${windows.mkString("\n")}")
+    assert(globals.head.contains("bt"), "the global window must be over block totals, not docs")
+  }
+}
