@@ -97,5 +97,58 @@ object Sketches {
       .orderBy("user_id")
   }
 
-  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile)
+  /** Count-Min frequency sketch, probed with the 20 most frequent
+    * tokens against their exact counts.
+    *
+    * The sketch matrix (depth 4 × width 256 salted-hash buckets) is
+    * ONE map-side-combined count aggregate — D·W rows summarizing an
+    * arbitrarily large corpus, broadcast to the probe join. Merge
+    * across partitions is counter addition (associative), estimates
+    * are min-over-rows: integers end-to-end, so the overestimate
+    * guarantee (`cm_est >= n_exact`) and the exact values replay
+    * identically in DuckDB. At 100 TB the matrix relation IS the
+    * deliverable (vocab pruning / heavy-hitter pre-filter); the probe
+    * side here doubles as its accuracy report.
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+  val CmProbes = 20
+
+  val q90CmFreq: QueryDef = QueryDef.sql(
+    "q90_cm_freq",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |js AS (SELECT unnest([${(0 until CmDepth).mkString(", ")}]) AS j),
+       |cm AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || token), 1, 8))::BIGINT
+       |    % $CmWidth AS b, count(*) AS c
+       |  FROM toks CROSS JOIN js GROUP BY j, b),
+       |ex AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY token
+       |  ORDER BY n_exact DESC, token LIMIT $CmProbes),
+       |pb AS (SELECT token, n_exact, j,
+       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || token), 1, 8))::BIGINT % $CmWidth AS b
+       |  FROM ex CROSS JOIN js)
+       |SELECT pb.token, pb.n_exact, CAST(min(cm.c) AS BIGINT) AS cm_est
+       |FROM pb JOIN cm ON pb.j = cm.j AND pb.b = cm.b
+       |GROUP BY pb.token, pb.n_exact
+       |ORDER BY n_exact DESC, token""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    def bucket(tok: Column, j: Int): Column =
+      md5p32(concat(lit(j.toString), tok)) % CmWidth
+    val jb = (0 until CmDepth).map(j =>
+      struct(lit(j).as("j"), bucket(col("token"), j).as("b")))
+    val cm = toks
+      .select(explode(array(jb: _*)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.b").as("b"))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val probes = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(CmProbes)
+    probes
+      .select(col("token"), col("n_exact"), explode(array(jb: _*)).as("jb"))
+      .select(col("token"), col("n_exact"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .join(broadcast(cm), Seq("j", "b"))
+      .groupBy("token", "n_exact").agg(min("c").as("cm_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq)
 }

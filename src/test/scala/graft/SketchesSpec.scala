@@ -79,6 +79,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 50.0 && out.getDouble(2) == 95.0)
   }
 
+  test("count-min estimates never undercount (sf0.001)") {
+    val out = graft.operators.Sketches.q90CmFreq
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("cm_est")
+      assert(est >= exact, s"CM undercounted ${r.getAs[String]("token")}: $est < $exact")
+    }
+  }
+
   test("stream-stream join equals the batch self-join (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamRows = graft.streaming.StreamingSessions
