@@ -104,6 +104,14 @@ final class Session(s: Series, initial: EngineState) {
     */
   def annotatedSamples(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
+    // annotations live on the driver (user-authored, human-scale);
+    // guard the assumption so a programmatic caller bulk-loading
+    // machine-generated intervals gets a clear error instead of a
+    // driver OOM / oversized broadcast
+    require(current.annotations.size <= Session.MaxBroadcastAnnotations,
+      s"${current.annotations.size} annotations exceed the broadcast bound " +
+        s"(${Session.MaxBroadcastAnnotations}); load them as a DataFrame and " +
+        "use an interval join (see EventSeriesJoins.q32) instead")
     val ann = current.annotations.toDF()
     current.df.join(broadcast(ann),
       col(s.timeCol) >= col("start") && col(s.timeCol) <= col("end"), "left")
@@ -113,4 +121,11 @@ final class Session(s: Series, initial: EngineState) {
     case OpRecord("delete_segment", p, a, b) => Recipes.Op.DeleteSegment(a, b)
     case OpRecord("mark_bad", p, a, b) => Recipes.Op.MarkBad(a, b)
   })
+}
+
+object Session {
+  /** Ceiling on driver-held annotations eligible for the broadcast
+    * interval join in [[Session.annotatedSamples]].
+    */
+  val MaxBroadcastAnnotations: Int = 100000
 }
