@@ -272,6 +272,73 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8 embedding quantization with a rank-distortion report: each
+    * vector is scaled to its max-abs and rounded to [-127, 127], the
+    * top-5 search runs on the QUANTIZED dot product, and the exact
+    * cosine is carried beside the estimate so the distortion is
+    * visible row-by-row.
+    *
+    * This is the 4× memory-compression step a 100 TB ANN index
+    * actually deploys: the int8 table (64 bytes + one scale per
+    * vector) replaces the float corpus in the scan, and the integer
+    * dot product is exact arithmetic — order-insensitive, no float
+    * fold at all on the hot path; only the final rescale
+    * (scale_a·scale_b/127²) and the carried exact cosine touch
+    * doubles, in a fixed expression order shared with the oracle.
+    * (Assumes no all-zero vectors, like q45 — the corpus has none.)
+    */
+  val q91QuantizedTopK: QueryDef = QueryDef.sql(
+    "q91_quantized_topk",
+    s"""WITH qt AS (SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+       |      (s, x) -> greatest(s, x)) AS scale,
+       |    ${duckNorm("embedding")} AS nrm FROM embeddings),
+       |qv AS (SELECT vec_id, embedding, scale, nrm,
+       |    list_transform(embedding, x ->
+       |      CAST(round(x::DOUBLE / scale * 127.0) AS BIGINT)) AS qe FROM qt),
+       |q AS (SELECT vec_id AS q_id, qe AS qqe, scale AS qscale, nrm AS qnrm,
+       |    embedding AS qemb FROM qv WHERE vec_id < 10),
+       |c AS (SELECT q_id, vec_id,
+       |    round(CAST(list_reduce(list_transform(qqe, (x, i) -> x * qe[i]),
+       |        (s, x) -> s + x) AS DOUBLE)
+       |      / 16129.0 * qscale * scale / (sqrt(qnrm) * sqrt(nrm)), 6) AS est_cos,
+       |    round(${duckDot("qemb", "embedding")} /
+       |      (sqrt(qnrm) * sqrt(nrm)), 6) AS cos_exact
+       |  FROM q, qv WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, est_cos, cos_exact,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY est_cos DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, vec_id, est_cos, cos_exact, rank FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    // scale and qe land in ONE projection with scale also passed
+    // through, so CollapseProject cannot inline the max-abs aggregate
+    // into the transform lambda (it would re-run per element)
+    val qv = Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        expr("""aggregate(embedding, cast(0 as double),
+                |  (s, x) -> greatest(s, abs(cast(x as double))))""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        expr(normSql("embedding")).as("nrm"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) / scale * 127.0) as bigint))")
+          .as("qe"))
+      .persist() // probed twice: query side and candidate side
+    val q = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qe").as("qqe"),
+        col("scale").as("qscale"), col("nrm").as("qnrm"), col("embedding").as("qemb"))
+    val w = Window.partitionBy("q_id").orderBy(col("est_cos").desc, col("vec_id"))
+    qv.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("est_cos", round(
+        expr("""aggregate(zip_with(qqe, qe, (x, y) -> x * y), 0L, (s, x) -> s + x)""")
+          .cast("double") / lit(16129.0) * col("qscale") * col("scale") /
+          (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6))
+      .withColumn("cos_exact", round(
+        expr(dotSql("qemb", "embedding")) / (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id", "est_cos", "cos_exact", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
-    q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK)
+    q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK)
 }
