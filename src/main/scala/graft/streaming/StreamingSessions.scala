@@ -21,6 +21,14 @@ object StreamingSessions {
   final case class SessionRow(user_id: Long, session_id: Long, s_start: Double,
       s_end: Double, n: Long, total: Double)
 
+  /** Carried keyed state: the user's absolute first event time (the
+    * tn-axis origin must survive batch boundaries) plus the open
+    * session's aggregates, so the next micro-batch can extend or
+    * close it.
+    */
+  final case class SessState(t0: Double, sid: Long, start: Double,
+      end: Double, n: Long, sum: Long)
+
   val GapSeconds = 43200.0
 
   /** Stateful streaming stages allocate one state-store instance per
@@ -55,20 +63,34 @@ object StreamingSessions {
   private def micro(x: Double): Long =
     BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
-  /** Per-key batch handler: orders the user's events, splits on
-    * time gaps > [[GapSeconds]], emits one row per session. State is
-    * carried so a multi-batch deployment would resume correctly
-    * (last event time + open session aggregates).
+  /** Per-key batch handler: orders the batch's events for the user,
+    * RESUMES the open session from state (tn origin, session id,
+    * aggregates), splits on time gaps > [[GapSeconds]], and emits one
+    * row per session touched this batch. A session extended across
+    * the batch boundary is re-emitted with its updated aggregates —
+    * the upsert-sink contract (latest row per (user, session_id)
+    * wins), which StreamingSpec pins against the batch SQL over a
+    * two-micro-batch run. Single-batch (the oracle harness) is the
+    * degenerate case: empty state, every session emitted exactly
+    * once.
     */
   private def sessionize(userId: Long, rows: Iterator[Row],
-      state: GroupState[SessionRow]): Iterator[SessionRow] = {
+      state: GroupState[SessState]): Iterator[SessionRow] = {
     val evs = rows.map(r => (r.getAs[Double]("t"), Option(r.getAs[Any]("value"))
       .map(_.asInstanceOf[Double]))).toArray.sortBy(_._1)
     if (evs.isEmpty) return Iterator.empty
-    val t0 = evs.head._1
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
     val out = Vector.newBuilder[SessionRow]
-    var sid = 0L; var start = 0.0; var end = 0.0; var n = 0L; var sum = 0L
-    var prev = Double.NaN
+    // seed from the open session: sid 0 marks "none yet" (first
+    // session of a fresh key becomes sid 1, matching the batch SQL's
+    // 1-based running sum of break flags)
+    var sid = prior.map(_.sid).getOrElse(0L)
+    var start = prior.map(_.start).getOrElse(0.0)
+    var end = prior.map(_.end).getOrElse(0.0)
+    var n = prior.map(_.n).getOrElse(0L)
+    var sum = prior.map(_.sum).getOrElse(0L)
+    var prev = prior.map(_.end).getOrElse(Double.NaN)
     evs.foreach { case (t, v) =>
       val tn = t - t0
       if (n == 0 || tn - prev > GapSeconds) {
@@ -77,27 +99,37 @@ object StreamingSessions {
       }
       end = tn; n += 1; sum += v.map(micro).getOrElse(0L); prev = tn
     }
-    if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
-    val sessions = out.result()
-    state.update(sessions.last)
-    sessions.iterator
+    out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
+    state.update(SessState(t0, sid, start, end, n, sum))
+    out.result().iterator
+  }
+
+  /** The sessionization stream over a directory of event-parquet
+    * files. `oneFilePerTrigger` forces one micro-batch per file —
+    * how StreamingSpec exercises the cross-batch resume path.
+    */
+  def sessionStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[SessionRow] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // file source requires a directory: glob-filter the events table
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    withTrigger.parquet(dir)
+      .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
   }
 
   /** Run the streaming sessionization to completion over the (one-
     * file) events table and return the collected result table.
     */
   def run(spark: SparkSession, dir: String, sinkName: String = "stream_sessions"): DataFrame = withStateShuffle(spark, 8) {
-    import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
-    // file source requires a directory: glob-filter the events table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
-    val sessions = stream
-      .groupByKey(_.getAs[Long]("user_id"))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
-    val q = sessions.writeStream
+    val q = sessionStream(spark, dir).writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode("append")

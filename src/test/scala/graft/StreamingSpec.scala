@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingSessions
+import graft.streaming.StreamingSessions.SessionRow
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Streaming semantics beyond the single-batch oracle harness: the
+  * keyed session state must RESUME across micro-batches (tn origin,
+  * open-session aggregates, session numbering), with re-emissions of
+  * a boundary-crossing session resolving by the upsert contract
+  * (latest (user, session_id) row wins). The final upserted view must
+  * equal the one-batch run exactly.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionization resumes across micro-batches (upsert = batch result)") {
+    val dir = "/root/testdata/sf0.001"
+    // split events into two files ON TIME (ordered arrival, as a real
+    // ingest would deliver them) so batch 2 continues batch 1's data
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    // flatten the two part files into lexicographically ordered names
+    // so maxFilesPerTrigger=1 replays them in time order
+    val fs = new java.io.File(tmp)
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+
+    // drive the two-batch stream through foreachBatch, upserting by key
+    val upserted = mutable.LinkedHashMap[(Long, Long), SessionRow]()
+    var batches = 0
+    val q = StreamingSessions
+      .sessionStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SessionRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted((r.user_id, r.session_id)) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+
+    val single = StreamingSessions.run(spark, dir, "streaming_spec_single")
+      .as[SessionRow].collect()
+      .map(r => (r.user_id, r.session_id) -> r).toMap
+    assert(upserted.size == single.size,
+      s"multi-batch upsert has ${upserted.size} sessions, single-batch ${single.size}")
+    upserted.foreach { case (k, r) =>
+      val s = single(k)
+      assert(r == s, s"session $k diverged:\n  multi : $r\n  single: $s")
+    }
+  }
+}
