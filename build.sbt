@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g measured vs 8g on the full sf0.1 bench: 87s vs 102s total,
+  // and the worst single query dropped 14.8s -> 1.7s — the 88-query
+  // local[32] session accumulates enough old-gen (codegen classes,
+  // broadcasts, shuffle buffers) that 8g spends whole queries in GC.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -30,11 +30,25 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged
     // for executor + whole-stage-codegen compilation.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.allQueries.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
+    // Local profiling aid: SPARK_GRAFT_ONLY=q66,q29 restricts the run
+    // (substring match); the driver never sets it, so per-round bench
+    // behavior is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.allQueries.filter(q => pats.exists(q.name.contains))
+      case None => SparkEntry.allQueries
+    }
+    // SPARK_GRAFT_REPEAT=3 reports the best of 3 runs per query —
+    // profiling aid to separate steady-state cost from codegen/JIT
+    // noise. Driver runs use the default of 1.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val results = selected.map { q =>
+      val dt = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       // scope caches per query: intra-query persists (self-join
       // intermediates) stay effective, but nothing leaks into the
       // next query's memory budget — in a 69-query session the
