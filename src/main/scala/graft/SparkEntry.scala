@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.EventSeries.all ++
       operators.EventSeriesJoins.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.TextOps.all ++
-      operators.CorpusOps.all ++ operators.Sketches.all ++
+      operators.CorpusOps.all ++ operators.PipelineOps.all ++
+      operators.Sketches.all ++
       operators.Multimodal.all ++ operators.RecipeQueries.all ++
       streaming.StreamingSessions.all
 

@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of training-data-pipeline operators: semi-structured
+  * extraction, corpus-frequency chunk dedup (CCNet-style), Bloom-set
+  * contamination probing, unigram surprisal scoring, temperature
+  * mixture weighting, and embedding label centroids.
+  *
+  * Determinism policy (same as the rest of the engine): every float
+  * that feeds a comparison or a hash-checked output is either an
+  * exact integer computation (counts, fixed-point quantities,
+  * floor-log2 via binary-string length), a correctly-rounded IEEE
+  * primitive computed identically on both engines (sqrt, a single
+  * division), or rounded after an order-insensitive integer sum.
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+
+  /** md5-based bucket in [0, n) over a stable id — the deterministic
+    * sampling primitive shared with q75/q87.
+    */
+  private def md5Bucket(c: Column, n: Long): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % n
+
+  private def duckMd5Bucket(inner: String, n: Long): String =
+    s"('0x' || substr(md5($inner::VARCHAR), 1, 8))::BIGINT % $n"
+
+  /** Semi-structured property extraction: events carry a JSON `props`
+    * payload (the reference's annotation JSON is the analogue —
+    * annotation_manager + project JSON, SURVEY §2.1); extract a typed
+    * field with a JSON-path expression and aggregate it per event
+    * type. Pure projection + one hash aggregate; integer sums are
+    * exact so no rounding is involved anywhere.
+    */
+  val q92PropsExtract: QueryDef = QueryDef.sql(
+    "q92_props_extract",
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+      |FROM (SELECT event_type, user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+  }
+
+  /** CCNet-style corpus-frequency chunk dedup: split each document
+    * into fixed 4-word chunks, count each chunk's document frequency
+    * across the corpus, and drop chunks appearing in >= 3 documents
+    * (boilerplate). Reports per-document kept fraction.
+    *
+    * Scale shape: explode -> hash-aggregate the chunk relation
+    * (map-side combine collapses repeats before the shuffle) ->
+    * shuffle join back on the 8-byte chunk hash (NOT the chunk text)
+    * -> per-doc re-aggregate. The frequency table is corpus-sized so
+    * it is joined, never broadcast/collected.
+    */
+  val ChunkWords = 4
+  val BoilerplateDf = 3
+
+  val q93ChunkDedup: QueryDef = QueryDef.sql(
+    "q93_chunk_dedup",
+    s"""WITH c AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, (len(ws) + ${ChunkWords - 1}) // $ChunkWords),
+       |    i -> ${TextHash.duckBase32(
+      s"array_to_string(ws[(i-1)*$ChunkWords+1:(i-1)*$ChunkWords+$ChunkWords], ' ')")})) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM c GROUP BY h),
+       |j AS (SELECT doc_id, count(*) AS n_chunks,
+       |    count(*) FILTER (df < $BoilerplateDf) AS n_kept
+       |  FROM c JOIN f USING (h) GROUP BY doc_id)
+       |SELECT doc_id, n_chunks, n_kept,
+       |  round(CAST(n_kept AS DOUBLE) / n_chunks, 6) AS kept_frac
+       |FROM j ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val nChunks = ceil(size(col("ws")) / lit(ChunkWords.toDouble)).cast("int")
+    val chunkAt = (i: Column) =>
+      TextHash.base32(concat_ws(" ",
+        slice(col("ws"), i * ChunkWords + 1, lit(ChunkWords))))
+    val chunks = docs(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), chunkAt)).as("h"))
+    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("df") < BoilerplateDf, 1)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-filter contamination probe: the scale path of q77. The
+    * benchmark set's shingles are folded into a Bloom bit-set
+    * (m = 2^16 positions, 3 affine hashes over the shared 32-bit base
+    * hash); the corpus is scanned once, each shingle probing all 3
+    * positions — a shingle "hits" iff every position is set, so false
+    * positives are possible (honest Bloom semantics) but misses are
+    * not. At 100 TB the positions relation is a fixed 2^16-row
+    * broadcast regardless of benchmark size, where q77's exact
+    * shingle set grows with the benchmark.
+    *
+    * Everything is integer arithmetic — hash, positions, counts — so
+    * both engines agree bit-for-bit.
+    */
+  val BloomBits = 65536L
+
+  val q94BloomContamination: QueryDef = {
+    val ps = TextHash.perms.take(3)
+    def duckPos(h: String) = ps.map { case (_, a, b) =>
+      s"($a * $h + $b) % ${TextHash.Prime} % $BloomBits" }
+    QueryDef.sql(
+      "q94_bloom_contamination",
+      s"""WITH ${TextHash.duckShingleCte()},
+         |d AS (SELECT doc_id, h FROM (SELECT doc_id, list_distinct(list(h)) AS hs
+         |    FROM sh GROUP BY doc_id), unnest(hs) AS u(h)),
+         |pos AS (SELECT DISTINCT unnest([${duckPos("h").mkString(", ")}]) AS p
+         |  FROM d WHERE doc_id % 50 = 0),
+         |pr AS (SELECT doc_id, h, unnest([${duckPos("h").mkString(", ")}]) AS p
+         |  FROM d WHERE doc_id % 50 <> 0),
+         |m AS (SELECT doc_id, h, count(pos.p) AS nm
+         |  FROM pr LEFT JOIN pos USING (p) GROUP BY doc_id, h),
+         |r AS (SELECT doc_id, count(*) AS n_sh,
+         |    count(*) FILTER (nm = 3) AS n_bloom FROM m GROUP BY doc_id)
+         |SELECT doc_id, n_sh, n_bloom FROM r WHERE n_bloom > 0
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val posArr = (h: Column) => array(ps.map { case (_, a, b) =>
+        (lit(a) * h + lit(b)) % TextHash.Prime % BloomBits }: _*)
+      val sh = docs(spark, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(array_distinct(TextHash.shingleHashesFromWords(col("ws")))).as("h"))
+      val positions = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(posArr(col("h"))).as("p")).distinct()
+        .withColumn("set", lit(1))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("h"), explode(posArr(col("h"))).as("p"))
+        .join(broadcast(positions), Seq("p"), "left")
+        .groupBy("doc_id", "h")
+        .agg(count(col("set")).as("nm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(when(col("nm") === 3, 1)).as("n_bloom"))
+        .filter(col("n_bloom") > 0)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Unigram surprisal scoring — the cheap LM-quality signal: a
+    * document's mean per-token surprisal against the corpus unigram
+    * distribution. Surprisal is measured in EXACT integer bits,
+    * floor(log2(T / cnt)) computed as the bit-length of the integer
+    * quotient (binary-string length - 1) — no floating log anywhere,
+    * so the score is reproducible bit-for-bit on any engine and any
+    * reduction order. High mean surprisal = rare-token gibberish; low
+    * = boilerplate.
+    *
+    * Scale shape: one explode + map-side-combined vocab aggregate,
+    * one one-row total broadcast, one shuffle join of tokens to vocab
+    * on the token key, one per-doc aggregate. The vocab relation is
+    * heavy-tailed but ~1e8 rows at web scale — it stays distributed
+    * (joined, not collected).
+    */
+  val q95SurprisalBits: QueryDef = QueryDef.sql(
+    "q95_surprisal_bits",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      |b AS (SELECT token, length(printf('%b', total // cnt)) - 1 AS bits FROM v, tot),
+      |d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS bits_sum
+      |  FROM t JOIN b USING (token) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, bits_sum,
+      |  round(CAST(bits_sum AS DOUBLE) / n_tokens, 6) AS avg_bits
+      |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
+    toks.join(bits, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_tokens"), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-weighted mixture sampling (alpha = 0.5): per-source
+    * sampling weights proportional to sqrt(token count) — the
+    * standard low-resource up-weighting — realized as exact
+    * parts-per-million rates, then applied with the md5-bucket
+    * deterministic sampler. sqrt is IEEE-correctly-rounded (bit-equal
+    * on both engines); the weight normalization is integer fixed
+    * point end-to-end, so rates and membership are exactly
+    * reproducible.
+    *
+    * Scale shape: per-source totals are a tiny aggregate broadcast
+    * back onto the corpus projection; sampling stays a pure per-row
+    * predicate (no shuffle beyond the final per-source rollup).
+    */
+  val q96MixtureSample: QueryDef = QueryDef.sql(
+    "q96_mixture_sample",
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wq FROM s),
+       |r AS (SELECT *, wq * 1000000 // (SELECT CAST(sum(wq) AS BIGINT) FROM w) AS rate_ppm FROM w),
+       |k AS (SELECT d.source, count(*) AS n_sampled
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE ${duckMd5Bucket("d.doc_id", 1000000L)} < r.rate_ppm
+       |  GROUP BY d.source)
+       |SELECT r.source, n_docs, n_tokens, rate_ppm,
+       |  coalesce(n_sampled, 0) AS n_sampled
+       |FROM r LEFT JOIN k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val bySource = d
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val rates = bySource
+      .crossJoin(broadcast(bySource.agg(sum("wq").as("wt"))))
+      .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
+      .select("source", "n_docs", "n_tokens", "rate_ppm")
+    val sampled = d
+      .join(broadcast(rates.select("source", "rate_ppm")), "source")
+      .filter(md5Bucket(col("doc_id"), 1000000L) < col("rate_ppm"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Per-label embedding centroids — the k-means M-step / class
+    * prototype primitive. Embeddings explode to (label, dim, value)
+    * long form; components quantize to integer micro-units BEFORE the
+    * sum so the centroid is independent of reduction order, then one
+    * hash aggregate per (label, dim) computes the mean.
+    *
+    * Scale shape: posexplode + hash aggregate = one shuffle of
+    * (n_vectors x dims) narrow rows with map-side partial sums; no
+    * window, no collect. The float->double cast and the 1e6 scaling
+    * are exact IEEE ops, identical on both engines.
+    */
+  val q97LabelCentroids: QueryDef = QueryDef.sql(
+    "q97_label_centroids",
+    """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+      |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+      |    / count(*) / 1e6, 6) AS centroid
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum("q").cast("double") / count(lit(1)) / 1e6, 6).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
+    q94BloomContamination, q95SurprisalBits, q96MixtureSample,
+    q97LabelCentroids)
+}

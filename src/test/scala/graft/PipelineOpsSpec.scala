@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{CorpusOps, PipelineOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the second-wave pipeline operators (q92-q97) that
+  * the oracle hash can't express directly: Bloom-superset semantics,
+  * exact-bits surprisal, fixed-point rate normalization, centroid
+  * parity with the naive float mean.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q92 JSON extraction: per-type sums reconcile with a raw parse") {
+    val out = PipelineOps.q92PropsExtract.fn(spark, sfDir)
+    val total = out.agg(sum("k_sum")).as[Long].head()
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(sum("k")).as[Long].head()
+    assert(total == raw)
+    assert(out.filter(col("k_min") > col("k_max")).isEmpty)
+  }
+
+  test("q93 chunk dedup: chunk count is ceil(words/4), kept <= total") {
+    val out = PipelineOps.q93ChunkDedup.fn(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / 4.0).cast("long").as("expect"))
+    val bad = out.join(docs, "doc_id")
+      .filter(col("n_chunks") =!= col("expect") ||
+        col("n_kept") > col("n_chunks") || col("n_kept") < 0)
+    assert(bad.isEmpty)
+  }
+
+  test("q94 bloom probe has no false negatives vs the exact q77 probe") {
+    val bloom = PipelineOps.q94BloomContamination.fn(spark, sfDir)
+      .select(col("doc_id"), col("n_bloom"))
+    val exact = CorpusOps.q77Contamination.fn(spark, sfDir)
+      .select(col("doc_id"), col("n_hit"))
+    // every exactly-contaminated doc appears with at least as many
+    // bloom hits (bloom can only over-report)
+    val missed = exact.join(bloom, Seq("doc_id"), "left")
+      .filter(col("n_bloom").isNull || col("n_bloom") < col("n_hit"))
+    assert(missed.isEmpty)
+  }
+
+  test("q95 surprisal bits = floor(log2(total div cnt)), exactly") {
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    val rows = vocab.select(col("cnt")).as[Long].collect()
+    rows.foreach { cnt =>
+      val bits = 63 - java.lang.Long.numberOfLeadingZeros(total / cnt)
+      val viaBin = java.lang.Long.toBinaryString(total / cnt).length - 1
+      assert(bits == viaBin)
+    }
+    // and the per-doc average is bounded by the max single-token bits
+    val out = PipelineOps.q95SurprisalBits.fn(spark, sfDir)
+    val maxBits = java.lang.Long.toBinaryString(total).length - 1
+    assert(out.filter(col("avg_bits") > maxBits || col("avg_bits") < 0).isEmpty)
+  }
+
+  test("q96 mixture rates: ppm normalized, sampling respects the rate") {
+    val out = PipelineOps.q96MixtureSample.fn(spark, sfDir)
+    val ppmSum = out.agg(sum("rate_ppm")).as[Long].head()
+    assert(ppmSum <= 1000000L, s"ppm sum $ppmSum")
+    // integer floor division loses < n_sources ppm
+    assert(ppmSum > 1000000L - out.count(), s"ppm sum $ppmSum")
+    assert(out.filter(col("n_sampled") > col("n_docs")).isEmpty)
+  }
+
+  test("q97 centroids match the naive float mean within quantization") {
+    val out = PipelineOps.q97LabelCentroids.fn(spark, sfDir)
+    val naive = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("m"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("m"))
+    val off = out.join(naive, Seq("label", "dim"))
+      .filter(abs(col("centroid") - col("m")) > 1e-5)
+    assert(off.isEmpty)
+    // one row per (label, dim)
+    val dims = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).as[Int].head()
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(countDistinct("label")).as[Long].head()
+    assert(out.count() == dims * labels)
+  }
+}
