@@ -274,7 +274,154 @@ object PipelineOps {
       .orderBy("label", "dim")
   }
 
+  /** Per-series lag-1 autocorrelation — the signal-regularity score a
+    * trimming pipeline uses to spot dead/noisy channels (reference's
+    * suggestion heuristics are derivative-threshold cousins,
+    * main.py:1279-1308). Pearson r over (x_t, x_{t-1}) pairs from
+    * EXACT integer moments: values quantize to milli-units, the six
+    * sums (n, Sx, Sy, Sxx, Syy, Sxy) are overflow-checked bigints
+    * (|q| <= 5.6e5 here => n·q² < 2^63 up to ~29M rows/series), and
+    * the final r is one shared IEEE expression over exact inputs —
+    * bit-identical on any engine at any reduction order.
+    *
+    * One shuffle: the lag window and the per-user aggregate share the
+    * user_id partitioning.
+    */
+  val q98Autocorr: QueryDef = QueryDef.sql(
+    "q98_autocorr",
+    s"""WITH s AS (SELECT user_id, event_id,
+       |    t - min(t) OVER (PARTITION BY user_id) AS tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q
+       |  FROM (${graft.sources.Tables.seriesSql})),
+       |p AS (SELECT user_id, q AS x,
+       |    lag(q) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS y FROM s),
+       |m AS (SELECT user_id, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM p WHERE y IS NOT NULL GROUP BY user_id)
+       |SELECT user_id, n AS n_pairs,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
+       |FROM m WHERE n >= 2 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val byUser = Window.partitionBy("user_id")
+    val ordered = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val p = graft.sources.Tables.series(spark, dir)
+      .withColumn("tn", col("t") - min("t").over(byUser))
+      .withColumn("x", round(col("value") * 1e3).cast("long"))
+      .withColumn("y", lag("x", 1).over(ordered))
+      .filter(col("y").isNotNull)
+    val m = p.groupBy("user_id").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    m.filter(col("n") >= 2)
+      .select(col("user_id"), col("n").as("n_pairs"),
+        when(dx === 0 || dy === 0, lit(null))
+          .otherwise(round(num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+      .orderBy("user_id")
+  }
+
+  /** Funnel analysis: how far each user progresses through
+    * view -> click (within 12 h of the first view) -> purchase
+    * (within 3 days of that click), plus the mean view->purchase
+    * latency of full converters. Stage timestamps are conditional
+    * partition-window minima riding ONE user_id shuffle; the latency
+    * mean is an order-insensitive integer micro-unit sum. All
+    * comparisons are on the shared bit-exact time axis, so both
+    * engines agree exactly.
+    */
+  val ClickWindowSec = 43200.0
+  val BuyWindowSec = 259200.0
+
+  val q99Funnel: QueryDef = QueryDef.sql(
+    "q99_funnel",
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    t - min(t) OVER (PARTITION BY user_id) AS tn
+       |  FROM (${graft.sources.Tables.seriesSql})),
+       |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_view FROM s),
+       |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND tn > t_view
+       |    AND tn <= t_view + $ClickWindowSec THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_click FROM v),
+       |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tn > t_click
+       |    AND tn <= t_click + $BuyWindowSec THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_buy FROM c),
+       |u AS (SELECT DISTINCT user_id, t_view, t_click, t_buy FROM p),
+       |g AS (SELECT user_id,
+       |    CASE WHEN t_buy IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2
+       |         WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       |    t_buy - t_view AS conv FROM u)
+       |SELECT stage, count(*) AS n_users,
+       |  round(CAST(sum(CAST(round(conv * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / count(conv) / 1e6, 6) AS avg_convert_sec
+       |FROM g GROUP BY stage ORDER BY stage""".stripMargin) { (spark, dir) =>
+    val byUser = Window.partitionBy("user_id")
+    val staged = graft.sources.Tables.seriesNorm(spark, dir)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tn"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tn") > col("t_view")
+          && col("tn") <= col("t_view") + ClickWindowSec, col("tn"))).over(byUser))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase" && col("tn") > col("t_click")
+          && col("tn") <= col("t_click") + BuyWindowSec, col("tn"))).over(byUser))
+      .select("user_id", "t_view", "t_click", "t_buy").distinct()
+      .withColumn("stage",
+        when(col("t_buy").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+      .withColumn("conv", col("t_buy") - col("t_view"))
+    staged.groupBy("stage")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(round(col("conv") * 1e6).cast("long")).cast("double")
+          / count(col("conv")) / 1e6, 6).as("avg_convert_sec"))
+      .orderBy("stage")
+  }
+
+  /** Cross-document repeated-span detection — the exact-substring
+    * dedup primitive (the suffix-array approach's distributable
+    * cousin): every 8-word span is keyed by its full 128-bit md5;
+    * spans appearing in >= 2 distinct documents come back with the
+    * occurrence census and an exactness witness (min(span) = max(span)
+    * inside the hash group proves all group members are the identical
+    * string, so a hash collision cannot masquerade as a duplicate).
+    *
+    * Scale shape: explode -> one hash aggregate keyed on the 32-char
+    * digest with map-side combine; no self-join, no pair explosion.
+    */
+  val SpanWords = 8
+
+  val q100RepeatedSpans: QueryDef = QueryDef.sql(
+    "q100_repeated_spans",
+    s"""WITH sp AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(ws) - ${SpanWords - 1}),
+       |    i -> array_to_string(ws[i:i+${SpanWords - 1}], ' '))) AS span
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |g AS (SELECT md5(span) AS h, count(DISTINCT doc_id) AS n_docs,
+       |    count(*) AS n_occur, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |    (min(span) = max(span)) AS exact
+       |  FROM sp GROUP BY md5(span))
+       |SELECT h, n_docs, n_occur, first_doc, last_doc, exact
+       |FROM g WHERE n_docs >= 2 ORDER BY h""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextHash.shinglesFromWords(col("ws"), SpanWords)).as("span"))
+      .groupBy(md5(col("span")).as("h"))
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        (min("span") === max("span")).as("exact"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("h")
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
-    q97LabelCentroids)
+    q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans)
 }

@@ -73,6 +73,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_sampled") > col("n_docs")).isEmpty)
   }
 
+  test("q98 autocorrelation r is in [-1, 1] and matches corr() closely") {
+    val out = PipelineOps.q98Autocorr.fn(spark, sfDir)
+    assert(out.filter(col("r") > 1.0 || col("r") < -1.0).isEmpty)
+    // parity with Spark's float corr on the quantized series
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tn", "event_id")
+    val naive = graft.sources.Tables.seriesNorm(spark, sfDir)
+      .withColumn("x", round(col("value") * 1e3).cast("long"))
+      .withColumn("y", lag("x", 1).over(ordered))
+      .filter(col("y").isNotNull)
+      .groupBy("user_id").agg(corr("x", "y").as("c"))
+    val off = out.join(naive, "user_id")
+      .filter(abs(col("r") - col("c")) > 1e-6)
+    assert(off.isEmpty)
+  }
+
+  test("q99 funnel stages partition the users, latency only at stage 3") {
+    val out = PipelineOps.q99Funnel.fn(spark, sfDir)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).as[Long].head()
+    assert(out.agg(sum("n_users")).as[Long].head() == users)
+    assert(out.filter(col("stage") =!= 3 && col("avg_convert_sec").isNotNull).isEmpty)
+    assert(out.filter(col("avg_convert_sec") < 0).isEmpty)
+  }
+
+  test("q100 repeated spans: every reported span is an exact duplicate") {
+    val out = PipelineOps.q100RepeatedSpans.fn(spark, sfDir)
+    // the min=max witness must hold for every group (md5 collisions
+    // would show up here as exact=false)
+    assert(out.filter(!col("exact")).isEmpty)
+    assert(out.filter(col("n_occur") < col("n_docs") ||
+      col("first_doc") > col("last_doc")).isEmpty)
+  }
+
   test("q97 centroids match the naive float mean within quantization") {
     val out = PipelineOps.q97LabelCentroids.fn(spark, sfDir)
     val naive = graft.sources.Tables.embeddings(spark, sfDir)
