@@ -389,10 +389,52 @@ object EventSeries {
       .orderBy("user_id", "event_id", "channel")
   }
 
+  /** A1's robust sibling: median/MAD normalization. Milli-unit
+    * integer quantization makes both percentiles exact dyadic
+    * rationals — bit-reproducible on any engine, any reduction order
+    * (see [[SeriesOps.robustZscore]]).
+    */
+  val q101RobustZscore: QueryDef = QueryDef.sql(
+    "q101_robust_zscore",
+    s"""$S, qv AS (SELECT user_id, event_id, tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q FROM s),
+       |m AS (SELECT *, quantile_cont(q, 0.5) OVER (PARTITION BY user_id) AS med FROM qv),
+       |d AS (SELECT *, quantile_cont(abs(q - med), 0.5)
+       |    OVER (PARTITION BY user_id) AS mad FROM m)
+       |SELECT user_id, event_id, tn,
+       |  round((q - med) / (CASE WHEN mad = 0 OR mad IS NULL THEN 1.0
+       |    ELSE 1.4826 * mad END), 6) AS rz
+       |FROM d ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.robustZscore(Tables.seriesNorm(spark, dir), s, "value", "rz")
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("rz"), 6).as("rz"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Peak detection: strict local maxima above the per-series
+    * mean+2σ prominence floor computed from exact integer moments
+    * (see [[SeriesOps.peaks]]).
+    */
+  val q102Peaks: QueryDef = QueryDef.sql(
+    "q102_peaks",
+    s"""$S, qv AS (SELECT user_id, event_id, tn, value,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q FROM s),
+       |w AS (SELECT *, lag(q) OVER ($OW) AS pq, lead(q) OVER ($OW) AS nq,
+       |    CAST(count(q) OVER (PARTITION BY user_id) AS DOUBLE) AS n,
+       |    CAST(sum(q) OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+       |    CAST(sum(q * q) OVER (PARTITION BY user_id) AS DOUBLE) AS s2 FROM qv),
+       |t AS (SELECT *, s1 / n + 2 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS thr FROM w)
+       |SELECT user_id, event_id, tn, value
+       |FROM t WHERE q > pq AND q > nq AND CAST(q AS DOUBLE) > thr
+       |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.peaks(Tables.seriesNorm(spark, dir), s, "value")
+      .select("user_id", "event_id", "tn", "value")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10TimeSlice, q11DeleteCollapse, q12MarkBad, q13Zscore, q14PercentNorm,
     q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
-    q71SeasonalFold, q72HeatmapMatrix)
+    q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks)
 }

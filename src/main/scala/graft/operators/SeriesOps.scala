@@ -70,6 +70,56 @@ object SeriesOps {
   def absolute(df: DataFrame, value: String, out: String): DataFrame =
     df.withColumn(out, abs(col(value)))
 
+  /** Robust z-score: `(x - median) / (1.4826 · MAD)`, the
+    * outlier-insensitive normalization (median/MAD instead of
+    * mean/std); MAD == 0 → divide by 1, mirroring [[zscore]]'s guard.
+    *
+    * Determinism: the input quantizes to milli-unit INTEGERS first,
+    * making every percentile an exact dyadic rational (an integer or
+    * integer+0.5, then quarters for the MAD) that both engines'
+    * interpolation formulas compute exactly — so the score is
+    * bit-reproducible, not merely close. The two whole-partition
+    * percentiles ride one series shuffle (two chained Window passes,
+    * no join-back), same shape as [[deleteCollapse]]'s median.
+    */
+  def robustZscore(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val q = round(col(value) * 1e3).cast("long")
+    val med = percentile(col("__q"), lit(0.5)).over(s.whole)
+    val mad = percentile(abs(col("__q") - col("__med")), lit(0.5)).over(s.whole)
+    df.withColumn("__q", q)
+      .withColumn("__med", med)
+      .withColumn("__mad", mad)
+      .withColumn(out, (col("__q") - col("__med")) /
+        when(col("__mad") === 0.0 || col("__mad").isNull, 1.0)
+          .otherwise(lit(1.4826) * col("__mad")))
+      .drop("__q", "__med", "__mad")
+  }
+
+  /** Local-maximum peak detection with a mean+kσ prominence floor —
+    * the spike-inspection cousin of the reference's suggestion
+    * heuristic (main.py:1279-1308). A row is a peak iff it strictly
+    * exceeds both neighbors AND the per-series threshold derived from
+    * EXACT integer moments of the milli-quantized values (same
+    * determinism scheme as the q31 islands threshold: Σq and Σq² are
+    * exact bigints, the k·σ expression is one shared IEEE tree).
+    * Everything rides a single series shuffle: two navigation lags
+    * and three whole-partition aggregates, no second aggregation.
+    */
+  def peaks(df: DataFrame, s: Series, value: String, k: Double = 2.0): DataFrame = {
+    val q = round(col(value) * 1e3).cast("long")
+    val prev = lag(col("__q"), 1).over(s.ordered)
+    val next = lead(col("__q"), 1).over(s.ordered)
+    val n = count(col("__q")).over(s.whole).cast("double")
+    val s1 = sum(col("__q")).over(s.whole).cast("double")
+    val s2 = sum(col("__q") * col("__q")).over(s.whole).cast("double")
+    val thr = s1 / n + lit(k) * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
+    df.withColumn("__q", q)
+      .withColumn("__pk",
+        col("__q") > prev && col("__q") > next && col("__q").cast("double") > thr)
+      .filter(col("__pk"))
+      .drop("__q", "__pk")
+  }
+
   // ---------------------------------------------------------------
   // Rolling windows (reference filter_engine.py:38-49, 74-77)
   // ---------------------------------------------------------------

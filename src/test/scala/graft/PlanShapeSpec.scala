@@ -51,6 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial sketch aggregation below the exchange")
   }
 
+  test("bloom probe broadcasts the positions set, never the corpus") {
+    val p = plan("q94_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), "positions join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("chunk dedup never FORCES a broadcast of the frequency table") {
+    // the chunk-frequency relation is corpus-sized: a broadcast HINT
+    // here would OOM the driver at scale. (The planner may still
+    // broadcast at toy SF from size stats — that's its call, made
+    // per-run from actual sizes; the pin is that we don't force it.)
+    val lp = SparkEntry.queries("q93_chunk_dedup")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("UnresolvedHint") && !lp.contains("ResolvedHint"),
+      "q93 must not hint the frequency join")
+  }
+
+  test("mixture sampling broadcasts the per-source rate table") {
+    assert(plan("q96_mixture_sample").contains("BroadcastHashJoin"))
+  }
+
+  test("repeated-span census is one aggregate, no self-join") {
+    val p = plan("q100_repeated_spans")
+    assert(!p.contains("Join"), s"q100 must not join:\n$p")
+  }
+
   test("token-shard prefix sum has no unpartitioned window over the corpus") {
     // Optimized Window nodes print as
     //   Window [exprs], [partitionKeys], [ordering]   (partitioned)

@@ -140,4 +140,28 @@ class SeriesOpsSpec extends AnyFunSuite {
       .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
     assert(r.toSeq == Seq(None, Some(10.0), Some(20.0)))
   }
+
+  test("robust zscore: median/MAD on milli-quantized values, MAD=0 guard") {
+    // values 1..5 with an outlier 100: med=3.5? n=6 -> med of
+    // (1,2,3,4,5,100)*1000 = 3500; |q-med| = (2500,1500,500,500,1500,96500)
+    // -> MAD = 1500
+    val d = df((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 100))
+    val rz = out(SeriesOps.robustZscore(d, s, "v", "rz"), "rz")
+    val expect = Seq(-2500.0, -1500.0, -500.0, 500.0, 1500.0, 96500.0)
+      .map(_ / (1.4826 * 1500.0))
+    approx(rz, expect)
+    // constant series: MAD=0 -> divide by 1, all zeros
+    approx(out(SeriesOps.robustZscore(df((0, 7), (1, 7), (2, 7)), s, "v", "rz"), "rz"),
+      Seq(0.0, 0.0, 0.0))
+  }
+
+  test("peaks: strict local maxima above mean+2s, edges never peak") {
+    // two candidate maxima; only the 50 spike clears mean+2s
+    val d = df((0, 1), (1, 3), (2, 1), (3, 50), (4, 1), (5, 2))
+    val p = SeriesOps.peaks(d, s, "v").select("t").as[Double].collect().toSeq
+    assert(p == Seq(3.0))
+    // plateau (equal neighbors) is not a strict peak
+    val flat = df((0, 1), (1, 9), (2, 9), (3, 1))
+    assert(SeriesOps.peaks(flat, s, "v", 0.0).count() == 0)
+  }
 }
