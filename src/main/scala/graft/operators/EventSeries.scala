@@ -431,10 +431,37 @@ object EventSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** One-sided CUSUM change-point rows: integer-exact closed form
+    * `S_t = C_t - min_{s<=t} C_s` over n·1000-scaled deviations
+    * (see [[SeriesOps.cusumChangepoints]]).
+    */
+  val q103Cusum: QueryDef = QueryDef.sql(
+    "q103_cusum",
+    s"""$S, qv AS (SELECT user_id, event_id, tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q FROM s),
+       |w AS (SELECT *, count(q) OVER (PARTITION BY user_id) AS n,
+       |    CAST(sum(q) OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+       |    CAST(sum(q * q) OVER (PARTITION BY user_id) AS BIGINT) AS s2 FROM qv),
+       |c AS (SELECT *, CAST(sum(n * q - s1) OVER ($OW
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs FROM w),
+       |m AS (SELECT *, cs - min(cs) OVER ($OW
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+       |      * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sigma FROM c)
+       |SELECT user_id, event_id, tn,
+       |  round(CAST(cusum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0), 6) AS cusum_score
+       |FROM m WHERE CAST(cusum AS DOUBLE) > 10.0 * sigma * CAST(n AS DOUBLE)
+       |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.cusumChangepoints(Tables.seriesNorm(spark, dir), s, "value")
+      .select(col("user_id"), col("event_id"), col("tn"),
+        round(col("cusum_score"), 6).as("cusum_score"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10TimeSlice, q11DeleteCollapse, q12MarkBad, q13Zscore, q14PercentNorm,
     q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
-    q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks)
+    q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum)
 }

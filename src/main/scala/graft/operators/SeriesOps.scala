@@ -95,6 +95,45 @@ object SeriesOps {
       .drop("__q", "__med", "__mad")
   }
 
+  /** One-sided CUSUM change-point detection. The textbook recursion
+    * `S_t = max(0, S_{t-1} + (x_t - mean))` is not window-expressible,
+    * but its closed form is: `S_t = C_t - min_{s<=t} C_s` with `C`
+    * the running sum of the deviations — two chained running windows
+    * on one series shuffle.
+    *
+    * Determinism: deviations are EXACT integers on a scale of
+    * n·1000 — `d_t = n·q_t - Σq` (milli-quantized values times the
+    * series length minus the exact integer sum), so the running sum,
+    * running min, and the threshold comparison are all integer
+    * arithmetic; nothing floats until the reported score. A row is a
+    * change-point when `S_t > k·σ_milli·n` (σ in the same milli-unit
+    * scale as the deviations, from the same exact moments — one
+    * shared IEEE tree on both engines). The default k = 10 is in
+    * units of σ·n/1000, i.e. a sustained excursion of about
+    * 10/sqrt(series length) standard deviations.
+    */
+  def cusumChangepoints(df: DataFrame, s: Series, value: String,
+      k: Double = 10.0): DataFrame = {
+    val q = round(col(value) * 1e3).cast("long")
+    val n = count(col("__q")).over(s.whole)
+    val s1 = sum(col("__q")).over(s.whole)
+    val s2 = sum(col("__q") * col("__q")).over(s.whole)
+    val dev = col("__n") * col("__q") - col("__s1") // exact, scale n*1000
+    val c = sum(col("__dev")).over(s.running)
+    val nD = col("__n").cast("double")
+    val sigma = sqrt(greatest(col("__s2").cast("double") / nD
+      - (col("__s1").cast("double") / nD) * (col("__s1").cast("double") / nD), lit(0.0)))
+    df.withColumn("__q", q)
+      .withColumn("__n", n).withColumn("__s1", s1).withColumn("__s2", s2)
+      .withColumn("__dev", dev)
+      .withColumn("__c", c)
+      .withColumn("__cusum", col("__c") - min(col("__c")).over(s.running))
+      .filter(col("__cusum").cast("double") > lit(k) * sigma * nD)
+      .withColumn("cusum_score",
+        col("__cusum").cast("double") / (nD * lit(1e3)))
+      .drop("__q", "__n", "__s1", "__s2", "__dev", "__c", "__cusum")
+  }
+
   /** Local-maximum peak detection with a mean+kσ prominence floor —
     * the spike-inspection cousin of the reference's suggestion
     * heuristic (main.py:1279-1308). A row is a peak iff it strictly

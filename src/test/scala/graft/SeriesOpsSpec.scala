@@ -155,6 +155,22 @@ class SeriesOpsSpec extends AnyFunSuite {
       Seq(0.0, 0.0, 0.0))
   }
 
+  test("cusum: flags the post-shift rows of a step series, none when flat") {
+    // 10 samples at 0, then 10 at 5: the cusum ramps after the step
+    val step = (0 until 20).map(i => (i.toDouble, if (i < 10) 0.0 else 5.0))
+    val d = df(step: _*)
+    val hits = SeriesOps.cusumChangepoints(d, s, "v", 5.0)
+      .select("t").as[Double].collect().toSeq.sorted
+    assert(hits.nonEmpty && hits.forall(_ >= 10.0), s"hits=$hits")
+    // monotone score growth along the ramp
+    val scores = SeriesOps.cusumChangepoints(d, s, "v", 5.0)
+      .orderBy("t").select("cusum_score").as[Double].collect().toSeq
+    assert(scores == scores.sorted)
+    // flat series: zero deviations, no change-points at any k
+    assert(SeriesOps.cusumChangepoints(df((0, 3), (1, 3), (2, 3)), s, "v", 0.0)
+      .count() == 0)
+  }
+
   test("peaks: strict local maxima above mean+2s, edges never peak") {
     // two candidate maxima; only the 50 spike clears mean+2s
     val d = df((0, 1), (1, 3), (2, 1), (3, 50), (4, 1), (5, 2))
