@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public DataFrame-level corpus pipeline API — the operators the
-  * declared queries (q40–q78) exercise, exposed as composable
+  * declared queries (q40–q100) exercise, exposed as composable
   * `DataFrame => DataFrame` stages for library users.
   *
   * Input contract: a corpus relation with a unique `doc_id` (long)
@@ -112,4 +112,76 @@ object Corpus {
       .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occur").desc, col("token"))
       .limit(k)
+
+  /** Per-document chunk-dedup census (q93): fixed `chunkWords`-word
+    * chunks, corpus document frequency on the chunk hash, chunks in
+    * >= `boilerplateDf` docs counted as dropped. Returns
+    * `(doc_id, n_chunks, n_kept, kept_frac)`.
+    */
+  def chunkDedup(corpus: DataFrame, chunkWords: Int = 4,
+      boilerplateDf: Int = 3): DataFrame = {
+    val nChunks = ceil(size(col("__ws")) / lit(chunkWords.toDouble)).cast("int")
+    val chunkAt = (i: org.apache.spark.sql.Column) =>
+      TextHash.base32(concat_ws(" ",
+        slice(col("__ws"), i * chunkWords + 1, lit(chunkWords))))
+    val chunks = corpus
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), chunkAt)).as("h"))
+    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("df") < boilerplateDf, 1)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_frac"))
+  }
+
+  /** Per-document unigram surprisal in exact integer bits (q95):
+    * `(doc_id, n_tokens, bits_sum, avg_bits)` against the corpus's
+    * own unigram distribution.
+    */
+  def surprisalBits(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bits = vocab.crossJoin(broadcast(vocab.agg(sum("cnt").as("total"))))
+      .select(col("token"),
+        (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
+    toks.join(bits, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_tokens"), 6).as("avg_bits"))
+  }
+
+  /** Temperature-weighted per-source sampling rates (q96, alpha=0.5):
+    * `(source, n_docs, n_tokens, rate_ppm)` — exact fixed-point ppm,
+    * apply with [[sampleBucket]] membership `bucket < rate_ppm` over
+    * one million buckets.
+    */
+  def mixtureRates(corpus: DataFrame): DataFrame = {
+    val bySource = corpus
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    bySource
+      .crossJoin(broadcast(bySource.agg(sum("wq").as("wt"))))
+      .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
+      .select("source", "n_docs", "n_tokens", "rate_ppm")
+  }
+
+  /** Cross-document repeated spans (q100): `spanWords`-word spans in
+    * >= 2 distinct docs, with the min=max exactness witness.
+    */
+  def repeatedSpans(corpus: DataFrame, spanWords: Int = 8): DataFrame =
+    corpus
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
+      .groupBy(md5(col("span")).as("h"))
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        (min("span") === max("span")).as("exact"))
+      .filter(col("n_docs") >= 2)
 }

@@ -76,6 +76,39 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(out == naive)
   }
 
+  test("chunkDedup facade matches the declared q93 result") {
+    val viaFacade = Corpus.chunkDedup(docs).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.PipelineOps.q93ChunkDedup.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
+  test("surprisalBits facade matches the declared q95 result") {
+    val viaFacade = Corpus.surprisalBits(docs).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.PipelineOps.q95SurprisalBits.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
+  test("mixtureRates facade matches the declared q96 rate columns") {
+    val viaFacade = Corpus.mixtureRates(docs).orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.PipelineOps.q96MixtureSample.fn(spark, sfDir)
+      .select("source", "n_docs", "n_tokens", "rate_ppm")
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
+  test("repeatedSpans facade matches the declared q100 result") {
+    val viaFacade = Corpus.repeatedSpans(docs).orderBy("h")
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.PipelineOps.q100RepeatedSpans.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
   test("nearDupPairs finds seeded near-duplicates and verifies jaccard") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq(
