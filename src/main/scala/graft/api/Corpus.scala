@@ -143,7 +143,7 @@ object Corpus {
     */
   def surprisalBits(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt")).persist()
     val bits = vocab.crossJoin(broadcast(vocab.agg(sum("cnt").as("total"))))
       .select(col("token"),
         (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
@@ -159,17 +159,17 @@ object Corpus {
     * apply with [[sampleBucket]] membership `bucket < rate_ppm` over
     * one million buckets.
     */
-  def mixtureRates(corpus: DataFrame): DataFrame = {
-    val bySource = corpus
+  def mixtureRates(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-    bySource
-      .crossJoin(broadcast(bySource.agg(sum("wq").as("wt"))))
+      // normalization = window over the tiny aggregated relation (one
+      // corpus scan), not a second aggregation lineage
+      .withColumn("wt", sum("wq").over(Window.partitionBy()))
       .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
       .select("source", "n_docs", "n_tokens", "rate_ppm")
-  }
 
   /** Cross-document repeated spans (q100): `spanWords`-word spans in
     * >= 2 distinct docs, with the min=max exactness witness.

@@ -185,7 +185,11 @@ object PipelineOps {
       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // persisted: the 1-row total and the bits projection both read the
+    // vocab aggregate; without it the corpus tokenizes twice. At web
+    // scale this is the relation to materialize to parquet (same note
+    // as Dedup's signature table). Bench/Verify clear caches per query.
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt")).persist()
     val total = vocab.agg(sum("cnt").as("total"))
     val bits = vocab.crossJoin(broadcast(total))
       .select(col("token"),
@@ -227,15 +231,22 @@ object PipelineOps {
        |FROM r LEFT JOIN k ON r.source = k.source
        |ORDER BY r.source""".stripMargin) { (spark, dir) =>
     val d = docs(spark, dir)
-    val bySource = d
+    // the weight normalization is a window over the ALREADY-AGGREGATED
+    // per-source relation (|sources| rows — trivially one partition),
+    // not a crossJoin against a second aggregation lineage: one corpus
+    // scan builds the rate table. It is persisted because two
+    // consumers (the sampler join and the final report) would
+    // otherwise each re-run that scan; Bench/Verify clear caches per
+    // query.
+    val rates = d
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-    val rates = bySource
-      .crossJoin(broadcast(bySource.agg(sum("wq").as("wt"))))
+      .withColumn("wt", sum("wq").over(Window.partitionBy()))
       .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
       .select("source", "n_docs", "n_tokens", "rate_ppm")
+      .persist()
     val sampled = d
       .join(broadcast(rates.select("source", "rate_ppm")), "source")
       .filter(md5Bucket(col("doc_id"), 1000000L) < col("rate_ppm"))
