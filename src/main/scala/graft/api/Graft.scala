@@ -4,6 +4,7 @@ import graft.engine.{Annotation, EngineState, FilterEngine, FilterSpec, Plugins,
 import graft.operators.SeriesOps.Series
 import graft.sources.{AnnotationStore, TrialReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Thin programmatic facade — the Spark-native equivalent of the
   * reference's headless API (/root/reference/README.md:279-302):
@@ -130,6 +131,27 @@ object Graft {
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
+  }
+
+  /** Partition-pruned parquet sink: directory-partition by low-
+    * cardinality keys (a reader filtering on them scans only matching
+    * directories — zero-IO pruning before the first task launches),
+    * sort rows WITHIN each output file by `sortCols` so min/max page
+    * statistics make point/range predicates skip row groups, and cap
+    * file size via `maxRecordsPerFile` so a hot partition can't emit
+    * one unsplittable multi-GB file. This is the layout contract for
+    * 100 TB curated-corpus output (e.g. partition by (split, lang),
+    * sort by quality).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
   }
 
   /** Persist session annotations/deletions/history (S6). */

@@ -78,13 +78,13 @@ object Plugins {
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         val filter = Option(op.get("filter")).map(_.asText()).getOrElse("moving_average")
         val params = Option(op.get("params")).map { p =>
-          p.fields().asScala
+          p.properties().asScala.iterator
             .filter(_.getValue.isNumber)
             .map(e => e.getKey -> e.getValue.asDouble())
             .toMap
         }.getOrElse(Map.empty[String, Double])
         val strParams = Option(op.get("params")).map { p =>
-          p.fields().asScala
+          p.properties().asScala.iterator
             .filter(_.getValue.isTextual)
             .map(e => e.getKey -> e.getValue.asText())
             .toMap

@@ -2,6 +2,7 @@ package graft
 
 import graft.api.Graft
 import graft.engine.{Annotation, FilterSpec}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -87,5 +88,34 @@ class GraftApiSpec extends AnyFunSuite {
     val expected = fact.groupBy("k").sum("v").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     joined.collect().foreach(r => assert(r.getDouble(1) == expected(r.getLong(0))))
+  }
+
+  test("partitioned write prunes directories and caps file size") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) "train" else "val", s"lang${i % 3}", i * 0.5))
+      .toDF("doc_id", "split", "lang", "quality")
+    Graft.writePartitioned(df, out, Seq("split", "lang"),
+      sortCols = Seq("quality"), maxRecordsPerFile = 100L)
+    // hive-style partition directories exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.sameElements(Array("split=train", "split=val")))
+    // a reader filtering on partition cols scans only matching files
+    val read = spark.read.parquet(out)
+    val pruned = read.filter(col("split") === "train" && col("lang") === "lang0")
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("split=val"), "partition pruning failed")
+    assert(read.count() == 1000)
+    // maxRecordsPerFile: no output file exceeds the cap
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    files.foreach { f =>
+      assert(spark.read.parquet(f).count() <= 100, s"$f exceeds maxRecordsPerFile")
+    }
+    // rows inside a file are sorted by the sort column
+    val one = spark.read.parquet(files.head).select("quality")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(one == one.sorted, "intra-file sort order lost")
   }
 }
