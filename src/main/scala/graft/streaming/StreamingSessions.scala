@@ -373,6 +373,104 @@ object StreamingSessions {
     runStreamJoin(spark, dir).orderBy("user_id", "p_event", "c_event")
   }
 
+  // ------------------------------------------------------------------
+  // Streaming funnel — the q99 state machine as keyed streaming state.
+  // ------------------------------------------------------------------
+
+  /** Per-user funnel progress carried across micro-batches: the tn
+    * origin plus the first-view / windowed-click / windowed-purchase
+    * timestamps (None = stage not reached yet).
+    */
+  final case class FunnelState(t0: Double, tView: Option[Double],
+      tClick: Option[Double], tBuy: Option[Double])
+
+  final case class FunnelRow(user_id: Long, t_view: Option[Double],
+      t_click: Option[Double], t_buy: Option[Double])
+
+  /** Sequential replay of q99's windowed-minima semantics: the first
+    * 'view' opens the funnel; the first 'click' strictly after it and
+    * within [[graft.operators.PipelineOps.ClickWindowSec]] advances
+    * it; the first 'purchase' strictly after that click and within
+    * [[graft.operators.PipelineOps.BuyWindowSec]] completes it. A
+    * time-ordered scan finds exactly the conditional minima the batch
+    * windows compute, and the state resumes across batch boundaries.
+    * Each batch re-emits the user's current row — upsert contract
+    * (latest per user wins), single-batch emits once per user.
+    */
+  private def funnelStep(userId: Long, rows: Iterator[Row],
+      state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), r.getAs[Long]("event_id"),
+      r.getAs[String]("event_type"))).toArray.sortBy(e => (e._1, e._2))
+    if (evs.isEmpty) return Iterator.empty
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
+    var tv = prior.flatMap(_.tView)
+    var tc = prior.flatMap(_.tClick)
+    var tb = prior.flatMap(_.tBuy)
+    evs.foreach { case (t, _, typ) =>
+      val tn = t - t0
+      typ match {
+        case "view" if tv.isEmpty => tv = Some(tn)
+        case "click" if tv.nonEmpty && tc.isEmpty && tn > tv.get &&
+          tn <= tv.get + graft.operators.PipelineOps.ClickWindowSec => tc = Some(tn)
+        case "purchase" if tc.nonEmpty && tb.isEmpty && tn > tc.get &&
+          tn <= tc.get + graft.operators.PipelineOps.BuyWindowSec => tb = Some(tn)
+        case _ =>
+      }
+    }
+    state.update(FunnelState(t0, tv, tc, tb))
+    Iterator.single(FunnelRow(userId, tv, tc, tb))
+  }
+
+  /** The per-user funnel stream (file source, one batch per file when
+    * `oneFilePerTrigger`).
+    */
+  def funnelStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[FunnelRow] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    withTrigger.parquet(dir)
+      .selectExpr("user_id", "event_id",
+        "cast(ts div 1000 as double) / 1e6 as t", "event_type")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(funnelStep)
+  }
+
+  /** Run the funnel stream over the (one-file) events table and fold
+    * the per-user rows into the q99 stage report.
+    */
+  def runFunnel(spark: SparkSession, dir: String,
+      sinkName: String = "stream_funnel"): DataFrame = withStateShuffle(spark, 8) {
+    val q = funnelStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+      .withColumn("stage",
+        when(col("t_buy").isNotNull, 3).when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+      .withColumn("conv", col("t_buy") - col("t_view"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(round(col("conv") * lit(1e6)).cast("long")).cast("double")
+          / count(col("conv")) / lit(1e6), 6).as("avg_convert_sec"))
+  }
+
+  /** Declared streaming query — oracle-checked against the SAME SQL
+    * as the batch funnel (q99): streaming and batch must agree.
+    */
+  val q104StreamFunnel: graft.QueryDef = graft.QueryDef.sql(
+    "q104_stream_funnel",
+    graft.operators.PipelineOps.q99Funnel.oracle.get) { (spark, dir) =>
+    runFunnel(spark, dir).orderBy("stage")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
-    q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin)
+    q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin,
+    q104StreamFunnel)
 }

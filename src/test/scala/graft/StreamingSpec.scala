@@ -65,4 +65,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(r == s, s"session $k diverged:\n  multi : $r\n  single: $s")
     }
   }
+
+  test("funnel state resumes across micro-batches (upsert = batch result)") {
+    import graft.streaming.StreamingSessions.FunnelRow
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+
+    val upserted = mutable.LinkedHashMap[Long, FunnelRow]()
+    var batches = 0
+    val q = StreamingSessions
+      .funnelStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted(r.user_id) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+
+    val single = StreamingSessions.funnelStream(spark, dir)
+    val sq = single.writeStream.format("memory")
+      .queryName("funnel_spec_single").outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val singleRows = spark.table("funnel_spec_single").as[FunnelRow].collect()
+      .map(r => r.user_id -> r).toMap
+    assert(upserted.size == singleRows.size)
+    upserted.foreach { case (k, r) =>
+      assert(r == singleRows(k), s"funnel $k diverged:\n  multi : $r\n  single: ${singleRows(k)}")
+    }
+  }
 }
