@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, PipelineOps, TextOps}
 import graft.functions.TextHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -63,9 +63,7 @@ object Corpus {
     * doc_id hash (q75): reproducible train/held-out splits.
     */
   def sampleBucket(corpus: DataFrame, buckets: Int = 100): DataFrame =
-    corpus.withColumn("bucket",
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % buckets)
+    corpus.withColumn("bucket", TextHash.md5Bucket(col("doc_id"), buckets))
 
   /** Per-document benchmark-overlap probe (q77): fraction of the
     * doc's distinct 3-word shingles present in `benchmark`'s shingle
@@ -119,40 +117,16 @@ object Corpus {
     * `(doc_id, n_chunks, n_kept, kept_frac)`.
     */
   def chunkDedup(corpus: DataFrame, chunkWords: Int = 4,
-      boilerplateDf: Int = 3): DataFrame = {
-    val nChunks = ceil(size(col("__ws")) / lit(chunkWords.toDouble)).cast("int")
-    val chunkAt = (i: org.apache.spark.sql.Column) =>
-      TextHash.base32(concat_ws(" ",
-        slice(col("__ws"), i * chunkWords + 1, lit(chunkWords))))
-    val chunks = corpus
-      .withColumn("__ws", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nChunks - 1), chunkAt)).as("h"))
-    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
-    chunks.join(freq, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("df") < boilerplateDf, 1)).as("n_kept"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_frac"))
-  }
+      boilerplateDf: Int = 3): DataFrame =
+    PipelineOps.chunkDedupDf(corpus, chunkWords, boilerplateDf)
 
   /** Per-document unigram surprisal in exact integer bits (q95):
     * `(doc_id, n_tokens, bits_sum, avg_bits)` against the corpus's
-    * own unigram distribution.
+    * own unigram distribution. Lazy and uncached — persist the plan at
+    * your own scope if you evaluate it more than once.
     */
-  def surprisalBits(corpus: DataFrame): DataFrame = {
-    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt")).persist()
-    val bits = vocab.crossJoin(broadcast(vocab.agg(sum("cnt").as("total"))))
-      .select(col("token"),
-        (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
-    toks.join(bits, "token")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("bits_sum"))
-      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
-        round(col("bits_sum").cast("double") / col("n_tokens"), 6).as("avg_bits"))
-  }
+  def surprisalBits(corpus: DataFrame): DataFrame =
+    PipelineOps.surprisalBitsDf(corpus)
 
   /** Temperature-weighted per-source sampling rates (q96, alpha=0.5):
     * `(source, n_docs, n_tokens, rate_ppm)` — exact fixed-point ppm,
@@ -160,28 +134,11 @@ object Corpus {
     * one million buckets.
     */
   def mixtureRates(corpus: DataFrame): DataFrame =
-    corpus
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-      // normalization = window over the tiny aggregated relation (one
-      // corpus scan), not a second aggregation lineage
-      .withColumn("wt", sum("wq").over(Window.partitionBy()))
-      .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
-      .select("source", "n_docs", "n_tokens", "rate_ppm")
+    PipelineOps.mixtureRatesDf(corpus)
 
   /** Cross-document repeated spans (q100): `spanWords`-word spans in
     * >= 2 distinct docs, with the min=max exactness witness.
     */
   def repeatedSpans(corpus: DataFrame, spanWords: Int = 8): DataFrame =
-    corpus
-      .withColumn("__ws", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
-      .groupBy(md5(col("span")).as("h"))
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        (min("span") === max("span")).as("exact"))
-      .filter(col("n_docs") >= 2)
+    PipelineOps.repeatedSpansDf(corpus, spanWords)
 }

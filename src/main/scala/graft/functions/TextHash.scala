@@ -119,11 +119,23 @@ object TextHash {
         org.apache.spark.sql.GraftExpressionBridge.expression(hs),
         perms.map(_._2), perms.map(_._3), Prime))
 
+  /** Deterministic md5 bucket in [0, n) over a stable id column — THE
+    * sampling/split primitive (q75, q87, q88, q96). Defined here,
+    * beside its DuckDB twin, for the same no-drift reason as the base
+    * hash.
+    */
+  def md5Bucket(c: Column, n: Long): Column =
+    base32Builtin(c.cast("string")) % n
+
   // ---------------- DuckDB side ----------------
 
   /** DuckDB equivalent of [[base32Sql]]. */
   def duckBase32(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 8))::BIGINT"
+
+  /** DuckDB equivalent of [[md5Bucket]]. */
+  def duckMd5Bucket(inner: String, n: Long): String =
+    s"${duckBase32(s"$inner::VARCHAR")} % $n"
 
   /** DuckDB CTE body: one row per (doc_id, shingle base hash).
     * `generate_series(1, len-k+1)` is empty when the doc is shorter

@@ -54,15 +54,13 @@ object CorpusOps {
     */
   val q75CorpusSample: QueryDef = QueryDef.sql(
     "q75_corpus_sample",
-    """SELECT doc_id,
-      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
-      |FROM documents
-      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
-      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    s"""SELECT doc_id,
+       |  ${graft.functions.TextHash.duckMd5Bucket("doc_id", 100L)} AS bucket
+       |FROM documents
+       |WHERE ${graft.functions.TextHash.duckMd5Bucket("doc_id", 100L)} < 10
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     docs(spark, dir)
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", graft.functions.TextHash.md5Bucket(col("doc_id"), 100L))
       .filter(col("bucket") < 10)
       .select("doc_id", "bucket")
       .orderBy("doc_id")
@@ -265,18 +263,16 @@ object CorpusOps {
     */
   val q87SplitAssign: QueryDef = QueryDef.sql(
     "q87_split_assign",
-    """WITH b AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw,
-      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
-      |  FROM documents),
-      |s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
-      |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
-      |SELECT split, source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
-      |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin) { (spark, dir) =>
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    s"""WITH b AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw,
+       |    ${graft.functions.TextHash.duckMd5Bucket("doc_id", 100L)} AS bucket
+       |  FROM documents),
+       |s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+       |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b)
+       |SELECT split, source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+       |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin) { (spark, dir) =>
     docs(spark, dir)
       .withColumn("nw", size(split(col("text"), " ")).cast("long"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", graft.functions.TextHash.md5Bucket(col("doc_id"), 100L))
       .withColumn("split", when(col("bucket") < 80, "train")
         .when(col("bucket") < 90, "val").otherwise("test"))
       .groupBy("split", "source")
@@ -299,13 +295,13 @@ object CorpusOps {
   val q88StratifiedSample: QueryDef = QueryDef.sql(
     "q88_stratified_sample",
     s"""WITH h AS (SELECT doc_id, source,
-       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+       |    ${graft.functions.TextHash.duckBase32("doc_id::VARCHAR")} AS hk
        |  FROM documents),
        |r AS (SELECT *, row_number() OVER (PARTITION BY source
        |    ORDER BY hk, doc_id) AS rn FROM h)
        |SELECT source, rn, doc_id, hk FROM r WHERE rn <= $SamplePerSource
        |ORDER BY source, rn""".stripMargin) { (spark, dir) =>
-    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val hk = graft.functions.TextHash.base32Builtin(col("doc_id").cast("string"))
     val w = Window.partitionBy("source").orderBy("hk", "doc_id")
     docs(spark, dir)
       .select(col("doc_id"), col("source"), hk.as("hk"))

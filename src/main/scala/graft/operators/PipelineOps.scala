@@ -23,15 +23,6 @@ object PipelineOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(spark, dir)
 
-  /** md5-based bucket in [0, n) over a stable id — the deterministic
-    * sampling primitive shared with q75/q87.
-    */
-  private def md5Bucket(c: Column, n: Long): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % n
-
-  private def duckMd5Bucket(inner: String, n: Long): String =
-    s"('0x' || substr(md5($inner::VARCHAR), 1, 8))::BIGINT % $n"
-
   /** Semi-structured property extraction: events carry a JSON `props`
     * payload (the reference's annotation JSON is the analogue —
     * annotation_manager + project JSON, SURVEY §2.1); extract a typed
@@ -70,6 +61,29 @@ object PipelineOps {
   val ChunkWords = 4
   val BoilerplateDf = 3
 
+  /** The q93 transform as a reusable corpus stage (also the
+    * `Corpus.chunkDedup` facade): per-document chunk census with the
+    * corpus-frequency boilerplate cut.
+    */
+  def chunkDedupDf(corpus: DataFrame, chunkWords: Int = ChunkWords,
+      boilerplateDf: Int = BoilerplateDf): DataFrame = {
+    val nChunks = ceil(size(col("__ws")) / lit(chunkWords.toDouble)).cast("int")
+    val chunkAt = (i: Column) =>
+      TextHash.base32(concat_ws(" ",
+        slice(col("__ws"), i * chunkWords + 1, lit(chunkWords))))
+    val chunks = corpus
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), chunkAt)).as("h"))
+    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("df") < boilerplateDf, 1)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_frac"))
+  }
+
   val q93ChunkDedup: QueryDef = QueryDef.sql(
     "q93_chunk_dedup",
     s"""WITH c AS (SELECT doc_id, unnest(list_transform(
@@ -84,22 +98,7 @@ object PipelineOps {
        |SELECT doc_id, n_chunks, n_kept,
        |  round(CAST(n_kept AS DOUBLE) / n_chunks, 6) AS kept_frac
        |FROM j ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val nChunks = ceil(size(col("ws")) / lit(ChunkWords.toDouble)).cast("int")
-    val chunkAt = (i: Column) =>
-      TextHash.base32(concat_ws(" ",
-        slice(col("ws"), i * ChunkWords + 1, lit(ChunkWords))))
-    val chunks = docs(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nChunks - 1), chunkAt)).as("h"))
-    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
-    chunks.join(freq, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("df") < BoilerplateDf, 1)).as("n_kept"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_frac"))
-      .orderBy("doc_id")
+    chunkDedupDf(docs(spark, dir)).orderBy("doc_id")
   }
 
   /** Bloom-filter contamination probe: the scale path of q77. The
@@ -172,6 +171,28 @@ object PipelineOps {
     * heavy-tailed but ~1e8 rows at web scale — it stays distributed
     * (joined, not collected).
     */
+  /** The q95 transform as a reusable corpus stage (also the
+    * `Corpus.surprisalBits` facade). `persistVocab` caches the vocab
+    * aggregate so its two consumers (the 1-row total and the bits
+    * join) share one tokenization scan — the harness clears caches
+    * per query; facade callers default to the uncached lazy plan and
+    * persist at their own scope.
+    */
+  def surprisalBitsDf(corpus: DataFrame, persistVocab: Boolean = false): DataFrame = {
+    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocabBase = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = if (persistVocab) vocabBase.persist() else vocabBase
+    val total = vocab.agg(sum("cnt").as("total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
+    toks.join(bits, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_tokens"), 6).as("avg_bits"))
+  }
+
   val q95SurprisalBits: QueryDef = QueryDef.sql(
     "q95_surprisal_bits",
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -183,23 +204,7 @@ object PipelineOps {
       |SELECT doc_id, n_tokens, bits_sum,
       |  round(CAST(bits_sum AS DOUBLE) / n_tokens, 6) AS avg_bits
       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    // persisted: the 1-row total and the bits projection both read the
-    // vocab aggregate; without it the corpus tokenizes twice. At web
-    // scale this is the relation to materialize to parquet (same note
-    // as Dedup's signature table). Bench/Verify clear caches per query.
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt")).persist()
-    val total = vocab.agg(sum("cnt").as("total"))
-    val bits = vocab.crossJoin(broadcast(total))
-      .select(col("token"),
-        (length(bin(expr("total div cnt"))) - 1).cast("long").as("bits"))
-    toks.join(bits, "token")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("bits_sum"))
-      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
-        round(col("bits_sum").cast("double") / col("n_tokens"), 6).as("avg_bits"))
-      .orderBy("doc_id")
+    surprisalBitsDf(docs(spark, dir), persistVocab = true).orderBy("doc_id")
   }
 
   /** Temperature-weighted mixture sampling (alpha = 0.5): per-source
@@ -211,45 +216,53 @@ object PipelineOps {
     * point end-to-end, so rates and membership are exactly
     * reproducible.
     *
+    * Overflow bound: weights quantize at MILLI resolution
+    * (`round(sqrt(n)·1e3)`), so the `wq · 1e6` numerator stays under
+    * 2^63 up to ~8.5e19 tokens per source — six orders of magnitude
+    * past a 100 TB corpus. (Micro resolution would wrap at ~8.5e13,
+    * inside the advertised scale.)
+    *
     * Scale shape: per-source totals are a tiny aggregate broadcast
     * back onto the corpus projection; sampling stays a pure per-row
     * predicate (no shuffle beyond the final per-source rollup).
     */
+  def mixtureRatesDf(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e3).cast("long"))
+      // normalization = window over the ALREADY-AGGREGATED per-source
+      // relation (|sources| rows — trivially one partition), not a
+      // crossJoin against a second aggregation lineage: one corpus
+      // scan builds the rate table
+      .withColumn("wt", sum("wq").over(Window.partitionBy()))
+      .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
+      .select("source", "n_docs", "n_tokens", "rate_ppm")
+
   val q96MixtureSample: QueryDef = QueryDef.sql(
     "q96_mixture_sample",
     s"""WITH s AS (SELECT source, count(*) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
-       |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wq FROM s),
-       |r AS (SELECT *, wq * 1000000 // (SELECT CAST(sum(wq) AS BIGINT) FROM w) AS rate_ppm FROM w),
+       |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e3) AS BIGINT) AS wq FROM s),
+       |r AS (SELECT *, CAST(wq * 1000000 // (SELECT CAST(sum(wq) AS BIGINT) FROM w) AS BIGINT) AS rate_ppm FROM w),
        |k AS (SELECT d.source, count(*) AS n_sampled
        |  FROM documents d JOIN r ON d.source = r.source
-       |  WHERE ${duckMd5Bucket("d.doc_id", 1000000L)} < r.rate_ppm
+       |  WHERE ${TextHash.duckMd5Bucket("d.doc_id", 1000000L)} < r.rate_ppm
        |  GROUP BY d.source)
        |SELECT r.source, n_docs, n_tokens, rate_ppm,
        |  coalesce(n_sampled, 0) AS n_sampled
        |FROM r LEFT JOIN k ON r.source = k.source
        |ORDER BY r.source""".stripMargin) { (spark, dir) =>
     val d = docs(spark, dir)
-    // the weight normalization is a window over the ALREADY-AGGREGATED
-    // per-source relation (|sources| rows — trivially one partition),
-    // not a crossJoin against a second aggregation lineage: one corpus
-    // scan builds the rate table. It is persisted because two
-    // consumers (the sampler join and the final report) would
-    // otherwise each re-run that scan; Bench/Verify clear caches per
-    // query.
-    val rates = d
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-      .withColumn("wt", sum("wq").over(Window.partitionBy()))
-      .withColumn("rate_ppm", expr("wq * 1000000 div wt"))
-      .select("source", "n_docs", "n_tokens", "rate_ppm")
-      .persist()
+    // persisted: two consumers (the sampler join and the final report)
+    // would otherwise each re-run the rate scan; Bench/Verify clear
+    // caches per query
+    val rates = mixtureRatesDf(d).persist()
     val sampled = d
       .join(broadcast(rates.select("source", "rate_ppm")), "source")
-      .filter(md5Bucket(col("doc_id"), 1000000L) < col("rate_ppm"))
+      .filter(TextHash.md5Bucket(col("doc_id"), 1000000L) < col("rate_ppm"))
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
     rates.join(sampled, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
@@ -408,6 +421,20 @@ object PipelineOps {
     */
   val SpanWords = 8
 
+  /** The q100 census as a reusable corpus stage (also the
+    * `Corpus.repeatedSpans` facade).
+    */
+  def repeatedSpansDf(corpus: DataFrame, spanWords: Int = SpanWords): DataFrame =
+    corpus
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
+      .groupBy(md5(col("span")).as("h"))
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        (min("span") === max("span")).as("exact"))
+      .filter(col("n_docs") >= 2)
+
   val q100RepeatedSpans: QueryDef = QueryDef.sql(
     "q100_repeated_spans",
     s"""WITH sp AS (SELECT doc_id, unnest(list_transform(
@@ -420,16 +447,7 @@ object PipelineOps {
        |  FROM sp GROUP BY md5(span))
        |SELECT h, n_docs, n_occur, first_doc, last_doc, exact
        |FROM g WHERE n_docs >= 2 ORDER BY h""".stripMargin) { (spark, dir) =>
-    docs(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(TextHash.shinglesFromWords(col("ws"), SpanWords)).as("span"))
-      .groupBy(md5(col("span")).as("h"))
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        (min("span") === max("span")).as("exact"))
-      .filter(col("n_docs") >= 2)
-      .orderBy("h")
+    repeatedSpansDf(docs(spark, dir)).orderBy("h")
   }
 
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,

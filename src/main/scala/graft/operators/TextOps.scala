@@ -220,12 +220,17 @@ object TextOps {
   }
 
   /** TF-IDF top-5 terms per document, in fixed-point arithmetic:
-    * `idf_scaled = (N · 10^6) div df` and `score = tf · idf_scaled`
+    * `idf_scaled = (N · 10^3) div df` and `score = tf · idf_scaled`
     * stay integers end-to-end, so the ranking is bit-identical on any
     * partitioning and in DuckDB. (A log-idf would hinge on `ln`,
     * which libm and the JVM round differently by ulps — exactly the
     * cross-engine flakiness the float policy forbids; the rational
     * weight preserves the rarity ORDER, which is all a top-k needs.)
+    *
+    * Overflow bound: milli-scaled idf keeps the worst score
+    * `tf_max · N · 10^3` under 2^63 for N up to ~10^11 docs with
+    * tf up to ~10^4 — past 100 TB. (A 10^6 scale wraps three orders
+    * of magnitude sooner, inside the advertised range.)
     *
     * Scale shape: tf is one (doc, token) hash aggregate with map-side
     * combine; df reuses the persisted tf relation (one narrow scan);
@@ -242,7 +247,7 @@ object TextOps {
       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
       |n AS (SELECT count(*) AS n_total FROM documents),
       |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
-      |    tf.tf * ((n.n_total * 1000000) // df.df) AS score
+      |    tf.tf * ((n.n_total * 1000) // df.df) AS score
       |  FROM tf JOIN df USING (token) CROSS JOIN n),
       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY score DESC, token) AS rnk FROM sc)
@@ -260,7 +265,7 @@ object TextOps {
     // tf stays persisted until the harness's per-query clearCache()
     // (Verify/Bench both scope caches that way).
     tf.join(df, "token").crossJoin(broadcast(n))
-      .withColumn("score", col("tf") * expr("(n_total * 1000000) div df"))
+      .withColumn("score", col("tf") * expr("(n_total * 1000) div df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("doc_id", "rnk", "token", "tf", "df", "score")

@@ -73,6 +73,15 @@ object StreamingSessions {
     * two-micro-batch run. Single-batch (the oracle harness) is the
     * degenerate case: empty state, every session emitted exactly
     * once.
+    *
+    * Late-data policy: ZERO allowed lateness. Events older than the
+    * carried session frontier (tn < state end) arrive only when a
+    * later file delivers out-of-time-order data; merging them would
+    * move a closed aggregate backwards (s_end < s_start corruption),
+    * so they are DROPPED, exactly like a watermark-expired row in a
+    * windowed aggregation. Batch-equivalence therefore requires
+    * time-ordered file arrival (what a real ingest produces, and what
+    * StreamingSpec constructs).
     */
   private def sessionize(userId: Long, rows: Iterator[Row],
       state: GroupState[SessState]): Iterator[SessionRow] = {
@@ -93,11 +102,16 @@ object StreamingSessions {
     var prev = prior.map(_.end).getOrElse(Double.NaN)
     evs.foreach { case (t, v) =>
       val tn = t - t0
-      if (n == 0 || tn - prev > GapSeconds) {
-        if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
-        sid += 1; start = tn; n = 0; sum = 0L
+      if (n > 0 && tn < prev) {
+        // late event (older than the carried frontier): drop, never
+        // move a closed aggregate backwards — see late-data policy
+      } else {
+        if (n == 0 || tn - prev > GapSeconds) {
+          if (n > 0) out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
+          sid += 1; start = tn; n = 0; sum = 0L
+        }
+        end = tn; n += 1; sum += v.map(micro).getOrElse(0L); prev = tn
       }
-      end = tn; n += 1; sum += v.map(micro).getOrElse(0L); prev = tn
     }
     out += SessionRow(userId, sid, start, end, n, round4(sum.toDouble / 1e6))
     state.update(SessState(t0, sid, start, end, n, sum))
@@ -378,11 +392,16 @@ object StreamingSessions {
   // ------------------------------------------------------------------
 
   /** Per-user funnel progress carried across micro-batches: the tn
-    * origin plus the first-view / windowed-click / windowed-purchase
-    * timestamps (None = stage not reached yet).
+    * origin, the first-view / windowed-click / windowed-purchase
+    * timestamps (None = stage not reached yet), and the time frontier
+    * (max tn seen) enforcing the same zero-lateness policy as
+    * [[sessionize]] — a late event could otherwise claim a stage an
+    * earlier-in-time event should have (batch takes the MINIMUM
+    * eligible time, which a frontier-ordered scan reproduces only if
+    * no event arrives behind the frontier).
     */
   final case class FunnelState(t0: Double, tView: Option[Double],
-      tClick: Option[Double], tBuy: Option[Double])
+      tClick: Option[Double], tBuy: Option[Double], frontier: Double)
 
   final case class FunnelRow(user_id: Long, t_view: Option[Double],
       t_click: Option[Double], t_buy: Option[Double])
@@ -407,18 +426,22 @@ object StreamingSessions {
     var tv = prior.flatMap(_.tView)
     var tc = prior.flatMap(_.tClick)
     var tb = prior.flatMap(_.tBuy)
+    var frontier = prior.map(_.frontier).getOrElse(Double.NegativeInfinity)
     evs.foreach { case (t, _, typ) =>
       val tn = t - t0
-      typ match {
-        case "view" if tv.isEmpty => tv = Some(tn)
-        case "click" if tv.nonEmpty && tc.isEmpty && tn > tv.get &&
-          tn <= tv.get + graft.operators.PipelineOps.ClickWindowSec => tc = Some(tn)
-        case "purchase" if tc.nonEmpty && tb.isEmpty && tn > tc.get &&
-          tn <= tc.get + graft.operators.PipelineOps.BuyWindowSec => tb = Some(tn)
-        case _ =>
+      if (tn >= frontier) { // zero-lateness policy, as in sessionize
+        frontier = tn
+        typ match {
+          case "view" if tv.isEmpty => tv = Some(tn)
+          case "click" if tv.nonEmpty && tc.isEmpty && tn > tv.get &&
+            tn <= tv.get + graft.operators.PipelineOps.ClickWindowSec => tc = Some(tn)
+          case "purchase" if tc.nonEmpty && tb.isEmpty && tn > tc.get &&
+            tn <= tc.get + graft.operators.PipelineOps.BuyWindowSec => tb = Some(tn)
+          case _ =>
+        }
       }
     }
-    state.update(FunnelState(t0, tv, tc, tb))
+    state.update(FunnelState(t0, tv, tc, tb, frontier))
     Iterator.single(FunnelRow(userId, tv, tc, tb))
   }
 
@@ -450,7 +473,16 @@ object StreamingSessions {
       .format("memory").queryName(sinkName).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
+    // upsert the append-mode sink by user BEFORE aggregating: each
+    // micro-batch re-emits a touched user's current row, so a
+    // multi-batch run has one row per (user, batch). Funnel fields
+    // are monotone (None -> Some, then frozen), so max() over the
+    // user's rows IS the latest state — the same upsert contract
+    // StreamingSpec drives through foreachBatch.
     spark.table(sinkName)
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_buy").as("t_buy"))
       .withColumn("stage",
         when(col("t_buy").isNotNull, 3).when(col("t_click").isNotNull, 2)
           .when(col("t_view").isNotNull, 1).otherwise(0))

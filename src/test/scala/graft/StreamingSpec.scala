@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-order arrival never corrupts sessions (zero-lateness drop)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ooo-batches").toString
+    // deliver the LATER half first: batch 2's events are all older
+    // than batch 1's carried state — the late-data drop must hold
+    // s_start <= s_end on every emitted row
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val rows = mutable.ArrayBuffer[SessionRow]()
+    val q = StreamingSessions
+      .sessionStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SessionRow], _: Long) =>
+        rows ++= df.collect(); ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.s_start <= r.s_end && r.n > 0,
+      s"corrupted session from late data: $r"))
+  }
+
   test("funnel state resumes across micro-batches (upsert = batch result)") {
     import graft.streaming.StreamingSessions.FunnelRow
     val dir = "/root/testdata/sf0.001"
