@@ -339,6 +339,92 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ------------------------------------------------------------------
+  // Integer-exact k-means codebook training (q105).
+  // ------------------------------------------------------------------
+
+  /** Cluster count and Lloyd iterations for the trained codebook. */
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** k-means training in EXACT integer arithmetic — the IVF codebook
+    * q67/q68 assume is produced upstream, trained here end-to-end:
+    * embeddings quantize to micro-unit integers, distances are integer
+    * sums of squares, the argmin key packs `(dist, cid)` into one
+    * integer (unique → no tie ambiguity), and centroid updates are
+    * truncating integer means (`div`, toward-zero on both engines).
+    * NOTHING floats until the final report, so two Lloyd iterations
+    * from a deterministic seed (the K lowest vec_ids) reproduce
+    * bit-identically on any engine, partitioning, or reduction order —
+    * float k-means cannot make that guarantee.
+    *
+    * Scale shape per iteration: one broadcast of K centroid arrays,
+    * one scan computing per-row argmin (no explode on the assignment
+    * path), one posexplode + hash aggregate for the update — the same
+    * two-job Lloyd profile a production trainer runs at 100 TB, with
+    * the iteration count fixed and small.
+    */
+  val q105KmeansTrain: QueryDef = {
+    val K = KmeansK
+    // one Lloyd iteration in DuckDB: assignment (argmin over the K
+    // crossed centroids) then truncating-integer-mean update
+    def duckIter(prev: String, asg: String, upd: String, cents: String): String =
+      s"""$asg AS (SELECT vec_id, arg_min(c.cid,
+         |    list_sum(list_transform(generate_series(1, len(qe)),
+         |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i]))) * $K + c.cid) AS cid
+         |  FROM q CROSS JOIN $prev c GROUP BY vec_id),
+         |$upd AS (SELECT a.cid, i AS dim,
+         |    CAST(CAST(sum(qe[i]) AS BIGINT) // count(*) AS BIGINT) AS cqv,
+         |    count(*) AS n
+         |  FROM q JOIN $asg a USING (vec_id), unnest(generate_series(1, len(qe))) AS t(i)
+         |  GROUP BY a.cid, i),
+         |$cents AS (SELECT cid, list(cqv ORDER BY dim) AS cq FROM $upd GROUP BY cid)""".stripMargin
+    QueryDef.sql(
+      "q105_kmeans_train",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS cq
+         |  FROM q ORDER BY vec_id LIMIT $K),
+         |${duckIter("c0", "a1", "u1", "c1")},
+         |${duckIter("c1", "a2", "u2", "c2")}
+         |SELECT cid, CAST(dim - 1 AS BIGINT) AS dim, n AS n_members,
+         |  round(CAST(cqv AS DOUBLE) / 1e6, 6) AS centroid
+         |FROM u2 ORDER BY cid, dim""".stripMargin) { (spark, dir) =>
+      val q = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
+        .persist() // scanned once per Lloyd job; harness clears per query
+      val c0 = q.orderBy("vec_id").limit(K)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"),
+          col("qe").as("cq"))
+      def assign(cents: DataFrame): DataFrame = {
+        val dist = aggregate(
+          zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        q.crossJoin(broadcast(cents))
+          .withColumn("key", dist * K + col("cid"))
+          .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
+      }
+      def update(asg: DataFrame): DataFrame =
+        q.join(asg, "vec_id")
+          .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
+      def recollect(upd: DataFrame): DataFrame =
+        upd.groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
+            s => s.getField("cqv")).as("cq"))
+      val u1 = update(assign(c0))
+      val u2 = update(assign(recollect(u1)))
+      u2.select(col("cid"), col("dim").cast("long").as("dim"),
+          col("n").as("n_members"),
+          round(col("cqv").cast("double") / 1e6, 6).as("centroid"))
+        .orderBy("cid", "dim")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
-    q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK)
+    q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
+    q105KmeansTrain)
 }

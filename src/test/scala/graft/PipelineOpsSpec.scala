@@ -107,6 +107,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("first_doc") > col("last_doc")).isEmpty)
   }
 
+  test("q105 k-means: clusters partition the vectors, centroids in range") {
+    val out = graft.operators.Similarity.q105KmeansTrain.fn(spark, sfDir)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val nVec = emb.count()
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    // every cluster reports every dim; members sum to the corpus on
+    // each fixed dim (the assignment is a partition)
+    val perDim = out.groupBy("dim")
+      .agg(sum("n_members").as("tot"), count(lit(1)).as("k"))
+    assert(perDim.filter(col("tot") =!= nVec).isEmpty)
+    assert(out.select(countDistinct("dim")).as[Long].head() == dims)
+    // centroids bounded by the data range
+    val (lo, hi) = emb.select(
+        min(array_min(col("embedding"))).cast("double"),
+        max(array_max(col("embedding"))).cast("double"))
+      .as[(Double, Double)].head()
+    assert(out.filter(col("centroid") < lo || col("centroid") > hi).isEmpty)
+  }
+
   test("q97 centroids match the naive float mean within quantization") {
     val out = PipelineOps.q97LabelCentroids.fn(spark, sfDir)
     val naive = graft.sources.Tables.embeddings(spark, sfDir)
