@@ -161,6 +161,38 @@ object EventSeriesJoins {
       .orderBy("user_id", "session_id")
   }
 
+  /** Event-path transition matrix: event-type bigram counts WITHIN
+    * q30's sessions (a session boundary breaks the chain), plus each
+    * session's entry state — the Markov-chain view of user behavior
+    * that funnel/session analyses consume. Shares the one per-user
+    * shuffle: the session id, the lagged predecessor type, and the
+    * final aggregate all ride the same partitioning; counts are
+    * integers (exact).
+    */
+  val q106PathTransitions: QueryDef = QueryDef.sql(
+    "q106_path_transitions",
+    s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
+       |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
+       |x AS (SELECT *, CAST(sum(brk) OVER ($PW) AS BIGINT) AS session_id FROM g),
+       |p AS (SELECT event_type AS to_type,
+       |    CASE WHEN brk = 1 THEN '__start__'
+       |         ELSE lag(event_type) OVER ($OW) END AS from_type
+       |  FROM x)
+       |SELECT from_type, to_type, count(*) AS n
+       |FROM p GROUP BY from_type, to_type
+       |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val lagT = lag(col("tn"), 1).over(s.ordered)
+    val brk = when(lagT.isNull || col("tn") - lagT > 43200.0, 1).otherwise(0)
+    Tables.seriesNorm(spark, dir)
+      .withColumn("brk", brk)
+      .withColumn("from_type",
+        when(col("brk") === 1, "__start__")
+          .otherwise(lag(col("event_type"), 1).over(s.ordered)))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** §2.9 gaps-and-islands: contiguous spike rows (|Δx| above the
     * per-series mean+3σ threshold, A5) merged into segments.
     */
@@ -451,5 +483,6 @@ object EventSeriesJoins {
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
-    q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic)
+    q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
+    q106PathTransitions)
 }

@@ -107,6 +107,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("first_doc") > col("last_doc")).isEmpty)
   }
 
+  test("q106 transitions: counts cover every event, starts = sessions") {
+    val out = graft.operators.EventSeriesJoins.q106PathTransitions.fn(spark, sfDir)
+    val events = graft.sources.Tables.events(spark, sfDir).count()
+    assert(out.agg(sum("n")).as[Long].head() == events)
+    val starts = out.filter(col("from_type") === "__start__")
+      .agg(sum("n")).as[Long].head()
+    val sessions = graft.operators.EventSeriesJoins.q30Sessionize.fn(spark, sfDir).count()
+    assert(starts == sessions, s"starts=$starts sessions=$sessions")
+  }
+
   test("q105 k-means: clusters partition the vectors, centroids in range") {
     val out = graft.operators.Similarity.q105KmeansTrain.fn(spark, sfDir)
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
