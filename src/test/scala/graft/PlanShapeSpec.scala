@@ -77,6 +77,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q100 must not join:\n$p")
   }
 
+  test("nested-loop joins appear ONLY as intended tiny-side crossJoins") {
+    // every BroadcastNestedLoopJoin in the suite must be one of the
+    // known bounded crossJoins (1-row totals, K-row centroid/query
+    // tables); a new BNLJ anywhere else is an all-pairs scale bug
+    val allowed = Set("q45_cosine_topk", "q72_heatmap_matrix", "q89_tfidf_topk",
+      "q91_quantized_topk", "q95_surprisal_bits", "q105_kmeans_train")
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
+      .filterNot(q => allowed.contains(q.name))
+      .filter { q =>
+        try plan(q.name).contains("BroadcastNestedLoopJoin")
+        catch { case _: Throwable => false }
+      }
+    assert(offenders.isEmpty,
+      s"unexpected BNLJ in: ${offenders.map(_.name).mkString(", ")}")
+  }
+
   test("token-shard prefix sum has no unpartitioned window over the corpus") {
     // Optimized Window nodes print as
     //   Window [exprs], [partitionKeys], [ordering]   (partitioned)
