@@ -450,7 +450,85 @@ object PipelineOps {
     repeatedSpansDf(docs(spark, dir)).orderBy("h")
   }
 
+  /** Per-source quantile rank of document quality — the balanced-
+    * filtering primitive (keep the top X% of EACH source rather than
+    * a global bar that empties low-quality sources). `percent_rank`
+    * is `(rank-1)/(n-1)`: integers in, one IEEE division out —
+    * deterministic, tie-stable (ties share a rank on both engines).
+    * One window on the source shuffle, zero joins.
+    */
+  val q107QualityRank: QueryDef = QueryDef.sql(
+    "q107_quality_rank",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT q.doc_id, d.source, q.quality
+       |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, quality,
+       |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6) AS qrank
+       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("source").orderBy("quality")
+    graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(percent_rank().over(w), 6).as("qrank"))
+      .orderBy("doc_id")
+  }
+
+  /** Inter-arrival statistics per event type: milli-quantized gaps
+    * between a user's consecutive same-type events, rolled up to
+    * exact-integer mean and dyadic p50/p90 per type — the cadence
+    * dashboard for event streams. One (user, type) shuffle for the
+    * lag, one hash aggregate.
+    */
+  val q108Interarrival: QueryDef = QueryDef.sql(
+    "q108_interarrival",
+    s"""WITH s AS (SELECT user_id, event_id, event_type,
+       |    t - min(t) OVER (PARTITION BY user_id) AS tn
+       |  FROM (${graft.sources.Tables.seriesSql})),
+       |d AS (SELECT event_type, CAST(round((tn - lag(tn) OVER (
+       |    PARTITION BY user_id, event_type ORDER BY tn, event_id)) * 1000.0) AS BIGINT) AS dtm
+       |  FROM s)
+       |SELECT event_type, count(*) AS n_gaps,
+       |  round(CAST(sum(dtm) AS DOUBLE) / count(*) / 1000.0, 6) AS mean_sec,
+       |  round(quantile_cont(dtm, 0.5) / 1000.0, 6) AS p50_sec,
+       |  round(quantile_cont(dtm, 0.9) / 1000.0, 6) AS p90_sec
+       |FROM d WHERE dtm IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val byUserType = Window.partitionBy("user_id", "event_type").orderBy("tn", "event_id")
+    graft.sources.Tables.seriesNorm(spark, dir)
+      .withColumn("dtm",
+        round((col("tn") - lag(col("tn"), 1).over(byUserType)) * 1e3).cast("long"))
+      .filter(col("dtm").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum("dtm").cast("double") / count(lit(1)) / 1e3, 6).as("mean_sec"),
+        round(percentile(col("dtm"), lit(0.5)) / 1e3, 6).as("p50_sec"),
+        round(percentile(col("dtm"), lit(0.9)) / 1e3, 6).as("p90_sec"))
+      .orderBy("event_type")
+  }
+
+  /** Document length histogram on log2 buckets (floor-log2 of the
+    * word count as binary-string length — the same exact-integer
+    * trick as q95): the corpus length profile every retention policy
+    * is tuned against. Pure projection + one tiny hash aggregate.
+    */
+  val q109LengthHist: QueryDef = QueryDef.sql(
+    "q109_length_hist",
+    """WITH d AS (SELECT len(string_split(text, ' ')) AS nw FROM documents)
+      |SELECT length(printf('%b', nw)) - 1 AS log2_bucket,
+      |  count(*) AS n_docs, min(nw) AS min_words, max(nw) AS max_words,
+      |  CAST(sum(nw) AS BIGINT) AS total_words
+      |FROM d WHERE nw > 0
+      |GROUP BY log2_bucket ORDER BY log2_bucket""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+      .groupBy((length(bin(col("nw"))) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), min("nw").as("min_words"),
+        max("nw").as("max_words"), sum("nw").as("total_words"))
+      .orderBy("log2_bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
-    q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans)
+    q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
+    q107QualityRank, q108Interarrival, q109LengthHist)
 }

@@ -27,7 +27,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q98_autocorr",         // integer-moment Pearson
     "q101_robust_zscore",   // dyadic median/MAD
     "q103_cusum",           // integer cumsum/running-min
-    "q105_kmeans_train")    // integer Lloyd iterations
+    "q105_kmeans_train",    // integer Lloyd iterations
+    "q107_quality_rank",    // percent_rank over float-equal quality
+    "q108_interarrival",    // dyadic p50 + interpolated p90 on milli ints
+    "q109_length_hist")     // integer floor-log2 buckets
 
   private def collectWith(name: String, parts: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
