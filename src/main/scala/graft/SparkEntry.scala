@@ -17,7 +17,7 @@ object SparkEntry {
       operators.EventSeriesJoins.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.TextOps.all ++
       operators.CorpusOps.all ++ operators.PipelineOps.all ++
-      operators.Sketches.all ++
+      operators.Sketches.all ++ operators.Intervals.all ++
       operators.Multimodal.all ++ operators.RecipeQueries.all ++
       streaming.StreamingSessions.all
 

@@ -180,6 +180,42 @@ object KernelOracles {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** q110: EWMA (exponentially weighted moving average) oracle — the
+    * first-order IIR recurrence `y_0 = x_0; y_i = α·x_i + (1−α)·y_{i−1}`
+    * (pandas `ewm(alpha).mean()` with `adjust=False`) replayed as a
+    * recursive CTE with the kernel's exact IEEE op order
+    * (mul, mul, add — left-associated like the Scala loop).
+    */
+  def ewmaOracle(seriesSql: String, alpha: Double): String = {
+    val a = lit(alpha); val b = lit(1.0 - alpha)
+    s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn, value AS x,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) - 1 AS i FROM s),
+       |e AS (SELECT user_id, i, x AS y FROM r WHERE i = 0
+       |UNION ALL
+       |SELECT r.user_id, r.i, $a * r.x + $b * e.y
+       |  FROM e JOIN r ON r.user_id = e.user_id AND r.i = e.i + 1)
+       |SELECT r.user_id, r.event_id, r.tn, e.y AS smoothed
+       |FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
+  /** q111: anti-aliased decimation oracle — the q36 zero-phase
+    * low-pass cascade at the decimation cutoff, then every `factor`-th
+    * sample of the filtered series (scipy `decimate`-style:
+    * filter-then-pick, never pick-then-filter).
+    */
+  def decimateOracle(seriesSql: String, order: Int, wn: Double, factor: Int): String = {
+    val tf = Dsp.butterLowpassTf(order, wn)
+    val ctes = baseCtes(seriesSql, 3 * tf.ntaps) ++ filtfiltCtes(tf, "D")
+    s"""WITH RECURSIVE ${ctes.mkString(",\n")}
+       |SELECT r.user_id, r.event_id, r.tn, round(o.y, 6) AS decimated
+       |FROM r JOIN ffoutD o ON o.user_id = r.user_id AND o.i = r.i
+       |WHERE r.i % $factor = 0
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
   /** q66: natural cubic spline interpolation oracle. Thomas-algorithm
     * forward sweep and back substitution as recursive CTEs over the
     * non-null knots; evaluation mirrors `Dsp.naturalCubicSpline`

@@ -311,7 +311,51 @@ object CorpusOps {
       .orderBy("source", "rn")
   }
 
+  /** OOV masking — vocabulary truncation as a corpus transform:
+    * tokens whose corpus frequency is relatively rare (cnt·20 <
+    * max-count, a scale-invariant threshold) are replaced by `<unk>`
+    * and the document is re-assembled in token order. The rare-token
+    * privacy/robustness scrub every tokenizer-bound pipeline runs.
+    *
+    * Scale shape: one tokenize scan + map-side-combined vocab
+    * aggregate; the max-count is a one-row broadcast onto the vocab;
+    * tokens join vocab on the token key (shuffle join — the vocab
+    * stays distributed, never collected); reassembly is one per-doc
+    * aggregate sorting each doc's (pos, token) pairs in memory —
+    * bounded by document length, the same bound the tokenizer needs.
+    */
+  val q116UnkMask: QueryDef = QueryDef.sql(
+    "q116_unk_mask",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS token,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |m AS (SELECT max(cnt) AS mx FROM v),
+      |r AS (SELECT token, cnt * 20 < (SELECT mx FROM m) AS rare FROM v)
+      |SELECT doc_id,
+      |  CAST(count(CASE WHEN rare THEN 1 END) AS BIGINT) AS n_masked,
+      |  string_agg(CASE WHEN rare THEN '<unk>' ELSE token END, ' ' ORDER BY pos)
+      |    AS masked_text
+      |FROM t JOIN r USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val mx = vocab.agg(max("cnt").as("mx"))
+    val rare = vocab.crossJoin(broadcast(mx))
+      .select(col("token"), (col("cnt") * 20 < col("mx")).as("rare"))
+    toks.join(rare, "token")
+      .withColumn("tok2", when(col("rare"), lit("<unk>")).otherwise(col("token")))
+      .groupBy("doc_id")
+      .agg(count(when(col("rare"), 1)).as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok2")))),
+          x => x.getField("tok2"))).as("masked_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
-    q82Repetition, q87SplitAssign, q88StratifiedSample)
+    q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask)
 }

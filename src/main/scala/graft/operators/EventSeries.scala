@@ -410,6 +410,38 @@ object EventSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Hampel spike repair (see [[SeriesOps.hampel]]): rolling-median
+    * center, whole-series MAD scale, milli-quantized exact
+    * percentiles; the threshold constant is folded to one double
+    * literal shared verbatim with the oracle so repair membership is
+    * bit-deterministic. Outputs pass through unrounded — every branch
+    * (original value, dyadic-median/1000) is bit-identical on both
+    * engines by construction.
+    */
+  val q112Hampel: QueryDef = {
+    val c = 3.0 * 1.4826 // folded on the driver; lit() round-trips exactly
+    val cLit = graft.functions.KernelOracles.lit(c)
+    QueryDef.sql(
+      "q112_hampel",
+      s"""$S, qv AS (SELECT user_id, event_id, tn, value,
+         |    CAST(round(value * 1000.0) AS BIGINT) AS q FROM s),
+         |w AS (SELECT *,
+         |    median(q) OVER ($OW ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rmed,
+         |    quantile_cont(q, 0.5) OVER (PARTITION BY user_id) AS med FROM qv),
+         |d AS (SELECT *, quantile_cont(abs(q - med), 0.5)
+         |    OVER (PARTITION BY user_id) AS mad FROM w)
+         |SELECT user_id, event_id, tn,
+         |  abs(q - rmed) > $cLit * mad AS hampel_repaired,
+         |  CASE WHEN abs(q - rmed) > $cLit * mad
+         |    THEN rmed / 1000.0 ELSE value END AS hampel
+         |FROM d ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      SeriesOps.hampel(Tables.seriesNorm(spark, dir), s, "value", "hampel",
+          window = 7, k = 3.0)
+        .select("user_id", "event_id", "tn", "hampel_repaired", "hampel")
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   /** Peak detection: strict local maxima above the per-series
     * mean+2σ prominence floor computed from exact integer moments
     * (see [[SeriesOps.peaks]]).
@@ -463,5 +495,6 @@ object EventSeries {
     q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
-    q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum)
+    q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum,
+    q112Hampel)
 }

@@ -376,6 +376,45 @@ object EventSeriesJoins {
       s, "value", "filtered", 11, 2))
   }
 
+  /** EWMA smoothing (first-order IIR on the kernel runner) — the
+    * oracle replays the identical recurrence as a recursive CTE
+    * ([[graft.functions.KernelOracles.ewmaOracle]]). The output is
+    * deliberately UNROUNDED: the recurrence is bit-exact on both
+    * engines, and rounding is the only nondeterminism available —
+    * Spark's BigDecimal half-up and DuckDB's float-multiply rounding
+    * disagree when a value sits within an ulp of the 6-dp boundary
+    * (observed: 77.20343749999999 → .203437 vs .203438).
+    */
+  val q110Ewma: QueryDef = QueryDef.sql(
+    "q110_ewma",
+    graft.functions.KernelOracles.ewmaOracle(Tables.seriesSql, 0.25)) { (spark, dir) =>
+    SignalKernels.ewma(spark, Tables.seriesNorm(spark, dir),
+      s, "value", "smoothed", 0.25)
+      .select(col("user_id"), col("event_id"), col("tn"), col("smoothed"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Anti-aliased decimation: zero-phase low-pass at the decimation
+    * cutoff (0.8/factor of Nyquist), then every `factor`-th sample —
+    * filter-then-pick, the aliasing-safe downsample (vs W11's
+    * grid-interpolating resample). The pick is a row_number projection
+    * on the kernel's own series shuffle — no extra exchange.
+    */
+  val q111Decimate: QueryDef = {
+    val factor = 4; val order = 4; val wn = 0.8 / factor
+    QueryDef.sql(
+      "q111_decimate",
+      graft.functions.KernelOracles.decimateOracle(Tables.seriesSql, order, wn, factor)) { (spark, dir) =>
+      SignalKernels.butterLowpass(spark, Tables.seriesNorm(spark, dir),
+        s, "value", "decimated", order, wn)
+        .withColumn("__i", row_number().over(s.ordered) - 1)
+        .filter(col("__i") % factor === 0)
+        .select(col("user_id"), col("event_id"), col("tn"),
+          round(col("decimated"), 6).as("decimated"))
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   /** A4 episode overlay (main.py:1233-1277): fabricate a sparse
     * episode index (set on 'purchase' events), forward-fill it, then
     * per episode: extent + count + MODE of the label — mode computed
@@ -484,5 +523,5 @@ object EventSeriesJoins {
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
-    q106PathTransitions)
+    q106PathTransitions, q110Ewma, q111Decimate)
 }

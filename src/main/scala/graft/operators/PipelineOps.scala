@@ -352,6 +352,117 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  /** q98 generalized to the autocorrelation FUNCTION: Pearson r at
+    * lags 1..5 per series, the dead/periodic-channel diagnostic (an
+    * ACF that stays ≈1 across lags = stuck sensor; oscillating sign =
+    * periodicity at that lag). Same exact-integer-moment determinism
+    * as q98; the five lag columns ride ONE window pass on the series
+    * shuffle, then `stack` unpivots them so a single hash aggregate
+    * computes all five lags' moments — no per-lag re-scan, no self
+    * join (the naive per-lag formulation is five windows + five
+    * aggregates over the same exchange).
+    */
+  val q114Acf: QueryDef = {
+    val maxLag = 5
+    val lagSqls = (1 to maxLag).map(l =>
+      s"SELECT user_id, $l AS lag, q AS x, lag(q, $l) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS y FROM s")
+    QueryDef.sql(
+      "q114_acf",
+      s"""WITH s AS (SELECT user_id, event_id,
+         |    t - min(t) OVER (PARTITION BY user_id) AS tn,
+         |    CAST(round(value * 1000.0) AS BIGINT) AS q
+         |  FROM (${graft.sources.Tables.seriesSql})),
+         |p AS (${lagSqls.mkString("\nUNION ALL\n")}),
+         |m AS (SELECT user_id, lag, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM p WHERE y IS NOT NULL GROUP BY user_id, lag)
+         |SELECT user_id, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
+         |FROM m WHERE n >= 2 ORDER BY user_id, lag""".stripMargin) { (spark, dir) =>
+      val byUser = Window.partitionBy("user_id")
+      val ordered = Window.partitionBy("user_id").orderBy("tn", "event_id")
+      var p = graft.sources.Tables.series(spark, dir)
+        .withColumn("tn", col("t") - min("t").over(byUser))
+        .withColumn("x", round(col("value") * 1e3).cast("long"))
+      (1 to maxLag).foreach(l => p = p.withColumn(s"y$l", lag("x", l).over(ordered)))
+      val stackExpr = (1 to maxLag).map(l => s"${l}L, y$l").mkString(", ")
+      val stacked = p.selectExpr("user_id", "x",
+          s"stack($maxLag, $stackExpr) AS (lag, y)")
+        .filter(col("y").isNotNull)
+      val m = stacked.groupBy("user_id", "lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      m.filter(col("n") >= 2)
+        .select(col("user_id"), col("lag"), col("n").as("n_pairs"),
+          when(dx === 0 || dy === 0, lit(null))
+            .otherwise(round(num.cast("double") /
+              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+        .orderBy("user_id", "lag")
+    }
+  }
+
+  /** Bigram surprisal — the next step up from q95's unigram score and
+    * the cheap stand-in for CCNet-style LM-perplexity filtering: a
+    * document's mean `-log2 P(w_i | w_{i-1})` against the corpus
+    * bigram distribution, in EXACT integer bits
+    * (`floor(log2(c1/c2))` as the bit length of the integer quotient
+    * of the context count over the bigram count) — no floating log,
+    * reproducible at any reduction order.
+    *
+    * Scale shape: one tokenize + per-doc lag window (doc_id shuffle),
+    * one map-side-combined bigram aggregate, a tiny context rollup of
+    * that aggregate, one shuffle join of doc bigrams to bigram bits
+    * on the (prev, token) key, one per-doc aggregate. The bigram
+    * relation stays distributed (joined, never collected); its
+    * context rollup reuses the bigram partials rather than re-scanning
+    * tokens.
+    */
+  val q115BigramSurprisal: QueryDef = QueryDef.sql(
+    "q115_bigram_surprisal",
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS token,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |b AS (SELECT doc_id, lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+      |    token FROM t QUALIFY prev IS NOT NULL),
+      |c2 AS (SELECT prev, token, count(*) AS c2 FROM b GROUP BY prev, token),
+      |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+      |bits AS (SELECT c2.prev, c2.token,
+      |    length(printf('%b', c1 // c2)) - 1 AS bits
+      |  FROM c2 JOIN c1 USING (prev)),
+      |d AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(bits) AS BIGINT) AS bits_sum
+      |  FROM b JOIN bits USING (prev, token) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, bits_sum,
+      |  round(CAST(bits_sum AS DOUBLE) / n_bigrams, 6) AS avg_bits
+      |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.withColumn("prev", lag("token", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select("doc_id", "prev", "token")
+    val c2 = bi.groupBy("prev", "token").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+    val bits = c2.join(c1, "prev").select(col("prev"), col("token"),
+      (length(bin(expr("c1 div c2"))) - 1).cast("long").as("bits"))
+    bi.join(bits, Seq("prev", "token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_sum"),
+        round(col("bits_sum").cast("double") / col("n_bigrams"), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Funnel analysis: how far each user progresses through
     * view -> click (within 12 h of the first view) -> purchase
     * (within 3 days of that click), plus the mean view->purchase
@@ -530,5 +641,6 @@ object PipelineOps {
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
-    q107QualityRank, q108Interarrival, q109LengthHist)
+    q107QualityRank, q108Interarrival, q109LengthHist,
+    q114Acf, q115BigramSurprisal)
 }

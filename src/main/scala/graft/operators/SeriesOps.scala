@@ -95,6 +95,38 @@ object SeriesOps {
       .drop("__q", "__med", "__mad")
   }
 
+  /** Hampel filter — the standard spike repair: replace a sample with
+    * the centered rolling median when it sits more than `k` robust
+    * sigmas (1.4826·MAD) from that median; otherwise pass it through.
+    * The robust scale is the whole-series MAD (one extra
+    * whole-partition window on the same shuffle), the center is the
+    * rolling median — the practical large-window form.
+    *
+    * Determinism: milli-quantized integer inputs make every
+    * percentile an exact dyadic rational ([[robustZscore]]); the
+    * threshold constant `k·1.4826` is folded to ONE double literal on
+    * the driver so both engines compare against the bit-identical
+    * product — membership (which rows get repaired) cannot flip with
+    * reduction order. Three chained windows, one series shuffle.
+    */
+  def hampel(df: DataFrame, s: Series, value: String, out: String,
+      window: Int = 7, k: Double = 3.0): DataFrame = {
+    val c = k * 1.4826 // driver-folded: ONE literal, shared with oracles
+    val q = round(col(value) * 1e3).cast("long")
+    val rmed = percentile(col("__q"), lit(0.5)).over(s.centered(window))
+    val med = percentile(col("__q"), lit(0.5)).over(s.whole)
+    val mad = percentile(abs(col("__q") - col("__med")), lit(0.5)).over(s.whole)
+    df.withColumn("__q", q)
+      .withColumn("__rmed", rmed)
+      .withColumn("__med", med)
+      .withColumn("__mad", mad)
+      .withColumn(out + "_repaired",
+        abs(col("__q") - col("__rmed")) > lit(c) * col("__mad"))
+      .withColumn(out,
+        when(col(out + "_repaired"), col("__rmed") / 1e3).otherwise(col(value)))
+      .drop("__q", "__rmed", "__med", "__mad")
+  }
+
   /** One-sided CUSUM change-point detection. The textbook recursion
     * `S_t = max(0, S_{t-1} + (x_t - mean))` is not window-expressible,
     * but its closed form is: `S_t = C_t - min_{s<=t} C_s` with `C`

@@ -57,6 +57,27 @@ object SignalKernels {
     applyKernel(spark, df, s, src, out)(Dsp.filtfiltTf(tf, _))
   }
 
+  /** EWMA smoothing — `y_0 = x_0; y_i = α·x_i + (1−α)·y_{i−1}`
+    * (pandas `ewm(alpha).mean()` with `adjust=False`): a first-order
+    * IIR, so it rides the same per-series sequential-kernel runner as
+    * the Butterworth filters. Op order (mul, mul, add) is mirrored
+    * verbatim by [[graft.functions.KernelOracles.ewmaOracle]] for
+    * bit-exact parity.
+    */
+  def ewma(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, alpha: Double): DataFrame = {
+    val beta = 1.0 - alpha
+    applyKernel(spark, df, s, src, out) { x =>
+      val y = new Array[Double](x.length)
+      if (x.nonEmpty) {
+        y(0) = x(0)
+        var i = 1
+        while (i < x.length) { y(i) = alpha * x(i) + beta * y(i - 1); i += 1 }
+      }
+      y
+    }
+  }
+
   /** Cubic-spline interpolation of missing samples (`method='cubic'`,
     * dialogs.py:49): a natural cubic spline through the non-NaN knots
     * fills NaN rows; outside the knot range values clamp to the edge

@@ -152,4 +152,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(countDistinct("label")).as[Long].head()
     assert(out.count() == dims * labels)
   }
+
+  test("q114 acf: five lags per series, |r| <= 1, pairs shrink with lag") {
+    val out = PipelineOps.q114Acf.fn(spark, sfDir)
+    assert(out.filter(abs(col("r")) > 1.0).isEmpty)
+    val byUser = out.groupBy("user_id")
+      .agg(countDistinct("lag").as("nl"), count(lit(1)).as("n"))
+    assert(byUser.filter(col("nl") =!= 5).isEmpty)
+    // n_pairs at lag L = series length - L: strictly decreasing in L
+    val bad = out.as("a").join(out.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.lag") + 1 === col("b.lag"))
+      .filter(col("a.n_pairs") =!= col("b.n_pairs") + 1)
+    assert(bad.isEmpty)
+  }
+
+  test("q115 bigram surprisal: n_bigrams = tokens - 1, bits nonnegative") {
+    val out = PipelineOps.q115BigramSurprisal.fn(spark, sfDir)
+    val lens = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("want"))
+    assert(out.join(lens, "doc_id").filter(col("n_bigrams") =!= col("want")).isEmpty)
+    assert(out.filter(col("bits_sum") < 0).isEmpty)
+    // a deterministic context always followed by the same token = 0 bits;
+    // corpus-wide average must still be positive (vocabulary is mixed)
+    assert(out.agg(sum("bits_sum")).as[Long].head() > 0)
+  }
+
+  test("q116 unk mask: token counts preserved, n_masked reconciles") {
+    val out = CorpusOps.q116UnkMask.fn(spark, sfDir)
+    val src = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // reassembly preserves token count
+    assert(out.join(src, "doc_id")
+      .filter(size(split(col("masked_text"), " ")).cast("long") =!= col("n_tok"))
+      .isEmpty)
+    // <unk> appears exactly n_masked times per document
+    val unkCount = size(filter(split(col("masked_text"), " "),
+      t => t === "<unk>")).cast("long")
+    assert(out.filter(unkCount =!= col("n_masked")).isEmpty)
+  }
 }

@@ -180,4 +180,24 @@ class SeriesOpsSpec extends AnyFunSuite {
     val flat = df((0, 1), (1, 9), (2, 9), (3, 1))
     assert(SeriesOps.peaks(flat, s, "v", 0.0).count() == 0)
   }
+
+  test("hampel: repairs the lone spike with the rolling median, flags only it") {
+    val d = df((0, 1), (1, 1), (2, 1), (3, 100), (4, 1), (5, 1), (6, 1))
+    val h = SeriesOps.hampel(d, s, "v", "hv")
+    val flags = h.orderBy("t").select("hv_repaired").as[Boolean].collect().toSeq
+    assert(flags == Seq(false, false, false, true, false, false, false))
+    approx(out(h, "hv"), Seq(1, 1, 1, 1, 1, 1, 1))
+    // clean series passes through untouched
+    val clean = SeriesOps.hampel(df((0, 2), (1, 2), (2, 2)), s, "v", "hv")
+    assert(clean.filter(col("hv_repaired")).count() == 0)
+    approx(out(clean, "hv"), Seq(2, 2, 2))
+  }
+
+  test("ewma kernel matches the direct recurrence") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val d = df(vals.zipWithIndex.map { case (v, i) => (i.toDouble, v) }: _*)
+    val got = out(graft.operators.SignalKernels.ewma(spark, d, s, "v", "e", 0.25), "e")
+    val want = vals.tail.scanLeft(vals.head)((y, x) => 0.25 * x + 0.75 * y)
+    assert(got == want) // bit-exact, not approx: same op order
+  }
 }
