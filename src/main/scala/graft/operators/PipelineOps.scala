@@ -448,9 +448,14 @@ object PipelineOps {
     val toks = docs(spark, dir).select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // persisted: two consumers (the count aggregate and the final
+    // scoring join) would each re-run tokenize + lag window; the
+    // harness clears caches per query. At 100 TB this cache becomes
+    // an explicit parquet materialization of the bigram relation.
     val bi = toks.withColumn("prev", lag("token", 1).over(w))
       .filter(col("prev").isNotNull)
       .select("doc_id", "prev", "token")
+      .persist()
     val c2 = bi.groupBy("prev", "token").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val bits = c2.join(c1, "prev").select(col("prev"), col("token"),

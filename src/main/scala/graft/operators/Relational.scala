@@ -200,7 +200,81 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Hierarchical corpus report: ROLLUP over (source, lang) — per
+    * cell, per source, and grand totals in ONE aggregation pass
+    * (Spark expands the grouping sets inside a single hash aggregate;
+    * a union of three group-bys would scan the corpus three times).
+    * Subtotal keys render as 'ALL' via coalesce so both engines emit
+    * identical cells. Token totals are exact integer sums.
+    */
+  val q118MixtureRollup: QueryDef = QueryDef.sql(
+    "q118_mixture_rollup",
+    """SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY ROLLUP (source, lang)
+      |ORDER BY src, lng""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .select(coalesce(col("source"), lit("ALL")).as("src"),
+        coalesce(col("lang"), lit("ALL")).as("lng"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("src", "lng")
+  }
+
+  /** Language×source cross-tab — Spark's `pivot` with an EXPLICIT
+    * value list (the data-driven variant runs an extra distinct job
+    * and makes the schema nondeterministic; a declared domain keeps
+    * the plan one aggregate). The oracle is the equivalent
+    * conditional aggregation.
+    */
+  val q119LangPivot: QueryDef = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    QueryDef.sql(
+      "q119_lang_pivot",
+      s"""SELECT source,
+         |  ${langs.map(l => s"count(CASE WHEN lang = '$l' THEN 1 END) AS n_$l").mkString(",\n  ")}
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      val p = Tables.documents(spark, dir)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      langs.foldLeft(p)((d, l) =>
+          d.withColumn(s"n_$l", coalesce(col(l), lit(0L))).drop(l))
+        .orderBy("source")
+    }
+  }
+
+  /** Per-source length deciles (NTILE) — the balanced-binning
+    * primitive behind length-stratified sampling. The tile order is
+    * totally determined (n_chars, doc_id), so tile membership is
+    * deterministic on both engines; one shuffle by source carries the
+    * window AND the rollup.
+    */
+  val q120LengthNtile: QueryDef = QueryDef.sql(
+    "q120_length_ntile",
+    """WITH t AS (SELECT source, n_chars,
+      |    ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |SELECT source, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM t GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("source", "decile")
+  }
+
   val all: Seq[QueryDef] = Seq(q06SetOps, q07SaltedAgg,
     q01PricingSummary, q02RevenueByNation, q03TopCustomers,
-    q04SupplierRank, q05CustomersNoOrders)
+    q04SupplierRank, q05CustomersNoOrders,
+    q118MixtureRollup, q119LangPivot, q120LengthNtile)
 }

@@ -502,7 +502,97 @@ object StreamingSessions {
     runFunnel(spark, dir).orderBy("stage")
   }
 
+  // ---- streaming EWMA: a stateful sequential kernel on a stream ----
+
+  final case class EwmaRow(user_id: Long, event_id: Long, tn: Double,
+      smoothed: Double)
+
+  /** Carried state: the tn origin, the last smoothed value (the IIR
+    * state — one double is the ENTIRE kernel state, which is what
+    * makes the recurrence streamable), and the time frontier for the
+    * late-data drop.
+    */
+  final case class EwmaState(t0: Double, y: Double, frontier: Double)
+
+  val EwmaAlpha = 0.25
+  private val EwmaBeta = 1.0 - EwmaAlpha
+
+  /** Per-key batch handler: continues `y_i = α·x_i + (1−α)·y_{i−1}`
+    * from the carried state with the EXACT op order of the batch
+    * kernel ([[graft.operators.SignalKernels.ewma]]), so a multi-batch
+    * stream emits bit-identical doubles to the one-shot batch run —
+    * the q110 oracle verifies this query unchanged. Events older than
+    * the carried frontier are dropped (zero-lateness policy, as
+    * [[sessionize]]); a smoothed sample is final when emitted, so the
+    * sink is pure append, no upsert contract needed.
+    */
+  private def ewmaStep(userId: Long, rows: Iterator[Row],
+      state: GroupState[EwmaState]): Iterator[EwmaRow] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), r.getAs[Long]("event_id"),
+      r.getAs[Double]("value"))).toArray.sortBy(e => (e._1, e._2))
+    if (evs.isEmpty) return Iterator.empty
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
+    var y = prior.map(_.y).getOrElse(Double.NaN)
+    var seeded = prior.isDefined
+    var frontier = prior.map(_.frontier).getOrElse(Double.NegativeInfinity)
+    val out = Vector.newBuilder[EwmaRow]
+    evs.foreach { case (t, eid, v) =>
+      val tn = t - t0
+      if (seeded && tn < frontier) {
+        // late: older than the carried frontier — drop, never rewind
+      } else {
+        y = if (seeded) EwmaAlpha * v + EwmaBeta * y else v
+        seeded = true
+        frontier = tn
+        out += EwmaRow(userId, eid, tn, y)
+      }
+    }
+    state.update(EwmaState(t0, y, frontier))
+    out.result().iterator
+  }
+
+  def ewmaStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[EwmaRow] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    withTrigger.parquet(dir)
+      .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(ewmaStep)
+  }
+
+  def runEwma(spark: SparkSession, dir: String,
+      sinkName: String = "stream_ewma"): DataFrame = withStateShuffle(spark, 8) {
+    val q = ewmaStream(spark, dir).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming twin of q110 — verified by the SAME bit-exact
+    * recursive-CTE oracle: streaming state continuation must equal
+    * the batch recurrence double-for-double.
+    */
+  val q117StreamEwma: graft.QueryDef = graft.QueryDef.sql(
+    "q117_stream_ewma",
+    graft.functions.KernelOracles.ewmaOracle(Tables.seriesSql, EwmaAlpha)) { (spark, dir) =>
+    runEwma(spark, dir)
+      .select("user_id", "event_id", "tn", "smoothed")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
     q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin,
-    q104StreamFunnel)
+    q104StreamFunnel, q117StreamEwma)
 }

@@ -142,4 +142,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(r == singleRows(k), s"funnel $k diverged:\n  multi : $r\n  single: ${singleRows(k)}")
     }
   }
+
+  test("ewma stream resumes across micro-batches, bit-equal to batch kernel") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val rows = mutable.ArrayBuffer[StreamingSessions.EwmaRow]()
+    var batches = 0
+    val q = StreamingSessions
+      .ewmaStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSessions.EwmaRow], _: Long) =>
+        batches += 1; rows ++= df.collect(); ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    // append-mode: each sample emitted once, and the carried IIR state
+    // must make the stream's doubles BIT-equal to the batch kernel
+    val batch = graft.operators.EventSeriesJoins.q110Ewma.fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == batch.size,
+      s"stream emitted ${rows.size} rows, batch has ${batch.size}")
+    rows.foreach { r =>
+      val (tn, y) = batch((r.user_id, r.event_id))
+      assert(r.tn == tn && r.smoothed == y,
+        s"ewma diverged at (${r.user_id}, ${r.event_id}): stream (${r.tn}, ${r.smoothed}) vs batch ($tn, $y)")
+    }
+  }
 }
