@@ -86,7 +86,10 @@ object Corpus {
   }
 
   /** Per-`source` mixture report (q78): doc/token/BPE-estimate
-    * totals, corpus share, and order-insensitive mean quality.
+    * totals, corpus share, and mean quality. Shares and means are
+    * floor-ppm integers divided once by 1e6 — exact at any reduction
+    * order, and with no round() there is no cross-engine rounding
+    * boundary to land on (the q51 ppm policy).
     */
   def mixtureReport(corpus: DataFrame): DataFrame =
     TextOps.withQuality(corpus)
@@ -94,11 +97,11 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),
         sum(ceil(length(col("text")) / 4.0).cast("long")).as("bpe_est"),
-        sum(round(col("quality") * 1e6).cast("long")).as("qsum"))
+        sum("quality_ppm").as("qsum"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("bpe_est"),
-        round(col("n_docs") * 1.0 /
-          sum(col("n_docs")).over(Window.partitionBy()), 6).as("doc_share"),
-        round(col("qsum").cast("double") / col("n_docs") / 1e6, 6).as("avg_quality"))
+        (expr("n_docs * 1000000 div total") / lit(1e6)).as("doc_share"),
+        (expr("qsum div n_docs") / lit(1e6)).as("avg_quality"))
 
   /** Top-k vocabulary (q74): token occurrence + document frequency,
     * total-ordered cut.

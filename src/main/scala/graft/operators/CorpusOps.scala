@@ -78,27 +78,28 @@ object CorpusOps {
        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |  FROM documents),
        |m AS (SELECT doc_id, ws, rn, len(ws) AS n_words,
-       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
-       |    len(list_filter(ws, x -> list_contains(${TextOps.sqlList(TextOps.stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) AS chars,
+       |    len(list_filter(ws, x -> list_contains(${TextOps.sqlList(TextOps.stopwords, "[", "]")}, x))) AS stops
        |  FROM w),
        |q AS (SELECT doc_id, ws, rn,
-       |    round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
-       |      + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
+       |    (320000000 * stops + 30000000 * least(chars, 8 * n_words))
+       |      // (800 * n_words) + least(3000 * n_words, 300000) AS quality_ppm
        |  FROM m),
-       |l AS (SELECT doc_id, rn, quality, ${TextOps.duckLangCase} AS lang_pred FROM q)
+       |l AS (SELECT doc_id, rn, quality_ppm, ${TextOps.duckLangCase} AS lang_pred FROM q)
        |SELECT lang_pred, count(*) AS n_retained,
-       |  round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_quality
-       |FROM l WHERE rn = 1 AND quality >= 0.35
+       |  CAST(CAST(sum(quality_ppm) AS BIGINT) // count(*) AS BIGINT) / 1e6 AS avg_quality
+       |FROM l WHERE rn = 1 AND quality_ppm >= 350000
        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     TextOps.withQuality(docs(spark, dir).withColumn("rn", row_number().over(w)))
       .withColumn("lang_pred", TextOps.langPred(col("ws")))
-      .filter(col("rn") === 1 && col("quality") >= 0.35)
+      .filter(col("rn") === 1 && col("quality_ppm") >= 350000L)
       .groupBy("lang_pred")
-      .agg(count(lit(1)).as("n_retained"),
-        sum(round(col("quality") * 1e6).cast("long")).as("qsum"))
+      .agg(count(lit(1)).as("n_retained"), sum("quality_ppm").as("qsum"))
+      // floor-ppm mean: exact integer mean then ONE shared division —
+      // no round() anywhere, so no cross-engine boundary to land on
       .select(col("lang_pred"), col("n_retained"),
-        round(col("qsum").cast("double") / col("n_retained") / 1e6, 6).as("avg_quality"))
+        (expr("qsum div n_retained") / lit(1e6)).as("avg_quality"))
       .orderBy("lang_pred")
   }
 
@@ -152,31 +153,20 @@ object CorpusOps {
     "q78_mixture_report",
     s"""WITH w AS (SELECT source, len(text) AS nc, string_split(text, ' ') AS ws FROM documents),
        |m AS (SELECT source, nc, len(ws) AS n_words,
-       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
-       |    len(list_filter(ws, x -> list_contains(${TextOps.sqlList(TextOps.stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) AS chars,
+       |    len(list_filter(ws, x -> list_contains(${TextOps.sqlList(TextOps.stopwords, "[", "]")}, x))) AS stops
        |  FROM w),
        |q AS (SELECT source, nc, n_words,
-       |    round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
-       |      + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
+       |    (320000000 * stops + 30000000 * least(chars, 8 * n_words))
+       |      // (800 * n_words) + least(3000 * n_words, 300000) AS quality_ppm
        |  FROM m)
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
        |  CAST(sum(CAST(ceil(nc / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est,
-       |  round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS doc_share,
-       |  round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS avg_quality
+       |  CAST(count(*) * 1000000 // (SELECT count(*) FROM documents) AS BIGINT) / 1e6 AS doc_share,
+       |  CAST(CAST(sum(quality_ppm) AS BIGINT) // count(*) AS BIGINT) / 1e6 AS avg_quality
        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val grouped = TextOps.withQuality(docs(spark, dir))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_words").cast("long")).as("n_tokens"),
-        sum(ceil(length(col("text")) / 4.0).cast("long")).as("bpe_est"),
-        sum(round(col("quality") * 1e6).cast("long")).as("qsum"))
-    grouped
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("bpe_est"),
-        round(col("n_docs") * 1.0 /
-          sum(col("n_docs")).over(Window.partitionBy()), 6).as("doc_share"),
-        round(col("qsum").cast("double") / col("n_docs") / 1e6, 6).as("avg_quality"))
-      .orderBy("source")
+    graft.api.Corpus.mixtureReport(docs(spark, dir)).orderBy("source")
   }
 
   /** Token-budget sharding: pack the doc_id-ordered corpus into
@@ -311,6 +301,58 @@ object CorpusOps {
       .orderBy("source", "rn")
   }
 
+  /** Sequence packing — GPT-style concatenation of a source's
+    * documents (in corpus order) into fixed token-budget training
+    * bins, reporting per bin the docs that START in it, its assigned
+    * tokens, and how many docs straddle into the next bin (the
+    * cross-boundary attention-mask cases). The pretraining batch
+    * builder's bookkeeping, as one query.
+    *
+    * Scale shape: q81's two-phase prefix sum, but per source — block
+    * subtotals roll up over (source, block) with a window over the
+    * tiny per-source block table, then the running sum inside each
+    * block rides a (source, block)-partitioned window. No
+    * whole-source single-partition window: a 100 TB source packs with
+    * corpus_size/BlockDocs-way parallelism.
+    */
+  val PackBudget = 512L
+
+  val q121SequencePacking: QueryDef = QueryDef.sql(
+    "q121_sequence_packing",
+    s"""WITH t AS (SELECT doc_id, source,
+       |    len(string_split(text, ' ')) AS nw FROM documents),
+       |c AS (SELECT *, sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+       |s AS (SELECT *, CAST((cum - nw) // $PackBudget AS BIGINT) AS bin,
+       |    (cum - nw) // $PackBudget <> (cum - 1) // $PackBudget AS straddles FROM c)
+       |SELECT source, bin, count(*) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN straddles THEN 1 END) AS BIGINT) AS n_straddle,
+       |  min(doc_id) AS first_doc
+       |FROM s GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        expr(s"doc_id div $BlockDocs").as("blk"))
+    val blockOffsets = toks.groupBy("source", "blk").agg(sum("nw").as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.partitionBy("source").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "blk", "off")
+    val inBlock = Window.partitionBy("source", "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(blockOffsets), Seq("source", "blk"))
+      .withColumn("cum", sum(col("nw")).over(inBlock) + col("off"))
+      .withColumn("bin", expr(s"(cum - nw) div $PackBudget"))
+      .withColumn("straddles",
+        expr(s"(cum - nw) div $PackBudget != (cum - 1) div $PackBudget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+        count(when(col("straddles"), 1)).as("n_straddle"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** OOV masking — vocabulary truncation as a corpus transform:
     * tokens whose corpus frequency is relatively rare (cnt·20 <
     * max-count, a scale-invariant threshold) are replaced by `<unk>`
@@ -357,5 +399,6 @@ object CorpusOps {
 
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
-    q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask)
+    q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
+    q121SequencePacking)
 }

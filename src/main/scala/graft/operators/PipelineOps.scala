@@ -576,15 +576,18 @@ object PipelineOps {
   val q107QualityRank: QueryDef = QueryDef.sql(
     "q107_quality_rank",
     s"""WITH ${graft.operators.TextOps.duckQualityCtes},
-       |d AS (SELECT q.doc_id, d.source, q.quality
+       |d AS (SELECT q.doc_id, d.source, q.quality_ppm
        |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id)
-       |SELECT doc_id, source, quality,
-       |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6) AS qrank
+       |SELECT doc_id, source, CAST(quality_ppm AS BIGINT) AS quality_ppm,
+       |  percent_rank() OVER (PARTITION BY source ORDER BY quality_ppm) AS qrank
        |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy("source").orderBy("quality")
+    // rank over the INTEGER ppm score (identical tie structure on both
+    // engines); percent_rank itself is one (rank-1)/(n-1) IEEE
+    // division — emitted raw, bit-identical, nothing to round
+    val w = Window.partitionBy("source").orderBy("quality_ppm")
     graft.operators.TextOps.withQuality(docs(spark, dir))
-      .select(col("doc_id"), col("source"), col("quality"),
-        round(percent_rank().over(w), 6).as("qrank"))
+      .select(col("doc_id"), col("source"), col("quality_ppm"),
+        percent_rank().over(w).as("qrank"))
       .orderBy("doc_id")
   }
 

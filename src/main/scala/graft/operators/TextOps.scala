@@ -72,56 +72,74 @@ object TextOps {
   }
 
   /** Add the quality columns (`ws`, `n_words`, `mean_wlen`,
-    * `stop_ratio`, `quality`) to any relation with a `text` column —
-    * the per-row metric stack shared by q51/q76/q78 and the public
-    * [[graft.api.Corpus]] facade. Pure projections: zero shuffle.
+    * `stop_ratio`, `quality_ppm`, `quality`) to any relation with a
+    * `text` column — the per-row metric stack shared by q51/q76/q78
+    * and the public [[graft.api.Corpus]] facade. Pure projections:
+    * zero shuffle.
+    *
+    * The composite score is EXACT INTEGER parts-per-million:
+    * `ppm = (320e6·stops + 30e6·min(chars, 8n)) div 800n
+    *        + min(3000n, 300000)`
+    * — algebraically `0.4·stop_ratio + 0.3·min(mean_wlen/8, 1) +
+    * 0.3·min(n/100, 1)` scaled to 1e6 with ONE integer floor. A float
+    * composite rounded at 6 dp is bit-identical across engines right
+    * up until a value lands within an ulp of a rounding boundary —
+    * observed at sf0.1 (0.2878125), where Spark's BigDecimal half-up
+    * and DuckDB's float-multiply rounding split, flipping q51 AND
+    * every downstream consumer (q76/q78/q80/q107). Integer ppm has no
+    * boundary to sit on; `quality = ppm / 1e6` is one IEEE division,
+    * identical everywhere.
     */
   def withQuality(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")))
-      .withColumn("mean_wlen",
-        expr("aggregate(ws, 0, (s, x) -> s + length(x))") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))") /
-          col("n_words"))
-      .withColumn("quality",
-        round(lit(0.4) * col("stop_ratio")
-          + lit(0.3) * least(col("mean_wlen") / 8, lit(1.0))
-          + lit(0.3) * least(col("n_words") / 100.0, lit(1.0)), 6))
+      .withColumn("__chars", expr("aggregate(ws, 0, (s, x) -> s + length(x))"))
+      .withColumn("__stops",
+        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))"))
+      .withColumn("mean_wlen", col("__chars") / col("n_words"))
+      .withColumn("stop_ratio", col("__stops") / col("n_words"))
+      .withColumn("quality_ppm", expr(
+        """(320000000L * __stops + 30000000L * least(cast(__chars as bigint), 8L * n_words))
+          |  div (800L * n_words) + least(3000L * n_words, 300000L)""".stripMargin))
+      .withColumn("quality", col("quality_ppm") / lit(1e6))
+      .drop("__chars", "__stops")
 
-  /** DuckDB CTE chain `qw, qm, qq` ending in `qq(doc_id, quality)` —
-    * the oracle twin of [[withQuality]] (same expression tree, so the
-    * per-row doubles are bit-identical across engines).
+  /** DuckDB CTE chain `qw, qm, qq` ending in
+    * `qq(doc_id, quality_ppm, quality)` — the oracle twin of
+    * [[withQuality]]: identical integer arithmetic, one shared IEEE
+    * division for the double view.
     */
   def duckQualityCtes: String =
     s"""qw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |qm AS (SELECT doc_id, len(ws) AS n_words,
-       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
-       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) AS chars,
+       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) AS stops
        |  FROM qw),
-       |qq AS (SELECT doc_id, round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
-       |    + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality FROM qm)""".stripMargin
+       |qq AS (SELECT doc_id,
+       |    (320000000 * stops + 30000000 * least(chars, 8 * n_words))
+       |      // (800 * n_words) + least(3000 * n_words, 300000) AS quality_ppm,
+       |    ((320000000 * stops + 30000000 * least(chars, 8 * n_words))
+       |      // (800 * n_words) + least(3000 * n_words, 300000)) / 1e6 AS quality
+       |  FROM qm)""".stripMargin
 
   /** Quality score: word count, mean word length, stopword ratio →
-    * bounded composite in [0, 1].
+    * bounded ppm composite in [0, 1e6]. All outputs are either exact
+    * integers or single bit-identical IEEE divisions — NOTHING is
+    * rounded (see [[withQuality]] for why rounding is the hazard).
     */
   val q51QualityScore: QueryDef = QueryDef.sql(
     "q51_quality_score",
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |m AS (SELECT doc_id, len(ws) AS n_words,
-       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) / len(ws) AS mean_wlen,
-       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) / len(ws) AS stop_ratio
-       |  FROM w)
-       |SELECT doc_id, n_words, round(mean_wlen, 6) AS mean_wlen,
-       |  round(stop_ratio, 6) AS stop_ratio,
-       |  round(0.4 * stop_ratio + 0.3 * least(mean_wlen / 8, 1.0)
-       |    + 0.3 * least(n_words / 100.0, 1.0), 6) AS quality
-       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    s"""WITH $duckQualityCtes,
+       |j AS (SELECT m.doc_id, m.n_words, m.chars, m.stops,
+       |    q.quality_ppm, q.quality
+       |  FROM qm m JOIN qq q ON q.doc_id = m.doc_id)
+       |SELECT doc_id, n_words, chars / n_words AS mean_wlen,
+       |  stops / n_words AS stop_ratio, CAST(quality_ppm AS BIGINT) AS quality_ppm,
+       |  quality
+       |FROM j ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     withQuality(graft.sources.Tables.documents(spark, dir))
-      .select(col("doc_id"), col("n_words"),
-        round(col("mean_wlen"), 6).as("mean_wlen"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        col("quality"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("stop_ratio"), col("quality_ppm"), col("quality"))
       .orderBy("doc_id")
   }
 

@@ -178,6 +178,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.agg(sum("bits_sum")).as[Long].head() > 0)
   }
 
+  test("q121 sequence packing: totals reconcile, bins contiguous per source") {
+    val out = CorpusOps.q121SequencePacking.fn(spark, sfDir)
+    val src = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    // every doc lands in exactly one bin; every token is assigned
+    val rolled = out.groupBy("source")
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t"),
+        min("bin").as("b0"), max("bin").as("b1"), count(lit(1)).as("nb"))
+    val j = rolled.join(src, "source")
+    assert(j.filter(col("d") =!= col("docs") || col("t") =!= col("toks")).isEmpty)
+    // bins start at 0 and are contiguous (every bin gets a starting doc
+    // only if budget >= max doc length holds loosely; allow gaps only
+    // when a single doc spans multiple budgets — not in this corpus)
+    assert(j.filter(col("b0") =!= 0 || col("b1") =!= col("nb") - 1).isEmpty)
+    assert(out.filter(col("n_straddle") > col("n_docs")).isEmpty)
+  }
+
   test("q116 unk mask: token counts preserved, n_masked reconciles") {
     val out = CorpusOps.q116UnkMask.fn(spark, sfDir)
     val src = graft.sources.Tables.documents(spark, sfDir)
