@@ -45,15 +45,19 @@ object EventSeries {
 
   val q11DeleteCollapse: QueryDef = QueryDef.sql(
     "q11_delete_collapse",
+    // exact-integer ms rounding on the µs grid (see
+    // SeriesOps.deleteCollapse): doubled-grid median kills halves,
+    // µs→ms half-up is an integer divide — no float round anywhere
     s"""$S, surv AS (SELECT * FROM s WHERE tn < $selStart OR tn > $selEnd),
        |d AS (SELECT user_id, event_id, value, tn,
-       |  tn - lag(tn) OVER ($OW) AS dt FROM surv),
-       |m AS (SELECT user_id, round(quantile_cont(dt, 0.5), 3) AS dtm
-       |  FROM d WHERE dt > 0 GROUP BY user_id),
+       |  CAST(round((tn - lag(tn) OVER ($OW)) * 1000000.0) AS BIGINT) AS dtu FROM surv),
+       |m AS (SELECT user_id,
+       |  (CAST(quantile_cont(dtu * 2, 0.5) AS BIGINT) + 1000) // 2000 AS dtm_ms
+       |  FROM d WHERE dtu > 0 GROUP BY user_id),
        |r AS (SELECT user_id, event_id, value,
        |  row_number() OVER ($OW) AS rn FROM d)
        |SELECT r.user_id, r.event_id,
-       |  round((rn - 1) * coalesce(m.dtm, 1.0), 3) AS new_t, r.value
+       |  (rn - 1) * coalesce(m.dtm_ms, 1000) / 1e3 AS new_t, r.value
        |FROM r LEFT JOIN m ON r.user_id = m.user_id
        |ORDER BY r.user_id, r.event_id""".stripMargin) { (spark, dir) =>
     SeriesOps.deleteCollapse(Tables.seriesNorm(spark, dir), s, selStart, selEnd)

@@ -305,17 +305,28 @@ object SeriesOps {
   def deleteCollapse(df: DataFrame, s: Series, start: Double, end: Double): DataFrame = {
     val t = col(s.timeCol)
     val surv = df.filter(t < start || t > end)
-    val dtCol = t - lag(t, 1).over(s.ordered)
     // per-series median as a whole-partition window aggregate: rides
     // the SAME hash partitioning as the lag/rank windows (one shuffle
     // total), where a groupBy + join-back needs a second aggregation
     // shuffle and — with millions of series — a medians table too big
     // to broadcast. `percentile` ignores the nulls the `when` injects,
     // matching the dt > 0 filter semantics.
-    val dtm = round(percentile(when(dtCol > 0, dtCol), lit(0.5)).over(s.whole), 3)
+    //
+    // The ms rounding is EXACT INTEGER arithmetic on the µs grid:
+    // gaps quantize to µs, the median runs on a DOUBLED grid (so
+    // even-count interpolation yields integers, never halves), and
+    // µs→ms half-up is an integer shift-divide. A float
+    // `round(median, 3)` sits exactly on the half-millisecond
+    // boundary whenever the µs median ≡ 500 (mod 1000) — the
+    // cross-engine rounding split q51 hit at sf0.1; integers cannot.
+    val dtUs = round((t - lag(t, 1).over(s.ordered)) * 1e6).cast("long")
+    val med2 = percentile(when(dtUs > 0, dtUs * 2), lit(0.5)).over(s.whole)
+    val dtmMs = expr("(cast(__med2 as bigint) + 1000) div 2000")
     val rn = row_number().over(s.ordered)
-    surv.withColumn(s.timeCol,
-      round((rn - 1).cast("double") * coalesce(dtm, lit(1.0)), 3))
+    surv.withColumn("__med2", med2)
+      .withColumn(s.timeCol,
+        (rn - 1).cast("long") * coalesce(dtmMs, lit(1000L)) / lit(1e3))
+      .drop("__med2")
   }
 
   /** Angular frame transform with wrap to [-180, 180)
