@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph processing — the Pregel-shaped workload class
+  * (label propagation already powers the near-dup clustering,
+  * [[Dedup.connectedComponents]]); here: PageRank over a derived
+  * entity graph.
+  *
+  * Scale shape per iteration: one shuffle join of the rank vector to
+  * the edge list on the source key + one hash aggregate on the
+  * destination key — the standard distributed PageRank step. A fixed
+  * iteration count keeps the plan a finite chain; at 100 TB each
+  * iteration's rank vector is persisted (or checkpointed to break
+  * lineage) exactly like the CC loop's label relation.
+  *
+  * Determinism: ranks are EXACT INTEGER parts-per-million.
+  * Contribution = `rank div out_degree` (integer), damping =
+  * `150000 + (85·Σ) div 100` (integer) — every iteration is
+  * order-insensitive integer arithmetic, so a fixed iteration count
+  * yields bit-identical ranks on any engine, any partitioning. The
+  * float formulation would accumulate reduction-order ulps across
+  * iterations and amplify them through the damping multiply.
+  */
+object Graphs {
+
+  val Iterations = 5
+
+  /** Integer-ppm PageRank over a symmetric edge list `(src, dst)`.
+    * Every node (appearing as src or dst) starts at 1e6 ppm; after
+    * each step ranks are re-damped; dangling nodes cannot exist in a
+    * symmetrized edge list.
+    *
+    * A FIXED iteration count means the rank lineage is a
+    * straight-line DAG with no reuse — so iterations chain LAZILY
+    * into one job (no per-iteration materialization: a persist+count
+    * round per step tripled the wall time at bench scale and buys
+    * nothing without reuse). Only the edge+degree relation, consumed
+    * once per iteration, is persisted; the harness clears caches per
+    * query, facade callers unpersist at their own scope. An
+    * unbounded-convergence variant would instead checkpoint each
+    * round like [[Dedup.connectedComponents]].
+    */
+  def pageRankPpm(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").persist()
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank_ppm", lit(1000000L))
+    (1 to iterations).foreach { _ =>
+      ranks = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank_ppm div deg").as("c"))
+        .groupBy("node")
+        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("rank_ppm"))
+    }
+    ranks
+  }
+
+  /** PageRank over the cross-user incident graph: nodes are users,
+    * edges pair users whose q113 bursts (≥3 consecutive errors vs ≥3
+    * consecutive purchases) overlapped in absolute time — "whose
+    * incidents co-occur with whose". The oracle replays the identical
+    * integer iterations as a fixed chain of CTEs.
+    */
+  val q122PageRank: QueryDef = {
+    def islSql(tpe: String) =
+      s"""SELECT user_id, min(t) AS s0, max(t) AS e0
+         |  FROM f WHERE event_type = '$tpe'
+         |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3""".stripMargin
+    val iterCtes = (1 to Iterations).map { i =>
+      s"""it$i AS (SELECT e.dst AS node,
+         |    150000 + (85 * CAST(sum(r.rank_ppm // e.deg) AS BIGINT)) // 100 AS rank_ppm
+         |  FROM ed e JOIN it${i - 1} r ON r.node = e.src GROUP BY e.dst)""".stripMargin
+    }
+    QueryDef.sql(
+      "q122_pagerank",
+      s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+         |ei AS (${islSql("error")}),
+         |pi AS (${islSql("purchase")}),
+         |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+         |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+         |    AND e.user_id <> p.user_id),
+         |eg AS (SELECT a AS src, b AS dst FROM pr
+         |  UNION SELECT b, a FROM pr),
+         |dg AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+         |ed AS (SELECT eg.src, eg.dst, dg.deg FROM eg JOIN dg ON dg.src = eg.src),
+         |it0 AS (SELECT DISTINCT src AS node, 1000000 AS rank_ppm FROM eg),
+         |${iterCtes.mkString(",\n")}
+         |SELECT node AS user_id, CAST(rank_ppm AS BIGINT) AS rank_ppm
+         |FROM it$Iterations ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+      def bursts(tpe: String) =
+        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+            col("event_type") === tpe)
+          .filter(col("n_rows") >= 3)
+          .select(col("user_id"), col("seg_start").as("start"),
+            col("seg_end").as("end"))
+      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      pageRankPpm(edges)
+        .select(col("node").as("user_id"), col("rank_ppm"))
+        .orderBy("user_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q122PageRank)
+}

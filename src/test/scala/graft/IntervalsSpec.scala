@@ -40,4 +40,25 @@ class IntervalsSpec extends AnyFunSuite {
       col("l_uid") =!= col("r_uid"))
     assert(got.select("r_uid").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("pagerank ppm matches a hand-rolled integer reference exactly") {
+    // path graph 1-2-3 symmetrized: degrees 1,2,1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graphs.pageRankPpm(edges, 3)
+      .orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    // replicate the exact integer recurrence
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    (1 to 3).foreach { _ =>
+      val contrib = r.map { case (n, v) => n -> v / deg(n) }
+      r = Seq(1L, 2L, 3L).map { n =>
+        val s = out.collect { case (src, ds) if ds.contains(n) => contrib(src) }.sum
+        n -> (150000L + 85L * s / 100L)
+      }.toMap
+    }
+    assert(got == Seq(1L, 2L, 3L).map(n => (n, r(n))))
+  }
 }
