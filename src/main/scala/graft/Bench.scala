@@ -55,6 +55,7 @@ object Bench {
       // accumulated MEMORY_AND_DISK relations would otherwise evict
       // unpredictably at larger SF
       spark.catalog.clearCache()
+      spark.experimental.extraOptimizations = Nil // scope rules per query
       q.name -> dt
     }
     // The harness keeps only the last ~2000 chars of output; the JSON

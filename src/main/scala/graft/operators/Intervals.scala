@@ -100,5 +100,45 @@ object Intervals {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q113OverlapJoin)
+  /** The SAME overlap semantics as q113 (different burst threshold:
+    * ≥2 consecutive events) but written as the NAIVE theta join — the
+    * [[graft.plans.OverlapJoinRewrite]] optimizer rule turns it into
+    * the bucketed hash join at plan time. This is the end-to-end drive
+    * of the Catalyst rewrite tier: user writes the quadratic-looking
+    * predicate, the optimizer produces the 100 TB-safe plan, and the
+    * DuckDB oracle (the plain theta join) pins the semantics.
+    */
+  val q123RuleOverlap: QueryDef = {
+    def islSql(tpe: String) =
+      s"""SELECT user_id, min(t) AS s0, max(t) AS e0, count(*) AS n
+         |  FROM f WHERE event_type = '$tpe'
+         |  GROUP BY user_id, rn - rnt HAVING count(*) >= 2""".stripMargin
+    QueryDef.sql(
+      "q123_rule_overlap",
+      s"""WITH s AS (${Tables.seriesSql}),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+         |ei AS (${islSql("error")}),
+         |pi AS (${islSql("purchase")})
+         |SELECT e.user_id AS l_user_id, e.s0 AS l_start, e.e0 AS l_end,
+         |  p.user_id AS r_user_id, p.s0 AS r_start, p.e0 AS r_end
+         |FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+         |  AND e.user_id <> p.user_id
+         |ORDER BY l_user_id, l_start, r_user_id, r_start""".stripMargin) { (spark, dir) =>
+      spark.experimental.extraOptimizations =
+        Seq(graft.plans.OverlapJoinRewrite.Forced)
+      val errors = bursts(spark, dir, "error", 2L)
+        .select(col("user_id").as("l_user_id"), col("start").as("l_start"),
+          col("end").as("l_end"))
+      val buys = bursts(spark, dir, "purchase", 2L)
+        .select(col("user_id").as("r_user_id"), col("start").as("r_start"),
+          col("end").as("r_end"))
+      errors.join(buys, // the naive theta join — the rule rewrites it
+          col("l_start") <= col("r_end") && col("r_start") <= col("l_end") &&
+          col("l_user_id") =!= col("r_user_id"))
+        .orderBy("l_user_id", "l_start", "r_user_id", "r_start")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q113OverlapJoin, q123RuleOverlap)
 }

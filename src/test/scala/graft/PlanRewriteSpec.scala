@@ -1,0 +1,104 @@
+package graft
+
+import graft.plans.{GraftExtensions, OverlapJoinRewrite}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OverlapJoinRewrite optimizer rule: a naive interval-overlap
+  * theta join must come out the other side as a bucketed equi join
+  * with identical results.
+  */
+class PlanRewriteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 0.0, 120.0), (2L, 500.0, 640.0), (3L, 90.0, 210.0),
+    (4L, 1000.0, 1000.0)).toDF("lid", "lstart", "lend")
+  private def right = Seq(
+    (10L, 50.0, 60.0), (20L, 130.0, 520.0), (30L, 999.0, 1200.0),
+    (40L, 2000.0, 2100.0)).toDF("rid", "rstart", "rend")
+  private def cond =
+    col("lstart") <= col("rend") && col("rstart") <= col("lend")
+
+  private def withRule[A](extra: (String, String)*)(body: => A): A = {
+    spark.conf.set(OverlapJoinRewrite.ForceConf, "true")
+    spark.conf.set(OverlapJoinRewrite.BucketConf, "100")
+    extra.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.experimental.extraOptimizations = Seq(OverlapJoinRewrite)
+    try body
+    finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(OverlapJoinRewrite.ForceConf)
+      spark.conf.unset(OverlapJoinRewrite.BucketConf)
+      extra.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+  }
+
+  test("theta overlap join is rewritten to a hash join with identical rows") {
+    val expected = left.join(right, cond).collect().toSet // rule NOT installed
+    assert(expected.nonEmpty)
+    withRule() {
+      val got = left.join(right, cond)
+      val phys = got.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin")
+        || phys.contains("BroadcastHashJoin"), phys)
+      assert(got.collect().toSet == expected)
+    }
+  }
+
+  test("extra cross-side predicates survive the rewrite") {
+    val pred = cond && col("lid") =!= lit(3L)
+    val expected = left.join(right, pred).collect().toSet
+    withRule() {
+      assert(left.join(right, pred).collect().toSet == expected)
+    }
+  }
+
+  test("joins that already have an equi key are left alone") {
+    val l2 = left.withColumn("k", col("lid") % 2)
+    val r2 = right.withColumn("k", col("rid") % 2)
+    withRule() {
+      val got = l2.join(r2, l2("k") === r2("k") && cond)
+      assert(!got.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    }
+  }
+
+  test("broadcastable sides skip the rewrite unless forced") {
+    // tiny local relations fit the default 10 MB broadcast threshold:
+    // the BNLJ is already the right plan, the rule must not fire
+    spark.experimental.extraOptimizations = Seq(OverlapJoinRewrite)
+    try {
+      val got = left.join(right, cond)
+      assert(!got.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("strict inequalities and null bounds keep naive semantics") {
+    val l = Seq((1L, Some(0.0), Some(100.0)), (2L, None, Some(50.0)),
+      (3L, Some(40.0), Some(45.0))).toDF("lid", "lstart", "lend")
+    val r = Seq((10L, 42.0, 43.0), (20L, 99.0, 260.0)).toDF("rid", "rstart", "rend")
+    val strict = col("lstart") < col("rend") && col("rstart") < col("lend")
+    val expected = l.join(r, strict).collect().toSet
+    withRule() {
+      assert(l.join(r, strict).collect().toSet == expected)
+    }
+  }
+
+  test("GraftExtensions registers the rule") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("q123 plans its naive theta join as a bucketed hash join") {
+    try {
+      val df = SparkEntry.queries("q123_rule_overlap")(spark, "/root/testdata/sf0.001")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      assert(df.count() > 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
