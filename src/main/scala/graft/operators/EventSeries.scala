@@ -494,11 +494,36 @@ object EventSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Absolute-time slice driven through [[graft.plans.InferScanBounds]]:
+    * the predicate is written on the DERIVED seconds axis
+    * (`t = (ts div 1000)/1e6`), which alone reaches the parquet scan
+    * only as an opaque expression filter — zero row-group pruning at
+    * 100 TB. The rule conjoins the implied raw `ts` bound so
+    * `PushedFilters` carries a real range (pinned in PlanRewriteSpec);
+    * results are oracle-identical because the inferred bound is
+    * redundant with the original predicate.
+    */
+  val q124PrunedSlice: QueryDef = {
+    val (lo, hi) = (1.7045e9, 1.7046e9) // ~28 h mid-January window
+    QueryDef.sql(
+      "q124_pruned_slice",
+      s"""SELECT user_id, event_id, t, value
+         |FROM (${Tables.seriesSql})
+         |WHERE t BETWEEN $lo AND $hi
+         |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      spark.experimental.extraOptimizations = Seq(graft.plans.InferScanBounds)
+      SeriesOps.timeSlice(Tables.series(spark, dir),
+          SeriesOps.Series(Seq("user_id"), "t", Seq("event_id")), lo, hi)
+        .select("user_id", "event_id", "t", "value")
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10TimeSlice, q11DeleteCollapse, q12MarkBad, q13Zscore, q14PercentNorm,
     q15MovingAvg, q16RollingMedian, q17Savgol, q18Detrend, q19Derivative,
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
     q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum,
-    q112Hampel)
+    q112Hampel, q124PrunedSlice)
 }

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: infer scan-pushable bounds through
+  * monotone derived-column arithmetic.
+  *
+  * The canonical series view derives its seconds axis from the stored
+  * epoch column — `t = (ts div 1000) / 1e6` (sources/Tables.scala) —
+  * so a user predicate `t >= c` reaches the parquet scan only as the
+  * un-pushable expression filter `cast(ts div 1000 as double)/1e6 >=
+  * c`: `PushedFilters` carries nothing but `IsNotNull(ts)`, and at
+  * 100 TB the "time slice" reads every row group. The chain is
+  * strictly monotone, though, so the predicate IMPLIES a raw bound on
+  * `ts` itself. This rule walks comparison conjuncts of the form
+  * `f(attr) ⋈ literal` where `f` is any composition of
+  *
+  *   - numeric `Cast`,
+  *   - `Divide` / `Multiply` by a positive literal,
+  *   - `Add` / `Subtract` of a literal,
+  *   - `IntegralDivide` by a positive literal,
+  *
+  * inverts the chain with directed rounding (every inversion step is
+  * slackened toward "weaker bound": `nextDown`×2 for lower bounds,
+  * `nextUp`×2 for upper; int64→double casts add a one-ulp
+  * representation margin; `div` adds the `k−1` truncation slack), and
+  * conjoins the implied raw-column comparison. The original predicate
+  * still runs — the inferred bound is REDUNDANT, purely so the scan
+  * can prune row groups on the stored column's zone maps. Slack costs
+  * at most a few extra rows per row-group boundary, never a missing
+  * row.
+  *
+  * Fires only on deterministic chains over Int/Long/Double attributes
+  * with foldable numeric literals; idempotent (an already-present
+  * semantically-equal conjunct is never re-added). Installed together
+  * with [[OverlapJoinRewrite]] by [[GraftExtensions]], or per-session
+  * via `spark.experimental.extraOptimizations`.
+  */
+object InferScanBounds extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      val inferred = conjuncts.flatMap(inferBound)
+        .filterNot(n => conjuncts.exists(_.semanticEquals(n)))
+        .foldLeft(Seq.empty[Expression]) { (acc, e) =>
+          if (acc.exists(_.semanticEquals(e))) acc else acc :+ e
+        }
+      if (inferred.isEmpty) f
+      else Filter((conjuncts ++ inferred).reduce(And), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def numericLit(e: Expression): Option[Double] = e match {
+    case Literal(v, _: NumericType) if v != null => v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** strict comparisons are handled as their non-strict supersets —
+    * the inferred bound only needs to be IMPLIED, not tight
+    */
+  private def inferBound(conjunct: Expression): Option[Expression] =
+    conjunct match {
+      case GreaterThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true))
+      case GreaterThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true))
+      case LessThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false))
+      case LessThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false))
+      case GreaterThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false))
+      case GreaterThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false))
+      case LessThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true))
+      case LessThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true))
+      case _ => None
+    }
+
+  /** one directed-rounding step: push the bound strictly toward
+    * "weaker" so accumulated float error can never tighten it
+    */
+  private def slack(v: Double, lower: Boolean): Double =
+    if (lower) Math.nextDown(Math.nextDown(v)) else Math.nextUp(Math.nextUp(v))
+
+  /** Invert `e ⋈ bound` (⋈ = `>=` when lower, `<=` otherwise) down the
+    * monotone chain to a comparison on the underlying attribute.
+    */
+  private def invert(e: Expression, bound: Double, lower: Boolean): Option[Expression] = {
+    if (bound.isNaN || bound.isInfinite) return None
+    e match {
+      case a: AttributeReference => finalBound(a, bound, lower)
+      case Cast(child, dt, _, _) if isNum(dt) && isNum(child.dataType) =>
+        // int64→double representation error is up to ulp(x)/2; pad by
+        // a full ulp + 1 so the implied integer bound stays sound
+        val margin = child.dataType match {
+          case LongType => Math.ulp(Math.abs(bound)) + 1.0
+          case _ => 0.0
+        }
+        invert(child, if (lower) bound - margin else bound + margin, lower)
+      case Divide(child, l, _) => numericLit(l).filter(_ > 0).flatMap(k =>
+        invert(child, slack(bound * k, lower), lower))
+      case Multiply(child, l, _) if numericLit(l).exists(_ > 0) =>
+        invert(child, slack(bound / numericLit(l).get, lower), lower)
+      case Multiply(l, child, _) if numericLit(l).exists(_ > 0) =>
+        invert(child, slack(bound / numericLit(l).get, lower), lower)
+      case Add(child, l, _) if numericLit(l).isDefined =>
+        invert(child, slack(bound - numericLit(l).get, lower), lower)
+      case Add(l, child, _) if numericLit(l).isDefined =>
+        invert(child, slack(bound - numericLit(l).get, lower), lower)
+      case Subtract(child, l, _) if numericLit(l).isDefined =>
+        invert(child, slack(bound + numericLit(l).get, lower), lower)
+      case IntegralDivide(child, l, _) => numericLit(l).filter(_ > 0).flatMap { k =>
+        // x div k ⋈ c over integers: slacken by the full divisor so
+        // the bound is sound for floor AND truncating semantics
+        val c = if (lower) Math.ceil(bound) else Math.floor(bound)
+        val next = if (lower) slack(c * k - (k - 1), lower) else slack(c * k + (k - 1), lower)
+        invert(child, next, lower)
+      }
+      case _ => None
+    }
+  }
+
+  private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  private def finalBound(a: AttributeReference, v: Double, lower: Boolean): Option[Expression] =
+    a.dataType match {
+      case LongType | IntegerType =>
+        val b = if (lower) Math.ceil(v) else Math.floor(v)
+        // refuse bounds outside the safely-representable range
+        if (Math.abs(b) >= 4.6e18) None
+        else {
+          val lit = a.dataType match {
+            case LongType => Literal(b.toLong)
+            case _ =>
+              if (b > Int.MaxValue || b < Int.MinValue) return None
+              Literal(b.toInt)
+          }
+          Some(if (lower) GreaterThanOrEqual(a, lit) else LessThanOrEqual(a, lit))
+        }
+      case DoubleType =>
+        Some(if (lower) GreaterThanOrEqual(a, Literal(v)) else LessThanOrEqual(a, Literal(v)))
+      case _ => None
+    }
+}

@@ -158,6 +158,8 @@ object OverlapJoinRewrite extends OverlapJoinRewriteRule(false) {
   * SparkSessionExtensions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => OverlapJoinRewrite)
+    e.injectOptimizerRule(_ => InferScanBounds)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{GraftExtensions, OverlapJoinRewrite}
+import graft.plans.{GraftExtensions, InferScanBounds, OverlapJoinRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -90,6 +90,43 @@ class PlanRewriteSpec extends AnyFunSuite {
 
   test("GraftExtensions registers the rule") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("derived-time predicates push an inferred raw bound to the parquet scan") {
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try {
+      val sliced = graft.operators.SeriesOps.timeSlice(
+        graft.sources.Tables.series(spark, "/root/testdata/sf0.001"),
+        graft.operators.SeriesOps.Series(Seq("user_id"), "t", Seq("event_id")),
+        1.7045e9, 1.7046e9)
+      val scan = sliced.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(scan.contains("GreaterThanOrEqual(ts,") &&
+        scan.contains("LessThanOrEqual(ts,"), s"raw ts bound not pushed:\n$scan")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("inferred bounds never drop rows: randomized boundary parity") {
+    // integers through the exact derivation chain used by the series
+    // view: t = (x div 1000) / 1e6 — slice at awkward fractional
+    // boundaries and compare with/without the rule
+    val base = spark.range(0, 5000).selectExpr("id * 997 + 13 as x")
+      .selectExpr("x", "cast(x div 1000 as double) / 1e6 as t")
+    val bounds = Seq(
+      (0.000013, 0.004), (0.0000129999, 0.00099950), (0.001, 0.001),
+      (0.0009999999999, 0.0030000000001), (0.0, 0.0049))
+    val naive = bounds.map { case (lo, hi) =>
+      base.filter(col("t") >= lo && col("t") <= hi).agg(count(lit(1)), sum("x"))
+        .collect().toSeq
+    }
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try {
+      val ruled = bounds.map { case (lo, hi) =>
+        base.filter(col("t") >= lo && col("t") <= hi).agg(count(lit(1)), sum("x"))
+          .collect().toSeq
+      }
+      assert(ruled == naive)
+    } finally spark.experimental.extraOptimizations = Nil
   }
 
   test("q123 plans its naive theta join as a bucketed hash join") {

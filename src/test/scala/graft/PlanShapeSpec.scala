@@ -95,6 +95,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected BNLJ in: ${offenders.map(_.name).mkString(", ")}")
   }
 
+  // NOTE: absolute-time slice pushdown (the InferScanBounds rule
+  // deriving a raw `ts` bound from the derived-`t` predicate) is
+  // pinned in PlanRewriteSpec.
+
+  test("token count prunes the documents scan to the referenced columns") {
+    // a 2-column projection must not read the whole documents schema
+    val p = plan("q52_token_count")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text"), s"scan line missing:\n$p")
+    assert(!read.contains("source") && !read.contains("lang"),
+      s"unpruned documents scan:\n$read")
+  }
+
   test("token-shard prefix sum has no unpartitioned window over the corpus") {
     // Optimized Window nodes print as
     //   Window [exprs], [partitionKeys], [ordering]   (partitioned)
