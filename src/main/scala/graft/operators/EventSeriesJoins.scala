@@ -518,9 +518,40 @@ object EventSeriesJoins {
     }
   }
 
+  /** The q34 daily-grid backfill through the dedicated
+    * [[graft.plans.AsOfJoinExec]] physical operator (logical node +
+    * strategy + streaming-merge SparkPlan) instead of the union-trick:
+    * same oracle, different engine path — one merge pass per
+    * partition, no window, no union.
+    */
+  val q125AsofExec: QueryDef = {
+    val step = 86400.0
+    QueryDef.sql(
+      "q125_asof_exec",
+      s"""$S, m AS (SELECT user_id, max(tn) AS mt FROM s GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(0,
+         |    CAST(floor(mt / $step) AS BIGINT))) * $step AS tn FROM m),
+         |u AS (SELECT user_id, tn, value AS v, 0 AS gg, event_id FROM s
+         |  UNION ALL SELECT user_id, tn, NULL, 1, NULL FROM g),
+         |w AS (SELECT *, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY tn, gg, coalesce(event_id, -1)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_v FROM u)
+         |SELECT user_id, tn AS tg, asof_v FROM w WHERE gg = 1
+         |ORDER BY user_id, tg""".stripMargin) { (spark, dir) =>
+      val series = Tables.seriesNorm(spark, dir)
+      val grid = Resample.uniformGrid(series, s, step)
+      val samples = series.select(col("user_id").as("s_uid"),
+        col("tn").as("s_tn"), col("value").as("v"), col("event_id"))
+      graft.plans.AsOfJoin.backward(grid, samples,
+          Seq("user_id"), Seq("s_uid"), "tn", "s_tn", Seq("event_id"))
+        .select(col("user_id"), col("tn").as("tg"), col("v").as("asof_v"))
+        .orderBy("user_id", "tg")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
-    q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill,
+    q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill, q125AsofExec,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
     q106PathTransitions, q110Ewma, q111Decimate)
