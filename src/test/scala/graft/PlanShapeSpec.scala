@@ -83,7 +83,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // tables); a new BNLJ anywhere else is an all-pairs scale bug
     val allowed = Set("q45_cosine_topk", "q72_heatmap_matrix", "q89_tfidf_topk",
       "q91_quantized_topk", "q95_surprisal_bits", "q105_kmeans_train",
-      "q116_unk_mask") // 1-row max-count broadcast onto the vocab
+      "q116_unk_mask", // 1-row max-count broadcast onto the vocab
+      "q126_zorder_layout") // 1-row global (min,max) bounds broadcast
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
