@@ -154,6 +154,25 @@ object Graft {
       .parquet(path)
   }
 
+  /** SQL query surface: register every catalog table of a scale-
+    * factor directory as a temp view (plus the canonical `series` /
+    * `series_norm` time axes) and run ANSI SQL against them — the
+    * `spark.sql` face of the engine, so a reference user can query
+    * the same relations the DataFrame operators consume. Views are
+    * lazy scans: Catalyst pushdown/pruning reach the parquet exactly
+    * as the DataFrame path does.
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    import graft.sources.Tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events_raw")
+    Tables.series(spark, dir).createOrReplaceTempView("series")
+    Tables.seriesNorm(spark, dir).createOrReplaceTempView("series_norm")
+    spark.sql(query)
+  }
+
   /** Persist session annotations/deletions/history (S6). */
   def saveAnnotations(path: String, session: Session, sampleRate: Double): Unit =
     AnnotationStore.write(path, AnnotationStore.SessionMeta(

@@ -118,4 +118,20 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq
     assert(one == one.sorted, "intra-file sort order lost")
   }
+
+  test("SQL surface: catalog views answer ANSI SQL with pushdown intact") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.api.Graft.sql(spark, dir,
+      """SELECT n.n_name, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n_cust DESC, n_name LIMIT 5""".stripMargin)
+    assert(df.count() == 5)
+    // the series view is queryable and its scan prunes columns
+    val s = graft.api.Graft.sql(spark, dir,
+      "SELECT user_id, count(*) AS n FROM series GROUP BY user_id")
+    val scan = s.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(s.count() > 0)
+    assert(!scan.contains("event_type"), s"unpruned scan:\n$scan")
+  }
 }
