@@ -6,20 +6,33 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** `SparkSessionExtensions` installer: makes graft's native Catalyst
-  * expressions SQL-callable. On a cluster:
+/** `SparkSessionExtensions` installer — the ONE config entry point for
+  * the whole graft Catalyst tier. On a cluster:
   * `--conf spark.sql.extensions=graft.GraftExtensions`; on an
-  * already-running session: [[GraftExtensions.register]].
+  * already-running session: [[GraftExtensions.register]] (functions)
+  * plus `spark.experimental.extraOptimizations` /
+  * `extraStrategies` (rules and the as-of strategy).
   *
-  * - `md5_prefix32(str)` → first 32 bits of MD5 as a long
-  * - `minhash_signature(array<long>)` → the 16-perm MinHash signature
+  * Installs:
+  * - SQL-callable native expressions:
+  *   `md5_prefix32(str)` → first 32 bits of MD5 as a long;
+  *   `minhash_signature(array<long>)` → the 16-perm MinHash signature
+  * - optimizer rules [[graft.plans.OverlapJoinRewrite]] (theta-overlap
+  *   join → bucketed equi join) and [[graft.plans.InferScanBounds]]
+  *   (derived-column predicates push raw zone-map bounds to the scan)
+  * - the [[graft.plans.AsOfJoinStrategy]] planner strategy backing the
+  *   custom as-of join operator
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.InferScanBounds)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * rewritten join has an equi conjunct, so it no longer matches.
   *
   * Install EITHER via config
-  * `spark.sql.extensions=graft.plans.GraftExtensions` (new sessions)
+  * `spark.sql.extensions=graft.GraftExtensions` (new sessions)
   * or at runtime via
   * `spark.experimental.extraOptimizations = Seq(OverlapJoinRewrite)`.
   */
@@ -152,14 +152,6 @@ object OverlapJoinRewrite extends OverlapJoinRewriteRule(false) {
   val Forced: OverlapJoinRewriteRule = new OverlapJoinRewriteRule(true)
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` — session-config
-  * installation of the graft Catalyst rules (SURVEY.md §4.2's "custom
-  * work" tier c: logical rewrites registered through
-  * SparkSessionExtensions).
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule(_ => OverlapJoinRewrite)
-    e.injectOptimizerRule(_ => InferScanBounds)
-  }
-}
+// Session-config installation of the rules lives in the single
+// engine-wide installer, [[graft.GraftExtensions]]
+// (`spark.sql.extensions=graft.GraftExtensions`).

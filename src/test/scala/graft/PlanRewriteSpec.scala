@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{GraftExtensions, InferScanBounds, OverlapJoinRewrite}
+import graft.plans.{InferScanBounds, OverlapJoinRewrite}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -88,8 +88,8 @@ class PlanRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("GraftExtensions registers the rule") {
-    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  test("GraftExtensions registers rules, strategy, and functions") {
+    new graft.GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
   test("derived-time predicates push an inferred raw bound to the parquet scan") {
