@@ -36,6 +36,9 @@ object PlanAudit {
         case e: Exception => println(s"AUDIT ${q.name}: ERROR ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // q123/q124 install per-query optimizer rules — scope them like
+      // Verify/Bench do, so later audit lines reflect the default path
+      spark.experimental.extraOptimizations = Nil
     }
     spark.stop()
   }

@@ -521,8 +521,16 @@ object EventSeriesJoins {
   /** The q34 daily-grid backfill through the dedicated
     * [[graft.plans.AsOfJoinExec]] physical operator (logical node +
     * strategy + streaming-merge SparkPlan) instead of the union-trick:
-    * same oracle, different engine path — one merge pass per
-    * partition, no window, no union.
+    * one merge pass per partition, no window, no union.
+    *
+    * Semantics note: the exec has ROW semantics (like DuckDB's native
+    * ASOF JOIN) — the latest at-or-before sample row is attached even
+    * when its value is null — whereas q34's union-trick has VALUE
+    * semantics (`last_value IGNORE NULLS` skips null-valued samples).
+    * The oracle here encodes row semantics via a struct wrapper
+    * (non-null for every sample row regardless of its value), so the
+    * two paths stay honestly distinguished; on a null-free value
+    * column they coincide (AsOfJoinSpec pins that parity).
     */
   val q125AsofExec: QueryDef = {
     val step = 86400.0
@@ -533,9 +541,10 @@ object EventSeriesJoins {
          |    CAST(floor(mt / $step) AS BIGINT))) * $step AS tn FROM m),
          |u AS (SELECT user_id, tn, value AS v, 0 AS gg, event_id FROM s
          |  UNION ALL SELECT user_id, tn, NULL, 1, NULL FROM g),
-         |w AS (SELECT *, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |w AS (SELECT *, (last_value(CASE WHEN gg = 0 THEN struct_pack(v := v) END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id
          |    ORDER BY tn, gg, coalesce(event_id, -1)
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_v FROM u)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS asof_v FROM u)
          |SELECT user_id, tn AS tg, asof_v FROM w WHERE gg = 1
          |ORDER BY user_id, tg""".stripMargin) { (spark, dir) =>
       val series = Tables.seriesNorm(spark, dir)

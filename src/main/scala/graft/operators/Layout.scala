@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Quantized Morton coordinates for every event: 16-bit time rank
-    * on the µs grid (`(tu−min)·65535 div (max−min)` — integer exact)
-    * interleaved with the low 16 bits of the user id.
+    * on the µs grid interleaved with the low 16 bits of the user id.
+    * Quantization is divide-by-step (`step = (range div 65536) + 1`,
+    * `qt = offset div step`), NOT multiply-then-divide: the multiply
+    * form overflows int64 once the time range exceeds ~4.4 years
+    * (`range · 65535 > 2^63`), and it divides by zero on a
+    * single-instant table — this form is total and overflow-free for
+    * any epoch range, still exact integer arithmetic on both engines.
     */
   def eventZ(events: DataFrame): DataFrame = {
     // ts is the raw parquet nanosecond long; µs grid = ts div 1000
@@ -33,7 +38,7 @@ object Layout {
       expr("ts div 1000").as("tu"))
     val mm = tu.agg(min("tu").as("mn"), max("tu").as("mx"))
     tu.crossJoin(broadcast(mm)) // 1-row bounds
-      .withColumn("qt", expr("((tu - mn) * 65535) div (mx - mn)"))
+      .withColumn("qt", expr("(tu - mn) div (((mx - mn) div 65536) + 1)"))
       .withColumn("qu", col("user_id").bitwiseAND(lit(65535L)))
       .withColumn("z", ZOrder.interleave16(col("qt"), col("qu")))
       .select("event_id", "qt", "qu", "z")
@@ -62,7 +67,7 @@ object Layout {
     "q126_zorder_layout",
     s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events),
        |b AS (SELECT min(tu) AS mn, max(tu) AS mx FROM e),
-       |q AS (SELECT event_id, ((tu - mn) * 65535) // (mx - mn) AS qt,
+       |q AS (SELECT event_id, (tu - mn) // (((mx - mn) // 65536) + 1) AS qt,
        |    user_id & 65535 AS qu FROM e, b),
        |s1 AS (SELECT event_id, qt, qu,
        |    ${ZOrder.spreadSqlSteps("qt", "st").head},

@@ -156,6 +156,12 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    // the exec reads times with getDouble: a raw long epoch column
+    // would silently reinterpret bits — fail fast instead
+    Seq(attr(lp, leftTime), attr(rp, rightTime)).foreach { t =>
+      require(t.dataType == org.apache.spark.sql.types.DoubleType,
+        s"as-of time column '${t.name}' must be double seconds, got ${t.dataType} — cast upstream")
+    }
     org.apache.spark.sql.graft.bridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,
         leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),

@@ -39,11 +39,11 @@ import org.apache.spark.sql.types._
   * with [[OverlapJoinRewrite]] by [[GraftExtensions]], or per-session
   * via `spark.experimental.extraOptimizations`.
   */
-object InferScanBounds extends Rule[LogicalPlan] {
+object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
+      val conjuncts = splitConjunctivePredicates(cond)
       val inferred = conjuncts.flatMap(inferBound)
         .filterNot(n => conjuncts.exists(_.semanticEquals(n)))
         .foldLeft(Seq.empty[Expression]) { (acc, e) =>
@@ -51,11 +51,6 @@ object InferScanBounds extends Rule[LogicalPlan] {
         }
       if (inferred.isEmpty) f
       else Filter((conjuncts ++ inferred).reduce(And), child)
-  }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case x => Seq(x)
   }
 
   private def numericLit(e: Expression): Option[Double] = e match {
@@ -72,19 +67,24 @@ object InferScanBounds extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** strict comparisons are handled as their non-strict supersets —
-    * the inferred bound only needs to be IMPLIED, not tight
+  /** Strict comparisons are handled as their non-strict supersets —
+    * the inferred bound only needs to be IMPLIED, not tight. The
+    * literal-first cases must precede the generic ones (the generic
+    * pattern would otherwise swallow them with the literal as the
+    * "chain" and infer nothing). A bare attribute with no derivation
+    * on top is skipped: the predicate is already scan-pushable, and
+    * re-inferring from it would only accumulate redundant conjuncts.
     */
   private def inferBound(conjunct: Expression): Option[Expression] =
     conjunct match {
-      case GreaterThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true))
-      case GreaterThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true))
-      case LessThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false))
-      case LessThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false))
-      case GreaterThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false))
-      case GreaterThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false))
-      case LessThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true))
-      case LessThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true))
+      case GreaterThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false, depth = 0))
+      case GreaterThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = false, depth = 0))
+      case LessThanOrEqual(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true, depth = 0))
+      case LessThan(l: Literal, e) => numericLit(l).flatMap(c => invert(e, c, lower = true, depth = 0))
+      case GreaterThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true, depth = 0))
+      case GreaterThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = true, depth = 0))
+      case LessThanOrEqual(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false, depth = 0))
+      case LessThan(e, l) => numericLit(l).flatMap(c => invert(e, c, lower = false, depth = 0))
       case _ => None
     }
 
@@ -96,49 +96,68 @@ object InferScanBounds extends Rule[LogicalPlan] {
 
   /** Invert `e ⋈ bound` (⋈ = `>=` when lower, `<=` otherwise) down the
     * monotone chain to a comparison on the underlying attribute.
+    * `depth` counts traversed derivation steps — a bare attribute at
+    * depth 0 is already pushable and is never "re-inferred".
     */
-  private def invert(e: Expression, bound: Double, lower: Boolean): Option[Expression] = {
+  private def invert(e: Expression, bound: Double, lower: Boolean, depth: Int): Option[Expression] = {
     if (bound.isNaN || bound.isInfinite) return None
     e match {
-      case a: AttributeReference => finalBound(a, bound, lower)
-      case Cast(child, dt, _, _) if isNum(dt) && isNum(child.dataType) =>
+      case a: AttributeReference if depth > 0 => finalBound(a, bound, lower)
+      case Cast(child, dt, _, _) if wideningCast(child.dataType, dt) =>
         // int64→double representation error is up to ulp(x)/2; pad by
-        // a full ulp + 1 so the implied integer bound stays sound
+        // a full ulp + 1 so the implied integer bound stays sound.
+        // (Narrowing/rounding casts are NOT inverted — truncation is
+        // not the identity, so the naive inverse would TIGHTEN the
+        // bound and drop rows.)
         val margin = child.dataType match {
           case LongType => Math.ulp(Math.abs(bound)) + 1.0
           case _ => 0.0
         }
-        invert(child, if (lower) bound - margin else bound + margin, lower)
+        invert(child, if (lower) bound - margin else bound + margin, lower, depth + 1)
       case Divide(child, l, _) => numericLit(l).filter(_ > 0).flatMap(k =>
-        invert(child, slack(bound * k, lower), lower))
+        invert(child, slack(bound * k, lower), lower, depth + 1))
       case Multiply(child, l, _) if numericLit(l).exists(_ > 0) =>
-        invert(child, slack(bound / numericLit(l).get, lower), lower)
+        invert(child, slack(bound / numericLit(l).get, lower), lower, depth + 1)
       case Multiply(l, child, _) if numericLit(l).exists(_ > 0) =>
-        invert(child, slack(bound / numericLit(l).get, lower), lower)
+        invert(child, slack(bound / numericLit(l).get, lower), lower, depth + 1)
       case Add(child, l, _) if numericLit(l).isDefined =>
-        invert(child, slack(bound - numericLit(l).get, lower), lower)
+        invert(child, slack(bound - numericLit(l).get, lower), lower, depth + 1)
       case Add(l, child, _) if numericLit(l).isDefined =>
-        invert(child, slack(bound - numericLit(l).get, lower), lower)
+        invert(child, slack(bound - numericLit(l).get, lower), lower, depth + 1)
       case Subtract(child, l, _) if numericLit(l).isDefined =>
-        invert(child, slack(bound + numericLit(l).get, lower), lower)
+        invert(child, slack(bound + numericLit(l).get, lower), lower, depth + 1)
       case IntegralDivide(child, l, _) => numericLit(l).filter(_ > 0).flatMap { k =>
         // x div k ⋈ c over integers: slacken by the full divisor so
         // the bound is sound for floor AND truncating semantics
         val c = if (lower) Math.ceil(bound) else Math.floor(bound)
         val next = if (lower) slack(c * k - (k - 1), lower) else slack(c * k + (k - 1), lower)
-        invert(child, next, lower)
+        invert(child, next, lower, depth + 1)
       }
       case _ => None
     }
   }
 
-  private def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+  /** value-preserving (or bounded-error long→double) widenings ONLY —
+    * the monotone casts whose inversion cannot tighten the bound
+    */
+  private def wideningCast(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType | ShortType | IntegerType, LongType | DoubleType) => true
+    case (LongType, DoubleType) => true // margin applied by caller
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
 
+  /** One final ulp of slack on the emitted bound absorbs the
+    * double-representation error of large integral literals (a long
+    * above 2^53 rounds when it became the working Double) — the
+    * emitted bound may only ever be WEAKER than the exact one.
+    */
   private def finalBound(a: AttributeReference, v: Double, lower: Boolean): Option[Expression] =
     a.dataType match {
       case LongType | IntegerType =>
-        val b = if (lower) Math.ceil(v) else Math.floor(v)
-        // refuse bounds outside the safely-representable range
+        val vs = if (lower) v - Math.ulp(Math.abs(v)) else v + Math.ulp(Math.abs(v))
+        val b = if (lower) Math.ceil(vs) else Math.floor(vs)
+        // refuse bounds outside the exactly-representable long range
         if (Math.abs(b) >= 4.6e18) None
         else {
           val lit = a.dataType match {
@@ -150,7 +169,8 @@ object InferScanBounds extends Rule[LogicalPlan] {
           Some(if (lower) GreaterThanOrEqual(a, lit) else LessThanOrEqual(a, lit))
         }
       case DoubleType =>
-        Some(if (lower) GreaterThanOrEqual(a, Literal(v)) else LessThanOrEqual(a, Literal(v)))
+        val vs = if (lower) Math.nextDown(v) else Math.nextUp(v)
+        Some(if (lower) GreaterThanOrEqual(a, Literal(vs)) else LessThanOrEqual(a, Literal(vs)))
       case _ => None
     }
 }

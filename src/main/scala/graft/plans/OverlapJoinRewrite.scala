@@ -53,7 +53,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * or at runtime via
   * `spark.experimental.extraOptimizations = Seq(OverlapJoinRewrite)`.
   */
-class OverlapJoinRewriteRule(alwaysRewrite: Boolean) extends Rule[LogicalPlan] {
+class OverlapJoinRewriteRule(alwaysRewrite: Boolean) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   import OverlapJoinRewrite.{BucketConf, ForceConf}
 
@@ -62,7 +63,7 @@ class OverlapJoinRewriteRule(alwaysRewrite: Boolean) extends Rule[LogicalPlan] {
     if (bucketSec <= 0) return plan // rule disabled
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j) =>
-        overlapBounds(left, right, splitConjuncts(cond)) match {
+        overlapBounds(left, right, splitConjunctivePredicates(cond)) match {
           case Some((ls, le, rs, re)) =>
             rewrite(left, right, cond, ls, le, rs, re, hint, bucketSec)
           case None => j
@@ -76,11 +77,6 @@ class OverlapJoinRewriteRule(alwaysRewrite: Boolean) extends Rule[LogicalPlan] {
     val thr = conf.autoBroadcastJoinThreshold
     force || thr < 0 ||
       (j.left.stats.sizeInBytes > thr && j.right.stats.sizeInBytes > thr)
-  }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case x => Seq(x)
   }
 
   /** Find EXACTLY one `leftExpr <= rightExpr` and one

@@ -129,6 +129,51 @@ class PlanRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("narrowing casts are never inverted (truncation is not monotone-exact)") {
+    // cast(d as int) <= 4 is TRUE for d = 4.7; a naive inversion
+    // would conjoin d <= 4.0 and drop the row
+    val df = Seq(4.7, 4.0, 5.1, -4.7).toDF("d")
+    val expected = df.filter(expr("cast(d as int) <= 4")).collect().toSet
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try {
+      val got = df.filter(expr("cast(d as int) <= 4"))
+      assert(got.collect().toSet == expected) // {4.7, 4.0, -4.7}
+      assert(got.count() == 3)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("long literals above 2^53 keep boundary rows (ulp slack)") {
+    val edge = 9007199254740993L // 2^53 + 1: rounds UP as a double
+    val df = Seq(edge, edge - 1, edge + 5).toDF("x")
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try {
+      // derived chain so the rule has something to invert
+      val got = df.filter(expr(s"cast(x as double) + 0.0 >= ${edge}D"))
+        .as[Long].collect().toSet
+      // double comparison itself is lossy at this magnitude on BOTH
+      // engines; the pin is only that the INFERRED raw bound never
+      // removes a row the original predicate keeps
+      val naive = df.filter(expr(s"cast(x as double) + 0.0 >= ${edge}D"))
+      spark.experimental.extraOptimizations = Nil
+      assert(got == naive.as[Long].collect().toSet)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("literal-first comparisons infer bounds too") {
+    val base = spark.range(0, 1000).selectExpr("id * 3 as x")
+      .selectExpr("x", "cast(x div 10 as double) / 2.0 as t")
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try {
+      val df = base.filter(lit(30.0) <= col("t")) // t >= 30
+      val cond = df.queryExecution.optimizedPlan.toString
+      // the inferred RAW bound: a bare attribute `>= <int>` conjunct
+      // (the optimizer collapses x = id*3 first, so the rule inverts
+      // all the way down to the range's `id` column)
+      assert("""\((?:x|id)#\d+L? >= \d+\)""".r.findFirstIn(cond).isDefined, cond)
+      assert(df.count() == base.filter(col("t") >= 30.0).count())
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("q123 plans its naive theta join as a bucketed hash join") {
     try {
       val df = SparkEntry.queries("q123_rule_overlap")(spark, "/root/testdata/sf0.001")

@@ -91,6 +91,7 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter { q =>
         try plan(q.name).contains("BroadcastNestedLoopJoin")
         catch { case _: Throwable => false }
+        finally spark.experimental.extraOptimizations = Nil // q123/q124 scope
       }
     assert(offenders.isEmpty,
       s"unexpected BNLJ in: ${offenders.map(_.name).mkString(", ")}")
