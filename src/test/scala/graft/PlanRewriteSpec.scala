@@ -129,6 +129,22 @@ class PlanRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("point-in-interval theta joins rewrite too (degenerate point side)") {
+    // p.t BETWEEN i.s AND i.e with no equi key: the left "interval"
+    // is the point [t, t] — one bucket, same machinery
+    val points = Seq((1L, 55.0), (2L, 130.0), (3L, 5000.0)).toDF("pid", "t")
+    val ivals = Seq((10L, 50.0, 60.0), (20L, 100.0, 520.0)).toDF("iid", "s", "e")
+    val cond = col("s") <= col("t") && col("t") <= col("e")
+    val expected = points.join(ivals, cond).collect().toSet
+    withRule() {
+      val got = points.join(ivals, cond)
+      val phys = got.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"), phys)
+      assert(got.collect().toSet == expected)
+      assert(expected.size == 2)
+    }
+  }
+
   test("narrowing casts are never inverted (truncation is not monotone-exact)") {
     // cast(d as int) <= 4 is TRUE for d = 4.7; a naive inversion
     // would conjoin d <= 4.0 and drop the row
