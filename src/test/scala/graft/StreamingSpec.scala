@@ -183,4 +183,29 @@ class StreamingSpec extends AnyFunSuite {
         s"ewma diverged at (${r.user_id}, ${r.event_id}): stream (${r.tn}, ${r.smoothed}) vs batch ($tn, $y)")
     }
   }
+
+  test("stream as-of: a two-batch replay equals the single-batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val samples = graft.sources.Tables.series(spark, dir)
+    val twoBatch = graft.streaming.StreamingAsOf
+      .run(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true,
+        samplesOverride = Some(samples))
+      .collect().map(_.toSeq).toSet
+    val oneBatch = graft.streaming.StreamingAsOf.run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(twoBatch == oneBatch)
+    assert(oneBatch.nonEmpty)
+  }
 }
