@@ -63,10 +63,20 @@ object Bench {
     // numbers (round 2's full-name map overflowed it). Keys are the
     // unambiguous qNN prefix; the full-name map goes to a sidecar file.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
-      .mkString("{", ",", "}")
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Degrade per-query precision before the line can outgrow the
+    // window (1 dp still ranks offenders; an unparseable round loses
+    // ALL perf numbers, as round 2 did).
+    val line = {
+      val l2 = mkLine(v => f"$v%.2f")
+      if (l2.length <= 1800) l2 else mkLine(v => f"$v%.1f")
+    }
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
