@@ -220,6 +220,78 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance verification of the LSH candidate pairs — the
+    * character-level complement to q43's token-set Jaccard (catches
+    * small in-word edits that leave most 3-word shingles intact but
+    * shift tokens). Levenshtein is O(n·m) per pair, so it runs on a
+    * fixed 120-char prefix: the DP cost is a bounded constant
+    * (≤ 14 400 cells) per candidate, and ONLY the LSH survivors pay
+    * it — never the corpus cross product. Similarity is exact integer
+    * ppm (`1e6 − d·1e6 div max(len)`), deterministic on any engine.
+    */
+  val q128EditDistance: QueryDef = QueryDef.sql(
+    "q128_edit_distance",
+    s"""WITH $duckSig, $duckPairs
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS BIGINT) AS edit_dist,
+       |  CAST(1000000 - (levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) * 1000000)
+       |    // greatest(length(substr(a.text, 1, 120)), length(substr(b.text, 1, 120)), 1) AS BIGINT) AS sim_ppm
+       |FROM prs p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
+    val prefix = docs(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("px"))
+    lshPairs(spark, dir)
+      .join(prefix.select(col("doc_id").as("doc_a"), col("px").as("pa")), Seq("doc_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("px").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        length(col("pa")).as("la"), length(col("pb")).as("lb"))
+      .selectExpr("doc_a", "doc_b", "edit_dist",
+        "CAST(1000000 - (edit_dist * 1000000) div greatest(la, lb, 1) AS BIGINT) AS sim_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaccard CONTAINMENT of each LSH candidate pair — |A∩B|/|A| and
+    * |A∩B|/|B| in exact integer ppm. Containment is the dedup signal
+    * Jaccard misses: a short document wholly embedded in a long one
+    * scores near-zero Jaccard but 1e6 containment, which is exactly
+    * the quote/boilerplate-inclusion case a training-data pipeline
+    * prunes. Same scale shape as q43: candidates only, set
+    * intersection on the persisted distinct shingle arrays.
+    */
+  val q129Containment: QueryDef = QueryDef.sql(
+    "q129_containment",
+    s"""WITH $duckSig, $duckPairs,
+       |ds AS (SELECT DISTINCT doc_id, h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM prs p JOIN ds x ON x.doc_id = p.doc_a
+       |  JOIN ds y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST((coalesce(i.i, 0) * 1000000) // ca.c AS BIGINT) AS cont_a_ppm,
+       |  CAST((coalesce(i.i, 0) * 1000000) // cb.c AS BIGINT) AS cont_b_ppm
+       |FROM prs p
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN cnt ca ON ca.doc_id = p.doc_a
+       |JOIN cnt cb ON cb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
+    val sets = hashed(spark, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hset"))
+    lshPairs(spark, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+        size(col("ha")).cast("long").as("ca"), size(col("hb")).cast("long").as("cb"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST((i * 1000000) div ca AS BIGINT) AS cont_a_ppm",
+        "CAST((i * 1000000) div cb AS BIGINT) AS cont_b_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Native 32-bit SimHash ([[graft.functions.SimHash32]]): one pass
     * over the hash array instead of 32 interpreted `filter` lambdas
     * per row; value-identical to the `aggregate(sequence(0,31), …)`
@@ -411,5 +483,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
-    q80ClusterCanonical)
+    q80ClusterCanonical, q128EditDistance, q129Containment)
 }

@@ -122,6 +122,23 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     assert((1L to 20L).combinations(2).forall(p => plain((p(0), p(1)))))
   }
 
+  test("q128/q129 fuzzy verify: identical pair scores exact-match ppm, unrelated doc stays unpaired") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en", "web", 49L),
+      (3L, "the quick brown fox jumps over the lazy dog again", "en", "web", 49L),
+      (9L, "completely different words about analytics engines at scale", "en", "web", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ed = Dedup.q128EditDistance.fn(spark, dir).collect()
+    assert(ed.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(ed.head.getLong(2) == 0L && ed.head.getLong(3) == 1000000L)
+    val ct = Dedup.q129Containment.fn(spark, dir).collect()
+    assert(ct.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(ct.head.getLong(2) == 1000000L && ct.head.getLong(3) == 1000000L)
+  }
+
   test("native MinHashSignature ≡ transform/array_min composition") {
     val d = Seq("x y z w v u t", "a b c d", "p q r s t u v w x y z")
       .toDF("text")
