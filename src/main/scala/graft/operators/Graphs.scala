@@ -112,5 +112,84 @@ object Graphs {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q122PageRank)
+  /** Per-node triangle counts over an undirected unique-pair edge
+    * list `(u, v)` with u < v.
+    *
+    * Scale shape: DEGREE-ORDERED orientation. Each edge is directed
+    * from its lower endpoint to its higher endpoint under the total
+    * order (degree, node), wedges come from one self-join on the
+    * middle vertex, and the closing edge is checked with a second
+    * equi join. Orienting by degree bounds every vertex's out-degree
+    * at O(√m), so the wedge join materializes O(m^1.5) rows instead
+    * of Σdeg² — the difference between hours and forever on a
+    * power-law 100 TB graph. The triangle SET is orientation-
+    * independent (any total order counts each triangle exactly once),
+    * which is why the oracle can use plain node-id orientation and
+    * still match bit-for-bit.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lowFirst = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = lowFirst.select(col("src").as("a"), col("dst").as("b"))
+      .join(lowFirst.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val tris = wedges.join(
+      lowFirst.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle counting on the q122 incident graph: how many of a
+    * user's incident-correlation partners are ALSO correlated with
+    * each other — the local clustering signal that separates hub
+    * users (star centers, few triangles) from genuine co-incident
+    * clusters (dense triangles). Integer counts ⇒ deterministic.
+    */
+  val q130Triangles: QueryDef = QueryDef.sql(
+    "q130_triangles",
+    s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+       |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+       |ei AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'error'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pi AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'purchase'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+       |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+       |    AND e.user_id <> p.user_id),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pr),
+       |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |n AS (SELECT a AS user_id FROM tr UNION ALL
+       |  SELECT b FROM tr UNION ALL SELECT c FROM tr)
+       |SELECT user_id, count(*) AS n_triangles
+       |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+    def bursts(tpe: String) =
+      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+          col("event_type") === tpe)
+        .filter(col("n_rows") >= 3)
+        .select(col("user_id"), col("seg_start").as("start"),
+          col("seg_end").as("end"))
+    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+    val und = pairs
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    triangleCounts(und).orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles)
 }

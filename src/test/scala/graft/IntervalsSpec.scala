@@ -61,4 +61,15 @@ class IntervalsSpec extends AnyFunSuite {
     }
     assert(got == Seq(1L, 2L, 3L).map(n => (n, r(n))))
   }
+
+  test("triangle counts: K4 gives 3 per node, a star gives none, counts are exact") {
+    // K4 on {1,2,3,4} (C(4,3)=4 triangles, each node in 3) plus a
+    // 5-leaf star at 10 (wedges everywhere, zero closures)
+    val und = ((for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)) ++ (11L to 15L).map(l => (10L, l))).toDF("u", "v")
+    val got = graft.operators.Graphs.triangleCounts(und)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
