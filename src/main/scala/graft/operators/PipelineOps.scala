@@ -646,9 +646,79 @@ object PipelineOps {
       .orderBy("log2_bucket")
   }
 
+  /** Lagged CROSS-correlation between two event-rate series — does
+    * click activity lead view activity (or vice versa), and at what
+    * hourly offset? The q114 ACF machinery generalized to two
+    * channels: both series are hourly event COUNTS on one shared
+    * dense grid (integer counts, so the moments stay exact with no
+    * quantization step and cannot overflow: count ≤ 1e9/bucket keeps
+    * n·Σx² far under 2^63), lags 0..6 ride ONE window pass, `stack`
+    * unpivots, one hash aggregate computes all seven lags' moments.
+    *
+    * Scale shape: the grid axis is time-span/hour — it grows with
+    * calendar time, not data volume (a decade is 87k rows), so the
+    * single-partition ordered window over the grid is a bounded
+    * driver-free constant, while the heavy lifting (bucket counting)
+    * is a map-side-combined aggregate over the full event stream.
+    */
+  val q131CrossCorr: QueryDef = {
+    val maxLag = 6
+    val lagSqls = (0 to maxLag).map(l =>
+      s"SELECT $l AS lag, x, lag(y, $l) OVER (ORDER BY b) AS yl FROM gr")
+    QueryDef.sql(
+      "q131_cross_corr",
+      s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS b, event_type FROM events),
+         |c AS (SELECT b,
+         |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+         |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS y
+         |  FROM e GROUP BY b),
+         |g AS (SELECT unnest(generate_series((SELECT min(b) FROM e), (SELECT max(b) FROM e))) AS b),
+         |gr AS (SELECT g.b, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+         |  FROM g LEFT JOIN c ON c.b = g.b),
+         |p AS (${lagSqls.mkString("\nUNION ALL\n")}),
+         |m AS (SELECT lag, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yl) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(yl * yl) AS BIGINT) AS syy,
+         |    CAST(sum(x * yl) AS BIGINT) AS sxy
+         |  FROM p WHERE yl IS NOT NULL GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
+         |FROM m ORDER BY lag""".stripMargin) { (spark, dir) =>
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(expr("(ts div 1000) div 3600000000").as("b"), col("event_type"))
+      val counts = ev.groupBy("b").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      val grid = ev.agg(min("b").as("lo"), max("b").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+      var gr = grid.join(counts, Seq("b"), "left")
+        .na.fill(0L, Seq("x", "y"))
+      val ordered = Window.orderBy("b")
+      (0 to maxLag).foreach(l => gr = gr.withColumn(s"y$l", lag("y", l).over(ordered)))
+      val stackExpr = (0 to maxLag).map(l => s"${l}L, y$l").mkString(", ")
+      val stacked = gr.selectExpr("x", s"stack(${maxLag + 1}, $stackExpr) AS (lag, yl)")
+        .filter(col("yl").isNotNull)
+      val m = stacked.groupBy("lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("yl").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("yl") * col("yl")).as("syy"),
+        sum(col("x") * col("yl")).as("sxy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("lag"), col("n").as("n_pairs"),
+          when(dx === 0 || dy === 0, lit(null))
+            .otherwise(round(num.cast("double") /
+              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+        .orderBy("lag")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
-    q114Acf, q115BigramSurprisal)
+    q114Acf, q115BigramSurprisal, q131CrossCorr)
 }

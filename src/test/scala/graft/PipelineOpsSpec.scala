@@ -210,4 +210,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       t => t === "<unk>")).cast("long")
     assert(out.filter(unkCount =!= col("n_masked")).isEmpty)
   }
+
+  test("q131 cross-correlation: a 2-hour lead peaks at exactly r=1 at lag 2") {
+    // clicks trace c(h) at hour h; views LEAD by 2h (view count at h
+    // equals click count at h+2), so x_b vs y_{b-2} is an identical
+    // pair sequence at lag 2 -> Pearson r exactly 1.0
+    val c = Array(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L)
+    val rows = (0 until 12).flatMap { h =>
+      val nClicks = c(h)
+      val nViews = if (h <= 9) c(h + 2) else 1L
+      (0L until nClicks).map(i => (h * 100 + i, h * 3600L * 1000000000L, "click")) ++
+        (0L until nViews).map(i => (h * 100 + 50 + i, h * 3600L * 1000000000L, "view"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccf").toString
+    rows.toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = PipelineOps.q131CrossCorr.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out(2L)._1 == 10L)
+    assert(out(2L)._2.contains(1.0))
+    assert(out(0L)._1 == 12L)
+    assert(!out(0L)._2.contains(1.0))
+  }
 }
