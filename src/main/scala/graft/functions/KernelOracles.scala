@@ -201,6 +201,31 @@ object KernelOracles {
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 
+  /** q132: running Goertzel power oracle — the second-order
+    * single-bin DFT recurrence `s_i = x_i + c·s_{i-1} − s_{i-2}`
+    * (c = 2·cos(2πf) embedded as an exact double literal) replayed
+    * with [[graft.operators.SignalKernels.goertzelPower]]'s IEEE op
+    * order, including the seed row's full `x + c·0 − 0` expression so
+    * the engines agree on signed zeros. Output is UNROUNDED like
+    * q110: bit-exact replay needs no rounding, and rounding is the
+    * only nondeterminism available.
+    */
+  def goertzelOracle(seriesSql: String, freq: Double): String = {
+    val c = lit(2.0 * math.cos(2.0 * math.Pi * freq))
+    s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn, value AS x,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) - 1 AS i FROM s),
+       |e AS (SELECT user_id, i, x + $c * 0e0 - 0e0 AS s1, 0e0 AS s2 FROM r WHERE i = 0
+       |UNION ALL
+       |SELECT r.user_id, r.i, r.x + $c * e.s1 - e.s2, e.s1
+       |  FROM e JOIN r ON r.user_id = e.user_id AND r.i = e.i + 1)
+       |SELECT r.user_id, r.event_id, r.tn,
+       |  e.s1 * e.s1 + e.s2 * e.s2 - $c * e.s1 * e.s2 AS power
+       |FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
   /** q111: anti-aliased decimation oracle — the q36 zero-phase
     * low-pass cascade at the decimation cutoff, then every `factor`-th
     * sample of the filtered series (scipy `decimate`-style:

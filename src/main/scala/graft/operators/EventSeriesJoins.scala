@@ -394,6 +394,22 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
+  /** Running Goertzel power at 0.1 cycles/sample — single-bin
+    * spectral tracking on the same per-series kernel runner as the
+    * IIR filters; the oracle replays the identical second-order
+    * recurrence as a recursive CTE
+    * ([[graft.functions.KernelOracles.goertzelOracle]]). Unrounded
+    * output for the same reason as q110.
+    */
+  val q132Goertzel: QueryDef = QueryDef.sql(
+    "q132_goertzel",
+    graft.functions.KernelOracles.goertzelOracle(Tables.seriesSql, 0.1)) { (spark, dir) =>
+    SignalKernels.goertzelPower(spark, Tables.seriesNorm(spark, dir),
+      s, "value", "power", 0.1)
+      .select(col("user_id"), col("event_id"), col("tn"), col("power"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Anti-aliased decimation: zero-phase low-pass at the decimation
     * cutoff (0.8/factor of Nyquist), then every `factor`-th sample —
     * filter-then-pick, the aliasing-safe downsample (vs W11's
@@ -563,5 +579,5 @@ object EventSeriesJoins {
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill, q125AsofExec,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
-    q106PathTransitions, q110Ewma, q111Decimate)
+    q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel)
 }

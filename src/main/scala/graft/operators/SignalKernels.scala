@@ -78,6 +78,32 @@ object SignalKernels {
     }
   }
 
+  /** Running Goertzel power at normalized frequency `freq`
+    * (cycles/sample): the single-bin sliding DFT statistic used for
+    * tone/oscillation detection without paying a full FFT. Second-
+    * order recurrence `s_i = x_i + c·s_{i-1} − s_{i-2}` with
+    * `c = 2·cos(2πf)`; the emitted per-row power
+    * `s1² + s2² − c·s1·s2` is the bin magnitude of the prefix ending
+    * at row i. IEEE op order is mirrored verbatim by
+    * [[graft.functions.KernelOracles.goertzelOracle]].
+    */
+  def goertzelPower(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, freq: Double): DataFrame = {
+    val c = 2.0 * math.cos(2.0 * math.Pi * freq)
+    applyKernel(spark, df, s, src, out) { x =>
+      val y = new Array[Double](x.length)
+      var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < x.length) {
+        val s0 = x(i) + c * s1 - s2
+        s2 = s1; s1 = s0
+        y(i) = s1 * s1 + s2 * s2 - c * s1 * s2
+        i += 1
+      }
+      y
+    }
+  }
+
   /** Cubic-spline interpolation of missing samples (`method='cubic'`,
     * dialogs.py:49): a natural cubic spline through the non-NaN knots
     * fills NaN rows; outside the knot range values clamp to the edge

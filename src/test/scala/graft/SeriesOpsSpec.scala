@@ -200,4 +200,16 @@ class SeriesOpsSpec extends AnyFunSuite {
     val want = vals.tail.scanLeft(vals.head)((y, x) => 0.25 * x + 0.75 * y)
     assert(got == want) // bit-exact, not approx: same op order
   }
+
+  test("goertzel: on-bin tone energy grows ~N², off-bin tone stays bounded") {
+    val n = 200
+    def tone(f: Double) = df((0 until n).map(i =>
+      (i.toDouble, math.cos(2 * math.Pi * f * i))): _*)
+    def finalPower(f: Double): Double =
+      out(graft.operators.SignalKernels.goertzelPower(spark, tone(f), s, "v", "p", 0.1), "p").last
+    // probing 0.1 cycles/sample: matched tone accumulates ~(N/2)²
+    assert(finalPower(0.1) > 0.5 * (n / 2.0) * (n / 2.0))
+    // an off-bin tone (0.27) never resonates: orders of magnitude below
+    assert(finalPower(0.27) < 0.01 * (n / 2.0) * (n / 2.0))
+  }
 }
