@@ -101,6 +101,53 @@ object PipelineOps {
     chunkDedupDf(docs(spark, dir)).orderBy("doc_id")
   }
 
+  /** q93 completed to its actionable output: the SCRUBBED corpus.
+    * Same 4-word chunk census and corpus doc-frequency cut, but
+    * instead of reporting kept fractions it reassembles each
+    * document's surviving chunks in original order — the text a
+    * training pipeline actually keeps after boilerplate removal
+    * (RefinedWeb/CCNet shape: repeated spans die, unique prose
+    * survives). Reassembly is `collect_list(struct(pos, chunk))` →
+    * `array_sort` → `array_join`, the same order-preserving
+    * aggregation as q116's token reassembly; the frequency table
+    * joins back on the 8-byte hash, and the chunk text rides the
+    * per-doc rows (never the frequency shuffle).
+    */
+  val q133ChunkScrub: QueryDef = QueryDef.sql(
+    "q133_chunk_scrub",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id, i - 1 AS pos,
+       |    array_to_string(ws[(i-1)*$ChunkWords+1:(i-1)*$ChunkWords+$ChunkWords], ' ') AS chunk
+       |  FROM w, unnest(generate_series(1, (len(ws) + ${ChunkWords - 1}) // $ChunkWords)) AS t(i)),
+       |ch AS (SELECT doc_id, pos, chunk, ${TextHash.duckBase32("chunk")} AS h FROM c),
+       |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY h)
+       |SELECT ch.doc_id,
+       |  coalesce(string_agg(CASE WHEN f.df < $BoilerplateDf THEN ch.chunk END,
+       |    ' ' ORDER BY ch.pos), '') AS clean_text,
+       |  CAST(count(CASE WHEN f.df >= $BoilerplateDf THEN 1 END) AS BIGINT) AS n_dropped
+       |FROM ch JOIN f USING (h)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (spark, dir) =>
+    val nChunks = ceil(size(col("__ws")) / lit(ChunkWords.toDouble)).cast("int")
+    val chunkTextAt = (i: Column) =>
+      concat_ws(" ", slice(col("__ws"), i * ChunkWords + 1, lit(ChunkWords)))
+    val chunks = docs(spark, dir)
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), chunkTextAt))
+          .as(Seq("pos", "chunk")))
+      .withColumn("h", TextHash.base32(col("chunk")))
+    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < BoilerplateDf,
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        count(when(col("df") >= BoilerplateDf, 1)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-filter contamination probe: the scale path of q77. The
     * benchmark set's shingles are folded into a Bloom bit-set
     * (m = 2^16 positions, 3 affine hashes over the shared 32-bit base
@@ -720,5 +767,5 @@ object PipelineOps {
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
-    q114Acf, q115BigramSurprisal, q131CrossCorr)
+    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub)
 }

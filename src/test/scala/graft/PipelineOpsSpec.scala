@@ -211,6 +211,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(unkCount =!= col("n_masked")).isEmpty)
   }
 
+  test("q133 chunk scrub reconciles with the q93 census; untouched docs round-trip") {
+    val scrub = PipelineOps.q133ChunkScrub.fn(spark, sfDir)
+    val census = PipelineOps.q93ChunkDedup.fn(spark, sfDir)
+    val j = scrub.join(census, "doc_id")
+    // dropped + kept = total chunks, always
+    assert(j.filter(col("n_dropped") + col("n_kept") =!= col("n_chunks")).isEmpty)
+    // a document with nothing dropped reassembles to its exact source text
+    val src = graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text")
+    assert(j.filter(col("n_dropped") === 0).join(src, "doc_id")
+      .filter(col("clean_text") =!= col("text")).isEmpty)
+    // a fully-boilerplate document scrubs to the empty string
+    assert(j.filter(col("n_kept") === 0)
+      .filter(col("clean_text") =!= lit("")).isEmpty)
+  }
+
   test("q131 cross-correlation: a 2-hour lead peaks at exactly r=1 at lag 2") {
     // clicks trace c(h) at hour h; views LEAD by 2h (view count at h
     // equals click count at h+2), so x_b vs y_{b-2} is an identical
