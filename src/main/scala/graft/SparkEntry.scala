@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Sketches.all ++ operators.Intervals.all ++
       operators.Graphs.all ++ operators.Layout.all ++
       operators.Multimodal.all ++ operators.RecipeQueries.all ++
-      streaming.StreamingSessions.all ++ streaming.StreamingAsOf.all
+      streaming.StreamingSessions.all ++ streaming.StreamingAsOf.all ++
+      streaming.StreamingSketch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

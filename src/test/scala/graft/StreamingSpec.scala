@@ -208,4 +208,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(twoBatch == oneBatch)
     assert(oneBatch.nonEmpty)
   }
+
+  test("stream KMV: sketch state folds across batches to the exact batch sketch") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.KmvRow
+    val dir = "/root/testdata/sf0.001"
+    val docsTbl = graft.sources.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-batches").toString
+    docsTbl.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b=1")
+    docsTbl.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/documents_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/documents_b.parquet"))
+    // two-batch upsert view: latest row per source wins
+    val upserted = mutable.LinkedHashMap[String, KmvRow]()
+    var batches = 0
+    val q = StreamingSketch
+      .kmvStream(spark, tmp, glob = "documents_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[KmvRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted(r.source) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    val single = StreamingSketch.run(spark, dir, "kmv_spec_single")
+      .as[KmvRow].collect().map(r => r.source -> r).toMap
+    assert(upserted.size == single.size)
+    upserted.foreach { case (k, r) => assert(r == single(k), s"source $k diverged") }
+  }
 }
