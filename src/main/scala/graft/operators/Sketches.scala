@@ -59,6 +59,82 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** HyperLogLog distinct-count per source — the register-based
+    * complement to q84's KMV (HLL state is m fixed bytes and merges
+    * by register-max, the industry default for planet-scale distinct
+    * counts; KMV keeps k exact minima and admits an exact small-set
+    * mode). m = 2^12 registers from the top 12 hash bits; the rank is
+    * the leftmost-1 position of the remaining 20 bits, computed as an
+    * exact integer via binary-string length (the q95/q109 trick).
+    *
+    * Determinism without quantization: every register value is an
+    * integer max (order-insensitive), each register contributes the
+    * EXACT dyadic 1/2^rho (reciprocal of a shifted integer — IEEE
+    * exact), and the sum of ≤ 4096 dyadics spanning 2^-21..2^0 stays
+    * far inside the 53-bit mantissa, so the harmonic sum is exact at
+    * ANY reduction order. The final αm²/sum is one IEEE division of
+    * identical inputs on both engines — emitted UNROUNDED like q110.
+    *
+    * The emitted `raw_est` is the UNCORRECTED harmonic estimate: the
+    * standard small-range linear-counting branch needs `ln`, whose
+    * last-ulp can differ between libm and the JVM, so the oracle row
+    * carries the deterministic state (raw_est + n_zero) and
+    * [[hllCorrected]] applies the correction engine-side
+    * (SketchesSpec pins its accuracy against the exact count).
+    *
+    * Scale shape: one map-side-combined (source, bucket) max, one
+    * tiny per-source rollup. The register relation is ≤ m rows per
+    * source regardless of corpus size.
+    */
+  val HllBuckets = 4096
+  val q135HllDistinct: QueryDef = {
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets.toDouble * HllBuckets.toDouble
+    val aLit = graft.functions.KernelOracles.lit(alphaM2)
+    QueryDef.sql(
+      "q135_hll_distinct",
+      s"""WITH t AS (SELECT source, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+         |b AS (SELECT source, h >> 20 AS bucket,
+         |    CASE WHEN (h & 1048575) = 0 THEN 21
+         |         ELSE 21 - length(printf('%b', h & 1048575)) END AS rho
+         |  FROM t),
+         |r AS (SELECT source, bucket, max(rho) AS reg FROM b GROUP BY source, bucket),
+         |s AS (SELECT source, count(*) AS n_reg,
+         |    sum(1e0 / (1::BIGINT << reg)) AS sp FROM r GROUP BY source)
+         |SELECT source, CAST(n_reg AS BIGINT) AS n_registers,
+         |  CAST($HllBuckets - n_reg AS BIGINT) AS n_zero,
+         |  $aLit / (sp + ($HllBuckets - n_reg)) AS raw_est
+         |FROM s ORDER BY source""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .select(col("source"), md5p32(col("token")).as("h"))
+      val rest = col("h").bitwiseAND(lit(1048575L))
+      val regs = toks
+        .select(col("source"), shiftright(col("h"), 20).as("bucket"),
+          when(rest === 0, lit(21)).otherwise(lit(21) - length(bin(rest))).as("rho"))
+        .groupBy("source", "bucket").agg(max("rho").as("reg"))
+      regs.groupBy("source")
+        .agg(count(lit(1)).as("n_reg"),
+          sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sp"))
+        .select(col("source"), col("n_reg").as("n_registers"),
+          (lit(HllBuckets.toLong) - col("n_reg")).as("n_zero"),
+          (lit(alphaM2) / (col("sp") + (lit(HllBuckets.toLong) - col("n_reg"))))
+            .as("raw_est"))
+        .orderBy("source")
+    }
+  }
+
+  /** Flajolet et al.'s small-range correction over the q135 state:
+    * below 2.5·m with empty registers, linear counting `m·ln(m/V)`
+    * (V = zero registers) replaces the biased raw harmonic estimate.
+    * Engine-side only — `ln` is not cross-engine bit-stable, which is
+    * why the oracle row carries the raw pieces instead.
+    */
+  def hllCorrected(nZero: Long, rawEst: Double): Double =
+    if (rawEst <= 2.5 * HllBuckets && nZero > 0)
+      HllBuckets * math.log(HllBuckets.toDouble / nZero)
+    else rawEst
+
   /** Distributed histogram percentiles (p50/p95 per series): values
     * quantized to integer milli-units, ONE (user, bin) count
     * aggregate with map-side combine, then the quantile is the first
@@ -150,5 +226,5 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
-  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq)
+  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq, q135HllDistinct)
 }

@@ -104,4 +104,22 @@ class SketchesSpec extends AnyFunSuite {
       $"cus" >= $"pus" - 21600000000L && $"cus" <= $"pus").count()
     assert(streamRows == batchRows && streamRows > 0)
   }
+
+  test("q135 HLL: linear-counting-corrected estimate within 5% of exact per source") {
+    import graft.operators.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val est = Sketches.q135HllDistinct.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exact = graft.sources.Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .groupBy("source").agg(countDistinct("token").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (src, (nZero, raw)) =>
+      val corrected = Sketches.hllCorrected(nZero, raw)
+      val n = exact(src).toDouble
+      assert(math.abs(corrected - n) / n <= 0.05,
+        s"$src: corrected $corrected vs exact $n")
+    }
+  }
 }
