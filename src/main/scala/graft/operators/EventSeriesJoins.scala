@@ -161,6 +161,52 @@ object EventSeriesJoins {
       .orderBy("user_id", "session_id")
   }
 
+  /** q30's semantics through Spark's NATIVE `session_window`
+    * operator — the built-in gap-session aggregation (one
+    * hash-aggregate with session merge, no window-function pass),
+    * which is also the operator a streaming deployment uses with
+    * watermark-driven state eviction. Kept alongside the hand-rolled
+    * islands form deliberately: the native operator works on absolute
+    * event-time timestamps, the islands form on any numeric axis.
+    *
+    * Boundary semantics: Spark merges an event into the open session
+    * iff it arrives STRICTLY inside start+gap, so the oracle breaks
+    * on `delta >= gap` (q30's islands break on `> gap` over the tn
+    * axis — a semantic difference visible only for a delta of exactly
+    * the gap). All outputs are exact integer microseconds; the
+    * session end is the last EVENT time (window.end minus the gap,
+    * exact integer arithmetic), not Spark's padded window end.
+    */
+  val q136NativeSession: QueryDef = {
+    val gapUs = 43200000000L // 12 h in µs
+    QueryDef.sql(
+      "q136_native_session",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         |g AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $gapUs
+         |    THEN 1 ELSE 0 END AS brk FROM e),
+         |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM g)
+         |SELECT user_id, min(us) AS s_start_us, max(us) AS s_end_us,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total
+         |FROM x GROUP BY user_id, sid
+         |ORDER BY user_id, s_start_us""".stripMargin) { (spark, dir) =>
+      val micro = round(col("value") * lit(1e6)).cast("bigint")
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ets"), col("value"))
+        .groupBy(col("user_id"), session_window(col("ets"), "12 hours"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(micro).cast("double") / lit(1e6), 4).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start_us"),
+          (unix_micros(col("session_window.end")) - gapUs).as("s_end_us"),
+          col("n"), col("total"))
+        .orderBy("user_id", "s_start_us")
+    }
+  }
+
   /** Event-path transition matrix: event-type bigram counts WITHIN
     * q30's sessions (a session boundary breaks the chain), plus each
     * session's entry state — the Markov-chain view of user behavior
@@ -579,5 +625,6 @@ object EventSeriesJoins {
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill, q125AsofExec,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
-    q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel)
+    q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel,
+    q136NativeSession)
 }

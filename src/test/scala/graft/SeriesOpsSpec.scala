@@ -201,6 +201,20 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got == want) // bit-exact, not approx: same op order
   }
 
+  test("native session_window sessions reconcile with the hand-rolled islands (q30)") {
+    val dir = "/root/testdata/sf0.001"
+    val native = graft.operators.EventSeriesJoins.q136NativeSession.fn(spark, dir)
+      .select(col("user_id"), col("n"), col("total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)))).sorted
+    val islands = graft.operators.EventSeriesJoins.q30Sessionize.fn(spark, dir)
+      .select(col("user_id"), col("n"), col("total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)))).sorted
+    // no exact-gap deltas exist in the data, so the two boundary
+    // conventions produce identical session multisets
+    assert(native.toSeq == islands.toSeq)
+    assert(native.nonEmpty)
+  }
+
   test("goertzel: on-bin tone energy grows ~N², off-bin tone stays bounded") {
     val n = 200
     def tone(f: Double) = df((0 until n).map(i =>
