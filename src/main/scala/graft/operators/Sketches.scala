@@ -124,6 +124,75 @@ object Sketches {
     }
   }
 
+  /** KMV SET ALGEBRA — the reason KMV beats HLL for overlap
+    * analytics: two sources' k-minima sketches compose into union
+    * AND intersection distinct estimates without touching the data
+    * again. Union sketch = k smallest of the merged minima sets;
+    * |A∪B| from its k-th min (exact below k); the intersection uses
+    * the standard ratio estimator — the fraction of union minima
+    * present in BOTH sketches — scaled by the union estimate.
+    *
+    * Determinism: every ingredient is a set operation on integer
+    * hashes (order-insensitive) and the two estimates are IEEE
+    * expressions over those exact inputs with identical op order on
+    * both engines — emitted UNROUNDED.
+    *
+    * Scale shape: the sketch relation is one tiny row per source
+    * (built in ONE map-side-combined pass over the corpus); the
+    * pair comparison is a broadcast theta self-join of that
+    * celebrity-sized relation (n_sources² pairs of ≤ k-element
+    * arrays), never a corpus join.
+    */
+  val q137KmvSetAlgebra: QueryDef = QueryDef.sql(
+    "q137_kmv_set_algebra",
+    s"""WITH t AS (SELECT DISTINCT source, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM t),
+       |sk AS (SELECT source, h FROM r WHERE rn <= $SketchK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |u0 AS (SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+       |  UNION
+       |  SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb),
+       |ur AS (SELECT sa, sb, h,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u0),
+       |um AS (SELECT sa, sb, h FROM ur WHERE rn <= $SketchK),
+       |st AS (SELECT sa, sb, count(*) AS ku, max(h) AS tau FROM um GROUP BY sa, sb),
+       |cm AS (SELECT u.sa, u.sb, count(*) AS c FROM um u
+       |  JOIN sk x ON x.source = u.sa AND x.h = u.h
+       |  JOIN sk y ON y.source = u.sb AND y.h = u.h
+       |  GROUP BY u.sa, u.sb),
+       |e AS (SELECT st.sa, st.sb, st.ku, coalesce(cm.c, 0) AS c,
+       |    CASE WHEN st.ku < $SketchK THEN CAST(st.ku AS DOUBLE)
+       |         ELSE ${SketchK - 1}.0 * 4294967296.0 / st.tau END AS est_union
+       |  FROM st LEFT JOIN cm ON cm.sa = st.sa AND cm.sb = st.sb)
+       |SELECT sa, sb, CAST(ku AS BIGINT) AS k_union, CAST(c AS BIGINT) AS k_common,
+       |  est_union, CAST(c AS DOUBLE) * est_union / ku AS est_intersect
+       |FROM e ORDER BY sa, sb""".stripMargin) { (spark, dir) =>
+    val kmv = udaf(new graft.functions.KmvSketchAgg(SketchK))
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), md5p32(col("token")).as("h"))
+    val sk = toks.groupBy("source").agg(kmv(col("h")).as("ks"))
+    val j = sk.select(col("source").as("sa"), col("ks").as("ka"))
+      .join(sk.select(col("source").as("sb"), col("ks").as("kb")),
+        col("sa") < col("sb"))
+    val withU = j
+      .withColumn("um", slice(array_sort(array_union(col("ka"), col("kb"))), 1, SketchK))
+      .withColumn("ku", size(col("um")).cast("long"))
+      .withColumn("c",
+        size(array_intersect(array_intersect(col("um"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("est_union",
+        when(col("ku") < SketchK, col("ku").cast("double"))
+          .otherwise(lit((SketchK - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("um"), -1)))
+    withU.select(col("sa"), col("sb"), col("ku").as("k_union"), col("c").as("k_common"),
+        col("est_union"),
+        (col("c").cast("double") * col("est_union") / col("ku")).as("est_intersect"))
+      .orderBy("sa", "sb")
+  }
+
   /** Flajolet et al.'s small-range correction over the q135 state:
     * below 2.5·m with empty registers, linear counting `m·ln(m/V)`
     * (V = zero registers) replaces the biased raw harmonic estimate.
@@ -226,5 +295,5 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
-  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq, q135HllDistinct)
+  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq, q135HllDistinct, q137KmvSetAlgebra)
 }

@@ -105,6 +105,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamRows == batchRows && streamRows > 0)
   }
 
+  test("q137 KMV algebra: below k the union and intersection estimates are EXACT") {
+    import graft.operators.Sketches
+    val dir = "/root/testdata/sf0.001"
+    // sf0.001 vocabularies are < k = 64 per source, so every sketch IS
+    // its value set and both estimators must hit the exact answers
+    val got = Sketches.q137KmvSetAlgebra.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    val vocab = graft.sources.Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), (estU, estI)) =>
+      val (va, vb) = (vocab(a), vocab(b))
+      assert(estU == (va ++ vb).size.toDouble, s"union $a-$b")
+      assert(estI == (va & vb).size.toDouble, s"intersect $a-$b")
+    }
+  }
+
   test("q135 HLL: linear-counting-corrected estimate within 5% of exact per source") {
     import graft.operators.Sketches
     val dir = "/root/testdata/sf0.001"
