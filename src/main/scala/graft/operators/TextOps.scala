@@ -290,6 +290,49 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Positional-inverted-index PHRASE search — the retrieval
+    * primitive of a corpus pipeline (find every document containing
+    * an exact multi-word phrase, with match counts). The index is the
+    * relation `(token, doc_id, pos)`; a phrase query is an equi join
+    * of the phrase terms' posting rows on `(doc_id, pos + offset)` —
+    * adjacency becomes a join key, never a scan over text.
+    *
+    * Scale shape: at corpus scale the postings relation is
+    * materialized once, bucketed/partitioned BY TOKEN, so a phrase
+    * query reads only its terms' buckets (two partition-pruned scans
+    * here), and the positional join is an equi hash join keyed on
+    * (doc_id, pos) — selective terms keep both sides small, stopword
+    * terms are exactly what the q93/q116 df-threshold machinery
+    * prunes from the index. Integer positions ⇒ deterministic.
+    */
+  val q138PhraseSearch: QueryDef = {
+    val (t1, t2) = ("table", "hash")
+    QueryDef.sql(
+      "q138_phrase_search",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |p AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+         |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         |a AS (SELECT doc_id, pos FROM p WHERE tok = '$t1'),
+         |b AS (SELECT doc_id, pos FROM p WHERE tok = '$t2')
+         |SELECT a.doc_id, count(*) AS n_matches,
+         |  CAST(min(a.pos) AS BIGINT) AS first_pos
+         |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (spark, dir) =>
+      val postings = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val pa = postings.filter(col("tok") === t1)
+        .select(col("doc_id"), col("pos"))
+      val pb = postings.filter(col("tok") === t2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      pa.join(pb, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min("pos").cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
-    q53Fingerprint, q59RollingHashFp, q89TfidfTopk)
+    q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch)
 }

@@ -139,6 +139,21 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     assert(ct.head.getLong(2) == 1000000L && ct.head.getLong(3) == 1000000L)
   }
 
+  test("q138 phrase search: adjacency only, ordered, counted per doc") {
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      (1L, "x table hash y table hash", "en", "web", 25L),   // two matches, first at 1
+      (2L, "hash table", "en", "web", 10L),                  // reversed: no match
+      (3L, "table x hash", "en", "web", 12L),                // gap: no match
+      (4L, "table hash", "en", "web", 10L))                  // one match at 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q138PhraseSearch.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 1L), (4L, 1L, 0L)))
+  }
+
   test("native MinHashSignature ≡ transform/array_min composition") {
     val d = Seq("x y z w v u t", "a b c d", "p q r s t u v w x y z")
       .toDF("text")
