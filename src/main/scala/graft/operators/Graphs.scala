@@ -191,5 +191,92 @@ object Graphs {
     triangleCounts(und).orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles)
+  /** Single-source BFS hop distances over a symmetric edge list, a
+    * FIXED number of relaxation rounds: each round is one shuffle
+    * join of the current distance relation to the edges plus one
+    * min-aggregate on the destination — the Pregel frontier step as
+    * plain DataFrame ops (same lazy straight-line chaining as
+    * [[pageRankPpm]]; an unbounded-convergence variant would
+    * checkpoint per round like the CC loop). Integer distances and
+    * min-aggregates are order-insensitive ⇒ bit-deterministic.
+    */
+  def bfsHops(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var dist = nodes.join(source.select(col("s").as("node"), lit(0L).as("d0")),
+        Seq("node"), "left")
+      .select(col("node"), col("d0").as("dist"))
+    (1 to rounds).foreach { _ =>
+      val cand = e.join(dist.filter(col("dist").isNotNull), e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + 1).as("cd"))
+        .groupBy("node").agg(min("cd").as("cd"))
+      dist = dist.join(cand, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNull, col("cd"))
+            .when(col("cd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cd"))).as("dist"))
+    }
+    dist
+  }
+
+  /** BFS hop distance from the lowest-id user in the q122 incident
+    * graph after 6 relaxation rounds (nodes still unreached stay
+    * null — a fixed-round frontier is itself deterministic, and the
+    * oracle replays the identical 6 steps as chained CTEs).
+    */
+  val q139BfsHops: QueryDef = {
+    val rounds = 6
+    val stepCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT d.node,
+         |    CASE WHEN d.dist IS NULL THEN c.cd
+         |         WHEN c.cd IS NULL THEN d.dist
+         |         ELSE least(d.dist, c.cd) END AS dist
+         |  FROM d${i - 1} d LEFT JOIN (
+         |    SELECT e.dst AS node, min(r.dist + 1) AS cd
+         |    FROM eg e JOIN d${i - 1} r ON r.node = e.src AND r.dist IS NOT NULL
+         |    GROUP BY e.dst) c ON c.node = d.node)""".stripMargin
+    }
+    def islSql(tpe: String) =
+      s"""SELECT user_id, min(t) AS s0, max(t) AS e0
+         |  FROM f WHERE event_type = '$tpe'
+         |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3""".stripMargin
+    QueryDef.sql(
+      "q139_bfs_hops",
+      s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+         |ei AS (${islSql("error")}),
+         |pi AS (${islSql("purchase")}),
+         |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+         |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+         |    AND e.user_id <> p.user_id),
+         |eg AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+         |d0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT min(src) FROM eg)
+         |    THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM (SELECT DISTINCT src AS node FROM eg)),
+         |${stepCtes.mkString(",\n")}
+         |SELECT node AS user_id, CAST(dist AS BIGINT) AS hops
+         |FROM d$rounds ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+      def bursts(tpe: String) =
+        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+            col("event_type") === tpe)
+          .filter(col("n_rows") >= 3)
+          .select(col("user_id"), col("seg_start").as("start"),
+            col("seg_end").as("end"))
+      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val source = edges.agg(min("src").as("s"))
+      bfsHops(edges, source, rounds)
+        .select(col("node").as("user_id"), col("dist").as("hops"))
+        .orderBy("user_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops)
 }

@@ -62,6 +62,17 @@ class IntervalsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L).map(n => (n, r(n))))
   }
 
+  test("bfs hops: path graph distances, frontier stops at the round budget") {
+    // path 1-2-3-4-5 symmetrized; 3 rounds from node 1 reaches 4, not 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val src = edges.agg(min("src").as("s"))
+    val got = graft.operators.Graphs.bfsHops(edges, src, 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> None))
+  }
+
   test("triangle counts: K4 gives 3 per node, a star gives none, counts are exact") {
     // K4 on {1,2,3,4} (C(4,3)=4 triangles, each node in 3) plus a
     // 5-leaf star at 10 (wedges everywhere, zero closures)
