@@ -161,6 +161,42 @@ object EventSeriesJoins {
       .orderBy("user_id", "session_id")
   }
 
+  /** OHLC bar downsampling — the AGGREGATING resample beside W11's
+    * interpolating one: each 6-hour bucket collapses to its open
+    * (first value in (tn, event_id) order), high, low, close (last)
+    * and count, the standard lossy compaction for dashboarding and
+    * coarse backtesting. One shuffle: the first/last window and the
+    * bar aggregate share the (user, bar) partitioning; values pass
+    * through un-arithmeticked, so raw-double parity is exact.
+    */
+  val q140OhlcBars: QueryDef = {
+    val barSec = 21600.0
+    val bw = "PARTITION BY user_id, bar ORDER BY tn, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    QueryDef.sql(
+      "q140_ohlc_bars",
+      s"""$S, b AS (SELECT user_id, event_id, tn, value,
+         |  CAST(floor(tn / $barSec) AS BIGINT) AS bar FROM s),
+         |w AS (SELECT *, first_value(value) OVER ($bw) AS o,
+         |  last_value(value) OVER ($bw) AS c FROM b)
+         |SELECT user_id, bar, min(tn) AS t_start, count(*) AS n,
+         |  max(o) AS open, max(value) AS high, min(value) AS low, max(c) AS close
+         |FROM w GROUP BY user_id, bar
+         |ORDER BY user_id, bar""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id", "bar").orderBy("tn", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.seriesNorm(spark, dir)
+        .withColumn("bar", floor(col("tn") / barSec).cast("long"))
+        .withColumn("o", first("value").over(w))
+        .withColumn("c", last("value").over(w))
+        .groupBy("user_id", "bar")
+        .agg(min("tn").as("t_start"), count(lit(1)).as("n"),
+          max("o").as("open"), max("value").as("high"),
+          min("value").as("low"), max("c").as("close"))
+        .orderBy("user_id", "bar")
+    }
+  }
+
   /** q30's semantics through Spark's NATIVE `session_window`
     * operator — the built-in gap-session aggregation (one
     * hash-aggregate with session merge, no window-function pass),
@@ -626,5 +662,5 @@ object EventSeriesJoins {
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
     q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel,
-    q136NativeSession)
+    q136NativeSession, q140OhlcBars)
 }

@@ -763,9 +763,38 @@ object PipelineOps {
     }
   }
 
+  /** Feature hashing (the "hashing trick"): every document becomes a
+    * fixed 16-dimension signed bag-of-words vector with NO vocabulary
+    * pass — dim = hash % 16, sign from an independent hash bit, value
+    * = signed token count. This is the unsupervised featurizer for
+    * cheap classifiers/cluster probes over an unbounded vocabulary:
+    * one tokenize + one integer hash aggregate, zero joins, zero
+    * global state — the embarrassingly-parallel shape. Integer sums
+    * ⇒ bit-deterministic.
+    */
+  val q141FeatureHash: QueryDef = {
+    val dims = 16
+    QueryDef.sql(
+      "q141_feature_hash",
+      s"""WITH t AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+         |SELECT doc_id, h % $dims AS dim,
+         |  CAST(sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |FROM t GROUP BY doc_id, dim
+         |ORDER BY doc_id, dim""".stripMargin) { (spark, dir) =>
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), TextHash.base32(col("token")).as("h"))
+        .groupBy(col("doc_id"), (col("h") % dims).as("dim"))
+        .agg(sum(when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as("v"))
+        .orderBy("doc_id", "dim")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
-    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub)
+    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub, q141FeatureHash)
 }

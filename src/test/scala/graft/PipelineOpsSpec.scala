@@ -226,6 +226,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("clean_text") =!= lit("")).isEmpty)
   }
 
+  test("q140 OHLC bars: known open/high/low/close per 6h bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc").toString
+    // user 1: three events inside bar 0 (hours 0,1,2), one in bar 1 (hour 7)
+    Seq((0L, 0L, 5.0), (1L, 1L, 9.0), (2L, 2L, 2.0), (3L, 7L, 4.0))
+      .map { case (id, h, v) => (id, h * 3600L * 1000000000L, 1L, v, "click") }
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventSeriesJoins.q140OhlcBars.fn(spark, dir)
+      .select("bar", "n", "open", "high", "low", "close").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    assert(got == List((0L, 3L, 5.0, 9.0, 2.0, 2.0), (1L, 1L, 4.0, 4.0, 4.0, 4.0)))
+  }
+
+  test("q141 feature hashing: dims bounded, L1 mass equals token count") {
+    val out = PipelineOps.q141FeatureHash.fn(spark, sfDir)
+    assert(out.filter(col("dim") < 0 || col("dim") > 15).isEmpty)
+    // sum of |v| per doc can never exceed the token count, and the
+    // two are equal exactly when no opposite-sign collisions occur --
+    // globally the total L1 mass is bounded by total tokens
+    val l1 = out.agg(sum(abs(col("v")))).head().getLong(0)
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(l1 <= toks && l1 > 0)
+  }
+
   test("q131 cross-correlation: a 2-hour lead peaks at exactly r=1 at lag 2") {
     // clicks trace c(h) at hour h; views LEAD by 2h (view count at h
     // equals click count at h+2), so x_b vs y_{b-2} is an identical
