@@ -249,4 +249,62 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val graphGen: Gen[Set[(Long, Long)]] =
+    Gen.chooseNum(4, 12).flatMap { n =>
+      Gen.listOfN(n * 2, Gen.zip(Gen.chooseNum(1L, n.toLong), Gen.chooseNum(1L, n.toLong)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet)
+    }
+
+  test("triangle counts match brute-force enumeration on random graphs") {
+    forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
+      val got = graft.operators.Graphs.triangleCounts(und.toSeq.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      def adj(a: Long, b: Long) = und((math.min(a, b), math.max(a, b)))
+      val brute = nodes.combinations(3)
+        .filter { case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c) }
+        .flatMap(identity).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == brute, s"graph=$und")
+    }
+  }
+
+  test("bfs hops match brute-force shortest paths on random graphs") {
+    forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
+      val rounds = 6
+      val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val edges = sym.toDF("src", "dst")
+      val got = graft.operators.Graphs
+        .bfsHops(edges, edges.agg(min("src").as("s")), rounds)
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      // brute force: BFS from the min node over the adjacency map
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val s0 = sym.map(_._1).min
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      (1 to rounds).foreach { d =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d.toLong)
+      }
+      val want = adj.keySet.map(n => n -> dist.get(n)).toMap
+      assert(got == want, s"graph=$und")
+    }
+  }
+
+  test("kmv set algebra is exact below k for random token sets") {
+    import graft.operators.Sketches
+    forSamples(Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 50).map(i => s"tok$i")).map(_.toSet),
+      Gen.nonEmptyListOf(Gen.chooseNum(25, 75).map(i => s"tok$i")).map(_.toSet)), 5) {
+      case (va, vb) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_kmvprop").toString
+        Seq((1L, va.mkString(" "), "en", "srcA", 1L), (2L, vb.mkString(" "), "en", "srcB", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val r = Sketches.q137KmvSetAlgebra.fn(spark, dir).collect()
+        assert(r.length == 1)
+        assert(r.head.getDouble(4) == (va ++ vb).size.toDouble)
+        assert(r.head.getDouble(5) == (va & vb).size.toDouble)
+    }
+  }
 }
