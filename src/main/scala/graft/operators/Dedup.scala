@@ -292,6 +292,69 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL dedup — the production shape: a new DELTA batch
+    * (doc_id ≡ 0 mod 3 here; a fresh crawl in production) admitted
+    * against an existing BASE corpus, never base-vs-base. Two stages:
+    * exact (anti join on the content hash) then near-dup (delta band
+    * keys equi-joined to BASE band keys only — the candidate space is
+    * |delta|-proportional, not |corpus|², which is what makes daily
+    * ingest O(delta) while the base index is a materialized relation
+    * reused every batch). The Jaccard ≥ 0.8 gate compares with
+    * integer cross-multiplication (5·i ≥ 4·(ca+cb−i)) — no float
+    * threshold edge. Output: the delta docs that survive admission.
+    */
+  val q142DeltaDedup: QueryDef = QueryDef.sql(
+    "q142_delta_dedup",
+    s"""WITH $duckSig,
+       |bnd AS (SELECT doc_id, p // $BandRows AS band,
+       |    string_agg(mh, ',' ORDER BY p) AS key
+       |  FROM sig GROUP BY doc_id, band),
+       |dpr AS (SELECT DISTINCT x.doc_id AS dd, y.doc_id AS bd
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
+       |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0),
+       |ds AS (SELECT DISTINCT doc_id, h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.dd, p.bd, count(*) AS i
+       |  FROM dpr p JOIN ds x ON x.doc_id = p.dd
+       |  JOIN ds y ON y.doc_id = p.bd AND y.h = x.h
+       |  GROUP BY p.dd, p.bd),
+       |neard AS (SELECT DISTINCT i.dd FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.dd JOIN cnt cb ON cb.doc_id = i.bd
+       |  WHERE 5 * i.i >= 4 * (ca.c + cb.c - i.i)),
+       |exd AS (SELECT DISTINCT d.doc_id FROM documents d
+       |  JOIN documents b ON b.text = d.text AND b.doc_id % 3 <> 0
+       |  WHERE d.doc_id % 3 = 0)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id % 3 = 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM exd)
+       |  AND d.doc_id NOT IN (SELECT dd FROM neard)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val all = docs(spark, dir)
+    val delta = all.filter(col("doc_id") % 3 === 0)
+    val base = all.filter(col("doc_id") % 3 =!= 0)
+    val exactSurv = delta
+      .join(base.select(md5(col("text")).as("bh")).distinct(),
+        md5(col("text")) === col("bh"), "left_anti")
+    val bk = bandKeys(spark, dir)
+    val cand = bk.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("dd"), col("band"), col("key"))
+      .join(bk.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("bd"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("dd", "bd").distinct()
+    val sets = hashed(spark, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hset"))
+    val near = cand
+      .join(sets.select(col("doc_id").as("dd"), col("hset").as("ha")), Seq("dd"))
+      .join(sets.select(col("doc_id").as("bd"), col("hset").as("hb")), Seq("bd"))
+      .filter(lit(5) * size(array_intersect(col("ha"), col("hb"))) >=
+        lit(4) * size(array_union(col("ha"), col("hb"))))
+      .select(col("dd")).distinct()
+    exactSurv.select(col("doc_id"))
+      .join(near, col("doc_id") === col("dd"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Native 32-bit SimHash ([[graft.functions.SimHash32]]): one pass
     * over the hash array instead of 32 interpreted `filter` lambdas
     * per row; value-identical to the `aggregate(sequence(0,31), …)`
@@ -483,5 +546,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
-    q80ClusterCanonical, q128EditDistance, q129Containment)
+    q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup)
 }

@@ -154,6 +154,24 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, 1L), (4L, 1L, 0L)))
   }
 
+  test("q142 delta dedup: exact dups against base drop, unique deltas survive") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "a completely different base document about spark engines at scale"
+    Seq(
+      (1L, a, "en", "web", 60L),  // base
+      (2L, b, "en", "web", 64L),  // base
+      (0L, "fresh unique delta content nobody has seen before today", "en", "web", 55L),
+      (3L, a, "en", "web", 60L),  // delta, exact dup of base 1 -> dropped
+      (6L, b, "en", "web", 64L),  // delta, exact dup of base 2 -> dropped
+      (9L, "another novel delta document with its own words entirely", "en", "web", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.q142DeltaDedup.fn(spark, dir).as[Long].collect().toList
+    assert(kept == List(0L, 9L))
+  }
+
   test("native MinHashSignature ≡ transform/array_min composition") {
     val d = Seq("x y z w v u t", "a b c d", "p q r s t u v w x y z")
       .toDF("text")
