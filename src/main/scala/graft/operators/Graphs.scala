@@ -127,7 +127,11 @@ object Graphs {
     * which is why the oracle can use plain node-id orientation and
     * still match bit-for-bit.
     */
-  def triangleCounts(und: DataFrame): DataFrame = {
+  def triangleCounts(undIn: DataFrame): DataFrame = {
+    // the edge relation feeds the degree count AND both sides of the
+    // wedge/closure joins — pin it (and the oriented form, read three
+    // times) or the whole upstream derivation re-runs per reference
+    val und = undIn.persist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -139,6 +143,7 @@ object Graphs {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     val wedges = lowFirst.select(col("src").as("a"), col("dst").as("b"))
       .join(lowFirst.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
     val tris = wedges.join(
