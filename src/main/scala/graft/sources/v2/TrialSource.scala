@@ -62,12 +62,11 @@ object TrialSource {
       .orElse(Option(options.get("paths")))
       .getOrElse(throw new IllegalArgumentException("TrialSource requires a path"))
     val f = new java.io.File(stripScheme(path))
-    val files =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".csv")).map(_.getPath).toSeq.sorted
-      else Seq(f.getPath)
-    require(files.nonEmpty, s"no csv files under $path")
-    files
+    // a nonexistent path is a WRITE target: no files, empty schema
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".csv")).map(_.getPath).toSeq.sorted
+    else if (f.isFile) Seq(f.getPath)
+    else Seq.empty
   }
 
   private def stripScheme(p: String): String =
@@ -79,6 +78,7 @@ object TrialSource {
     * classifier applies (data_model.py:84-103).
     */
   private[v2] def inferSchema(files: Seq[String]): StructType = {
+    if (files.isEmpty) return StructType(Nil) // fresh write target
     val src = scala.io.Source.fromFile(files.head)
     try {
       val it = src.getLines()
@@ -114,13 +114,22 @@ object TrialSource {
     } catch { case _: NumberFormatException => None }
 }
 
-class TrialTable(schema: StructType, files: Seq[String]) extends Table with SupportsRead {
-  override def name(): String = s"trial(${files.head}${if (files.size > 1) ",…" else ""})"
+class TrialTable(schema: StructType, files: Seq[String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String =
+    s"trial(${files.headOption.getOrElse("<new>")}${if (files.size > 1) ",…" else ""})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TrialScanBuilder(schema, files)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TrialWriteBuilder(info.schema(),
+      Option(info.options.get("path")).getOrElse(
+        throw new IllegalArgumentException("TrialSource write requires a path")))
 }
 
 class TrialScanBuilder(fullSchema: StructType, files: Seq[String])
@@ -261,4 +270,80 @@ class TrialPartitionReader(fullSchema: StructType, required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()
+}
+
+/** V2 write path — the connector form of the S5 clean-CSV sink
+  * ([[graft.sources.TrialReader.saveClean]], data_model.py:252-257).
+  * Each task writes `part-<pid>.csv` (header + rows, nulls as the
+  * empty token so a re-read round-trips to null) into a task-temp
+  * file, renamed on task commit — rename-per-task gives the same
+  * no-partial-files guarantee the FileOutputCommitter path has on a
+  * local/HDFS-like filesystem. TRUNCATE clears prior part files.
+  */
+class TrialWriteBuilder(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new TrialBatchWrite(schema, path, doTruncate)
+    }
+}
+
+class TrialBatchWrite(schema: StructType, path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".csv.tmp"))
+        .foreach(_.delete())
+    new TrialWriterFactory(schema, path)
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+}
+
+class TrialWriterFactory(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TrialDataWriter(schema, path, partitionId, taskId)
+}
+
+class TrialDataWriter(schema: StructType, path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmp = new java.io.File(path, f"part-$partitionId%05d.csv.tmp-$taskId")
+  private val out = new java.io.PrintWriter(
+    new java.io.BufferedWriter(new java.io.FileWriter(tmp)))
+  out.println(schema.fieldNames.mkString(","))
+
+  override def write(row: InternalRow): Unit =
+    out.println(schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) ""
+      else schema.fields(i).dataType match {
+        case DoubleType => row.getDouble(i).toString
+        case LongType => row.getLong(i).toString
+        case _ => row.getUTF8String(i).toString
+      }
+    }.mkString(","))
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    val dest = new java.io.File(path, f"part-$partitionId%05d.csv")
+    if (!tmp.renameTo(dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+  override def abort(): Unit = { out.close(); tmp.delete(); () }
+  override def close(): Unit = ()
 }

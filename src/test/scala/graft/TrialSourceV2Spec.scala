@@ -70,6 +70,22 @@ class TrialSourceV2Spec extends AnyFunSuite {
     assert(df.as[Option[Double]].collect().flatten.toSet == Set(1.5, -2.25, 4.0, 0.0))
   }
 
+  test("V2 write: overwrite sink round-trips values and nulls through the reader") {
+    val dir = Files.createTempDirectory("graft-dsv2-write").toString + "/out"
+    val df = Seq(
+      (0.0, Some(1.5), "a"), (0.5, None, "b"), (1.0, Some(-2.25), "c"))
+      .toDF("normalized_time", "ch", "label")
+    df.repartition(2).write.format(Fmt).mode("overwrite").save(dir)
+    // part files carry headers; a stale file from a prior write is gone
+    df.limit(1).write.format(Fmt).mode("overwrite").save(dir)
+    df.repartition(2).write.format(Fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(Fmt).load(dir)
+      .orderBy("normalized_time").collect()
+      .map(r => (r.getDouble(0), Option(r.get(1)), r.getString(2)))
+    assert(back.toList == List(
+      (0.0, Some(1.5), "a"), (0.5, None, "b"), (1.0, Some(-2.25), "c")))
+  }
+
   test("directory load fans out one partition per trial file") {
     val dir = Files.createTempDirectory("graft-dsv2-multi")
     Files.writeString(dir.resolve("a.csv"), "normalized_time,ch\n0.0,1\n1.0,2\n")
