@@ -397,8 +397,51 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Split-distribution DRIFT check — after q87's hash split, verify
+    * that train and val actually have the same length profile (a
+    * skewed split silently biases every eval). Per log2-length bucket:
+    * both splits' counts plus the exact-integer total-variation
+    * contribution `|n_t·1e6 div N_t − n_v·1e6 div N_v|` ppm; the
+    * TVD itself is Σ/2, left to the reader row set so everything the
+    * oracle hashes is integer. One tokenize-free pass (length from
+    * n_chars), one hash aggregate, one 1-row totals broadcast.
+    */
+  val q143SplitDrift: QueryDef = QueryDef.sql(
+    "q143_split_drift",
+    s"""WITH b AS (SELECT doc_id, n_chars,
+       |    ${graft.functions.TextHash.duckMd5Bucket("doc_id", 100L)} AS bucket
+       |  FROM documents),
+       |s AS (SELECT length(printf('%b', greatest(n_chars, 1))) - 1 AS log2_bucket,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM b),
+       |c AS (SELECT log2_bucket,
+       |    count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+       |    count(CASE WHEN split = 'val' THEN 1 END) AS n_val
+       |  FROM s GROUP BY log2_bucket),
+       |t AS (SELECT sum(n_train) AS nt, sum(n_val) AS nv FROM c)
+       |SELECT CAST(log2_bucket AS BIGINT) AS log2_bucket,
+       |  CAST(n_train AS BIGINT) AS n_train, CAST(n_val AS BIGINT) AS n_val,
+       |  CAST(abs((n_train * 1000000) // t.nt - (n_val * 1000000) // t.nv) AS BIGINT) AS tv_ppm
+       |FROM c, t ORDER BY log2_bucket""".stripMargin) { (spark, dir) =>
+    val c = docs(spark, dir)
+      .withColumn("bucket", graft.functions.TextHash.md5Bucket(col("doc_id"), 100L))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("log2_bucket",
+        (length(bin(greatest(col("n_chars"), lit(1L)))) - 1).cast("long"))
+      .groupBy("log2_bucket")
+      .agg(count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"))
+    val t = c.agg(sum("n_train").as("nt"), sum("n_val").as("nv"))
+    c.join(t)
+      .selectExpr("log2_bucket", "n_train", "n_val",
+        "CAST(abs((n_train * 1000000) div nt - (n_val * 1000000) div nv) AS BIGINT) AS tv_ppm")
+      .orderBy("log2_bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
     q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
-    q121SequencePacking)
+    q121SequencePacking, q143SplitDrift)
 }

@@ -792,9 +792,37 @@ object PipelineOps {
     }
   }
 
+  /** One-pass DATA PROFILER over the numeric event columns — the
+    * ingestion-health report every pipeline runs before training
+    * (null fractions, cardinalities, ranges). `stack` unpivots the
+    * columns so ONE hash aggregate profiles them all; counts and
+    * distincts are integers, min/max pass through un-arithmeticked —
+    * fully deterministic with no quantization step.
+    */
+  val q144Profile: QueryDef = QueryDef.sql(
+    "q144_profile",
+    """WITH u AS (
+      |  SELECT 'event_id' AS column_name, CAST(event_id AS DOUBLE) AS v FROM events
+      |  UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events
+      |  UNION ALL SELECT 'value', value FROM events)
+      |SELECT column_name, count(*) AS n_rows, count(v) AS n_present,
+      |  count(DISTINCT v) AS n_distinct, min(v) AS v_min, max(v) AS v_max
+      |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.events(spark, dir)
+      .selectExpr("""stack(3,
+        'event_id', CAST(event_id AS DOUBLE),
+        'user_id', CAST(user_id AS DOUBLE),
+        'value', value) AS (column_name, v)""")
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"), count("v").as("n_present"),
+        countDistinct("v").as("n_distinct"),
+        min("v").as("v_min"), max("v").as("v_max"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
-    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub, q141FeatureHash)
+    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub, q141FeatureHash, q144Profile)
 }

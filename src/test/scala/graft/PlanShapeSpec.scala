@@ -85,7 +85,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q91_quantized_topk", "q95_surprisal_bits", "q105_kmeans_train",
       "q116_unk_mask", // 1-row max-count broadcast onto the vocab
       "q126_zorder_layout", // 1-row global (min,max) bounds broadcast
-      "q137_kmv_set_algebra") // n_sources-row sketch-pair theta self-join
+      "q137_kmv_set_algebra", // n_sources-row sketch-pair theta self-join
+      "q143_split_drift") // 1-row split-totals broadcast
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
