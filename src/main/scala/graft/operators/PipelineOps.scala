@@ -820,9 +820,53 @@ object PipelineOps {
       .orderBy("column_name")
   }
 
+  /** TRAIN→TEST span leakage audit — q77/q94 aim at external
+    * benchmarks; this one audits the corpus against ITSELF: which
+    * held-out (test-split) documents contain 8-word spans that also
+    * occur in the train split. Per test doc: span count, leaked-span
+    * count, and the exact-integer ppm leak fraction — the metric that
+    * decides whether a held-out eval is actually held out.
+    *
+    * Scale shape: one span explode over the corpus, the train span
+    * set stays DISTRIBUTED (distinct on the 32-char digest, shuffle
+    * left-join on that key — corpus-sized, never broadcast), one
+    * per-doc re-aggregate.
+    */
+  val q145SplitLeakage: QueryDef = QueryDef.sql(
+    "q145_split_leakage",
+    s"""WITH w AS (SELECT doc_id,
+       |    ${TextHash.duckMd5Bucket("doc_id", 100L)} AS bucket,
+       |    string_split(text, ' ') AS ws FROM documents),
+       |sp AS (SELECT doc_id, bucket,
+       |    md5(array_to_string(ws[i:i+${SpanWords - 1}], ' ')) AS h
+       |  FROM w, unnest(generate_series(1, len(ws) - ${SpanWords - 1})) AS t(i)),
+       |tr AS (SELECT DISTINCT h FROM sp WHERE bucket < 80),
+       |te AS (SELECT doc_id, h FROM sp WHERE bucket >= 90)
+       |SELECT te.doc_id, count(*) AS n_spans, count(tr.h) AS n_leaked,
+       |  CAST((count(tr.h) * 1000000) // count(*) AS BIGINT) AS leak_ppm
+       |FROM te LEFT JOIN tr ON tr.h = te.h
+       |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin) { (spark, dir) =>
+    val spans = docs(spark, dir)
+      .withColumn("bucket", TextHash.md5Bucket(col("doc_id"), 100L))
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"), col("bucket"),
+        explode(TextHash.shinglesFromWords(col("__ws"), SpanWords)).as("span"))
+      .withColumn("h", md5(col("span")))
+    val train = spans.filter(col("bucket") < 80)
+      .select("h").distinct().withColumn("leak", lit(1))
+    spans.filter(col("bucket") >= 90)
+      .join(train, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count("leak").as("n_leaked"))
+      .selectExpr("doc_id", "n_spans", "n_leaked",
+        "CAST((n_leaked * 1000000) div n_spans AS BIGINT) AS leak_ppm")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
-    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub, q141FeatureHash, q144Profile)
+    q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,
+    q141FeatureHash, q144Profile, q145SplitLeakage)
 }

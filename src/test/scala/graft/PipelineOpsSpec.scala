@@ -253,6 +253,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(l1 <= toks && l1 > 0)
   }
 
+  test("q145 split leakage: planted train span is flagged in test, fresh text is clean") {
+    import graft.functions.TextHash
+    // bucket assignment is md5(doc_id)-keyed, so discover ids landing
+    // in each split rather than assuming them
+    val buckets = spark.range(1, 300)
+      .select(col("id"), TextHash.md5Bucket(col("id"), 100L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val testIds = buckets.collect { case (id, b) if b >= 90 => id }.take(2).toSeq
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    Seq(
+      (trainId, s"prefix words here $span suffix tail words", "en", "web", 1L),
+      (testIds.head, s"other opening $span closing remark", "en", "web", 1L),
+      (testIds(1), "wholly original held out words that never appear in training data", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.q145SplitLeakage.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the planted span leaks exactly once; the fresh doc leaks nothing
+    assert(got(testIds.head)._2 == 1L, got.toString)
+    assert(got(testIds(1))._2 == 0L, got.toString)
+    assert(!got.contains(trainId))
+  }
+
   test("q131 cross-correlation: a 2-hour lead peaks at exactly r=1 at lag 2") {
     // clicks trace c(h) at hour h; views LEAD by 2h (view count at h
     // equals click count at h+2), so x_b vs y_{b-2} is an identical
