@@ -36,10 +36,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** The full native-expression library as SQL functions, each bound
+    * to its engine-canonical parameterization (the same constants the
+    * query layer uses, so SQL callers and the DataFrame facade agree
+    * bit-for-bit). `NearestCentroids` is deliberately absent: its
+    * centroid matrix is per-query data, not a fixed parameter.
+    */
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "md5_prefix32" -> (args => Md5Prefix32(args.head)),
     "minhash_signature" -> (args => MinHashSignature(args.head,
-      TextHash.perms.map(_._2), TextHash.perms.map(_._3), TextHash.Prime)))
+      TextHash.perms.map(_._2), TextHash.perms.map(_._3), TextHash.Prime)),
+    "shingle_hash32" -> (args =>
+      graft.functions.ShingleHash32(args.head, TextHash.ShingleK)),
+    "simhash32" -> (args => graft.functions.SimHash32(args.head)),
+    "lang_id" -> (args => graft.functions.LangIdExpr(args.head,
+      graft.operators.TextOps.langMarkers)),
+    "winnow_fingerprint" -> (args =>
+      graft.functions.WinnowFingerprint(args.head, 4)),
+    "rolling_hash_summary" -> (args =>
+      graft.functions.RollingHashSummary(args.head, 257L, 1000003L, 5)),
+    "hyperplane_bucket" -> (args => graft.functions.HyperplaneBucket(args.head,
+      graft.functions.VectorMath.planes.map(_.map(_.toDouble)))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
