@@ -209,6 +209,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch.nonEmpty)
   }
 
+  test("stream restart from checkpoint resumes sketch state without reprocessing") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.KmvRow
+    val dir = "/root/testdata/sf0.001"
+    val docsTbl = graft.sources.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString
+    val ckpt = s"$tmp/ckpt"
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      docsTbl.filter(pred).coalesce(1).write.parquet(s"$tmp/stage_$name")
+      val part = new java.io.File(s"$tmp/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/documents_$name.parquet"))
+    }
+    val upserted = mutable.LinkedHashMap[String, KmvRow]()
+    var batches = 0
+    def runToCompletion(): Unit = {
+      val q = StreamingSketch
+        .kmvStream(spark, tmp, glob = "documents_*.parquet", oneFilePerTrigger = true)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[KmvRow], _: Long) =>
+          batches += 1
+          df.collect().foreach(r => upserted(r.source) = r)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // phase 1: only the even half exists; process and STOP the query
+    writeHalf(col("doc_id") % 2 === 0, "a")
+    runToCompletion()
+    val batchesAfterA = batches
+    assert(batchesAfterA >= 1)
+    // phase 2: the odd half arrives; a NEW query on the SAME
+    // checkpoint must resume the carried sketch state and read only
+    // the new file (no reprocessing of phase 1)
+    writeHalf(col("doc_id") % 2 === 1, "b")
+    runToCompletion()
+    assert(batches == batchesAfterA + 1,
+      s"restart reprocessed old files: $batchesAfterA -> $batches")
+    val single = StreamingSketch.run(spark, dir, "kmv_ckpt_single")
+      .as[KmvRow].collect().map(r => r.source -> r).toMap
+    assert(upserted.size == single.size)
+    upserted.foreach { case (k, r) => assert(r == single(k), s"source $k diverged") }
+  }
+
   test("stream KMV: sketch state folds across batches to the exact batch sketch") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.KmvRow
