@@ -863,10 +863,58 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** FIT-ON-TRAIN / APPLY-ON-HOLDOUT standardization — the core ML
+    * discipline the plain q13 z-score doesn't model: per-source
+    * quality moments are fitted on the TRAIN split only, then applied
+    * to the VAL split (fitting on the data you score is leakage).
+    * Quality quantizes to milli-units (q ≤ 1000 ⇒ n·Σq² < 2^63 up to
+    * ~9e12 docs/source) so the moments are exact integers;
+    * z = (n·q − Σq) / √(n·Σq² − (Σq)²) is one sqrt + one division
+    * over those exact inputs — the shared IEEE shape of q98/q114.
+    *
+    * Scale shape: one train aggregate (one tiny row per source)
+    * broadcast-joined to the val docs; zero extra shuffles beyond the
+    * source rollup.
+    */
+  val q146FitApply: QueryDef = QueryDef.sql(
+    "q146_fit_apply",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT q.doc_id, dd.source, q.quality_ppm // 1000 AS qm,
+       |    ${TextHash.duckMd5Bucket("q.doc_id", 100L)} AS bucket
+       |  FROM qq q JOIN documents dd ON dd.doc_id = q.doc_id),
+       |f AS (SELECT source, count(*) AS n,
+       |    CAST(sum(qm) AS BIGINT) AS sq, CAST(sum(qm * qm) AS BIGINT) AS sqq
+       |  FROM d WHERE bucket < 80 GROUP BY source),
+       |v AS (SELECT d.doc_id, d.source, d.qm, f.n, f.sq, f.sqq
+       |  FROM d JOIN f ON f.source = d.source
+       |  WHERE d.bucket >= 80 AND d.bucket < 90)
+       |SELECT doc_id, source, CAST(qm AS BIGINT) AS q_milli,
+       |  CASE WHEN n * sqq - sq * sq = 0 THEN NULL
+       |       ELSE round(CAST(n * qm - sq AS DOUBLE)
+       |         / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)), 6) END AS z
+       |FROM v ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .withColumn("qm", expr("quality_ppm div 1000"))
+      .withColumn("bucket", TextHash.md5Bucket(col("doc_id"), 100L))
+      .select("doc_id", "source", "qm", "bucket")
+    val fit = d.filter(col("bucket") < 80)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("qm").as("sq"),
+        sum(col("qm") * col("qm")).as("sqq"))
+    val denom = col("n") * col("sqq") - col("sq") * col("sq")
+    d.filter(col("bucket") >= 80 && col("bucket") < 90)
+      .join(broadcast(fit), "source")
+      .select(col("doc_id"), col("source"), col("qm").as("q_milli"),
+        when(denom === 0, lit(null))
+          .otherwise(round((col("n") * col("qm") - col("sq")).cast("double") /
+            sqrt(denom.cast("double")), 6)).as("z"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
     q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,
-    q141FeatureHash, q144Profile, q145SplitLeakage)
+    q141FeatureHash, q144Profile, q145SplitLeakage, q146FitApply)
 }

@@ -278,6 +278,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(trainId))
   }
 
+  test("q146 fit/apply: scores only the val split, with train-fitted parameters") {
+    import graft.functions.TextHash
+    val out = PipelineOps.q146FitApply.fn(spark, sfDir)
+    // every scored doc is in the val bucket range [80, 90)
+    val buckets = out.select(col("doc_id"),
+        TextHash.md5Bucket(col("doc_id"), 100L).as("b")).collect()
+    assert(buckets.nonEmpty)
+    buckets.foreach(r => assert(r.getLong(1) >= 80 && r.getLong(1) < 90, r.toString))
+    // q_milli agrees with the quality stage the fit consumed
+    val q = graft.operators.TextOps
+      .withQuality(graft.sources.Tables.documents(spark, sfDir))
+      .selectExpr("doc_id", "quality_ppm div 1000 AS qm")
+    assert(out.join(q, "doc_id").filter(col("q_milli") =!= col("qm")).isEmpty)
+  }
+
   test("q131 cross-correlation: a 2-hour lead peaks at exactly r=1 at lag 2") {
     // clicks trace c(h) at hour h; views LEAD by 2h (view count at h
     // equals click count at h+2), so x_b vs y_{b-2} is an identical
