@@ -88,11 +88,13 @@ object Graft {
     new Session(trial.series, EngineState(trial.df))
 
   /** Compile a recipe JSON and replay it over a (multi-)trial frame
-    * in ONE job (§2.10).
+    * in ONE job (§2.10). `fs` parameterizes the reference dialect's
+    * Hz-valued filter params (filter_engine.py:115-134); pass the
+    * trial's inferred rate for faithful replay of saved recipes.
     */
   def replayRecipe(spark: SparkSession, recipeJson: String, df: DataFrame,
-      series: Series): DataFrame =
-    Recipes.compile(spark, series, Recipes.fromJson(recipeJson))(df)
+      series: Series, fs: Double = 120.0): DataFrame =
+    Recipes.compile(spark, series, Recipes.fromJson(recipeJson), fs)(df)
 
   /** Discover plugins in a directory (plugin_system.py:13-46). */
   def loadPlugins(dir: String): Seq[Plugins.Plugin] =
@@ -106,7 +108,7 @@ object Graft {
   def applyPlugin(spark: SparkSession, trial: Trial,
       plugins: Seq[Plugins.Plugin], name: String): DataFrame =
     Plugins.get(plugins, name)
-      .map(p => Recipes.compile(spark, trial.series, p.ops)(trial.df))
+      .map(p => Recipes.compile(spark, trial.series, p.ops, trial.sampleRate)(trial.df))
       .getOrElse(trial.df)
 
   /** Write the cleaned frame (S5). */

@@ -28,26 +28,99 @@ object FilterSpec {
   final case class Interpolate(method: String = "linear") extends FilterSpec { val name = "interpolate" }
   final case class ResampleTo(step: Double) extends FilterSpec { val name = "resample" }
 
+  /** Numeric parameter names each filter accepts — BOTH the graft
+    * dialect (`cutoff_wn`/`low_wn`/`high_wn`/`step`/`dt`) and the
+    * reference's recipe dialect (`cutoff`/`low_cut`/`high_cut` in Hz,
+    * `target_fs`; /root/reference/filter_engine.py:50-84). Anything
+    * else THROWS: a mis-typed parameter name must not silently replay
+    * a user's recipe with defaults.
+    */
+  private val knownNumeric: Map[String, Set[String]] = Map(
+    "moving_average" -> Set("window"),
+    "median" -> Set("window"),
+    "savgol" -> Set("window", "polyorder"),
+    "butter_lowpass" -> Set("cutoff_wn", "cutoff", "order"),
+    "butter_bandpass" -> Set("low_wn", "high_wn", "low_cut", "high_cut", "order"),
+    "detrend" -> Set.empty,
+    "derivative" -> Set.empty,
+    "integrate" -> Set("dt"),
+    "zscore" -> Set.empty,
+    "percent_normalize" -> Set.empty,
+    "moving_rms" -> Set("window"),
+    "absolute" -> Set.empty,
+    "interpolate" -> Set.empty,
+    "resample" -> Set("step", "target_fs"))
+
   /** name + params map → spec (the reference's string dispatch);
-    * `sp` carries string-valued params (interpolate's `method`).
+    * `sp` carries string-valued params (interpolate's `method`), `fs`
+    * the inferred sample rate (S4; reference default 120 Hz,
+    * data_model.py:56) used to convert the reference dialect's
+    * Hz-valued cutoffs to normalized Wn (filter_engine.py:115-134:
+    * `wn = hz / (0.5 * fs)`) and `target_fs` to a grid step.
+    *
+    * Reference filter-name aliases (`normalize_zscore`,
+    * `normalize_percent`, `abs`; filter_engine.py:66-77) are accepted
+    * so a verbatim saved recipe dispatches identically. When the
+    * reference dialect is used (`cutoff`/`low_cut`/`high_cut`
+    * present, or neither dialect's key present under a reference
+    * alias), `order` defaults to the reference's 2
+    * (filter_engine.py:52,58) rather than the graft default 4.
     */
   def fromParams(name: String, p: Map[String, Double],
-      sp: Map[String, String] = Map.empty): FilterSpec = name match {
-    case "moving_average" => MovingAverage(p.getOrElse("window", 5.0).toInt)
-    case "median" => Median(p.getOrElse("window", 5.0).toInt)
-    case "savgol" => Savgol(p.getOrElse("window", 11.0).toInt, p.getOrElse("polyorder", 2.0).toInt)
-    case "butter_lowpass" => ButterLowpass(p.getOrElse("cutoff_wn", 0.2), p.getOrElse("order", 4.0).toInt)
-    case "butter_bandpass" => ButterBandpass(p.getOrElse("low_wn", 0.05), p.getOrElse("high_wn", 0.4), p.getOrElse("order", 4.0).toInt)
-    case "detrend" => Detrend
-    case "derivative" => Derivative
-    case "integrate" => Integrate(p.getOrElse("dt", 1.0))
-    case "zscore" => Zscore
-    case "percent_normalize" => PercentNormalize
-    case "moving_rms" => MovingRms(p.getOrElse("window", 5.0).toInt)
-    case "absolute" => Absolute
-    case "interpolate" => Interpolate(sp.getOrElse("method", "linear"))
-    case "resample" => ResampleTo(p.getOrElse("step", 1.0))
-    case other => throw new IllegalArgumentException(s"unknown filter: $other")
+      sp: Map[String, String] = Map.empty, fs: Double = 120.0): FilterSpec = {
+    val canonical = name match {
+      case "normalize_zscore" => "zscore"
+      case "normalize_percent" => "percent_normalize"
+      case "abs" => "absolute"
+      case other => other
+    }
+    knownNumeric.get(canonical).foreach { allowed =>
+      val unknown = p.keySet -- allowed
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unrecognized numeric parameter(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"for filter '$name' (accepted: ${allowed.toSeq.sorted.mkString(", ")})")
+    }
+    def hzToWn(hz: Double): Double = {
+      require(fs > 0, s"sample rate must be positive to convert $hz Hz (got $fs)")
+      hz / (0.5 * fs)
+    }
+    canonical match {
+      case "moving_average" => MovingAverage(p.getOrElse("window", 5.0).toInt)
+      case "median" => Median(p.getOrElse("window", 5.0).toInt)
+      case "savgol" => Savgol(p.getOrElse("window", 11.0).toInt, p.getOrElse("polyorder", 2.0).toInt)
+      case "butter_lowpass" =>
+        val wn = p.get("cutoff_wn")
+          .orElse(p.get("cutoff").map(hzToWn))
+          .getOrElse(0.2)
+        val order = p.get("order").map(_.toInt)
+          .getOrElse(if (p.contains("cutoff")) 2 else 4)
+        ButterLowpass(wn, order)
+      case "butter_bandpass" =>
+        val refDialect = p.contains("low_cut") || p.contains("high_cut")
+        val lo = p.get("low_wn").orElse(p.get("low_cut").map(hzToWn))
+          .getOrElse(if (refDialect) hzToWn(0.5) else 0.05)
+        val hi = p.get("high_wn").orElse(p.get("high_cut").map(hzToWn))
+          .getOrElse(if (refDialect) hzToWn(10.0) else 0.4)
+        val order = p.get("order").map(_.toInt).getOrElse(if (refDialect) 2 else 4)
+        ButterBandpass(lo, hi, order)
+      case "detrend" => Detrend
+      case "derivative" => Derivative
+      case "integrate" => Integrate(p.getOrElse("dt", 1.0))
+      case "zscore" => Zscore
+      case "percent_normalize" => PercentNormalize
+      case "moving_rms" => MovingRms(p.getOrElse("window", 5.0).toInt)
+      case "absolute" => Absolute
+      case "interpolate" => Interpolate(sp.getOrElse("method", "linear"))
+      case "resample" =>
+        // reference: target_fs (Hz) → uniform grid of step 1/target_fs
+        // (filter_engine.py:80-84); graft dialect passes step directly
+        val step = p.get("step").orElse(p.get("target_fs").map { tf =>
+          require(tf > 0, s"target_fs must be positive (got $tf)"); 1.0 / tf
+        }).getOrElse(1.0)
+        ResampleTo(step)
+      case other => throw new IllegalArgumentException(s"unknown filter: $other")
+    }
   }
 }
 

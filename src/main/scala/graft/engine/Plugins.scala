@@ -56,6 +56,107 @@ object Plugins {
   def get(plugins: Seq[Plugin], name: String): Option[Plugin] =
     plugins.find(_.name.contains(name))
 
+  /** Translate the reference's `pd.eval` expression dialect
+    * (main.py:815; README.md:244-251 — the reference's ONLY
+    * user-facing query language) to Spark SQL before `expr()`:
+    *
+    *   - `a ** b` → `pow(a, b)` (right-associative, like Python);
+    *   - prefix `~x` → `NOT x` (pandas boolean negation);
+    *   - `True`/`False`/`None` → `true`/`false`/`null`.
+    *
+    * `and`/`or`/`not` need no translation — Spark SQL accepts them
+    * as (case-insensitive) keywords. The operand grammar covered is
+    * exactly pd.eval's arithmetic surface: identifiers, numeric
+    * literals, function calls, and parenthesized groups. Anything
+    * already valid Spark SQL passes through unchanged.
+    */
+  def translateExpr(e: String): String = {
+    var s = e
+      .replaceAll("\\bTrue\\b", "true")
+      .replaceAll("\\bFalse\\b", "false")
+      .replaceAll("\\bNone\\b", "null")
+    s = translatePow(s)
+    // prefix ~ (boolean not). Applied after ** so operand scans stay
+    // simple; `~` never appears in valid Spark SQL column exprs here.
+    s.replace("~", " not ")
+  }
+
+  /** Rewrite every `**` into `pow(l, r)`, rightmost-first so chains
+    * associate right like Python (`a**b**c` = `pow(a, pow(b, c))`).
+    */
+  private def translatePow(input: String): String = {
+    var s = input
+    var idx = s.lastIndexOf("**")
+    var guard = 0
+    while (idx >= 0 && guard < 64) {
+      guard += 1
+      val (lStart, lEnd) = operandLeft(s, idx)
+      val (rStart, rEnd) = operandRight(s, idx + 2)
+      if (lStart < 0 || rStart < 0)
+        throw new IllegalArgumentException(s"cannot translate '**' in expression: $input")
+      val l = s.substring(lStart, lEnd).trim
+      val r = s.substring(rStart, rEnd).trim
+      s = s.substring(0, lStart) + s"pow($l, $r)" + s.substring(rEnd)
+      idx = s.lastIndexOf("**")
+    }
+    s
+  }
+
+  /** Left operand of the `**` at `opIdx`: [start, end) or (-1, -1). */
+  private def operandLeft(s: String, opIdx: Int): (Int, Int) = {
+    var i = opIdx - 1
+    while (i >= 0 && s(i).isWhitespace) i -= 1
+    if (i < 0) return (-1, -1)
+    val end = i + 1
+    if (s(i) == ')') {
+      var depth = 0
+      while (i >= 0) {
+        if (s(i) == ')') depth += 1
+        else if (s(i) == '(') { depth -= 1; if (depth == 0) { i -= 1;
+          // include a function name directly before the parens
+          while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_')) i -= 1
+          return (i + 1, end) } }
+        i -= 1
+      }
+      (-1, -1)
+    } else if (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.') {
+      while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i -= 1
+      (i + 1, end)
+    } else (-1, -1)
+  }
+
+  /** Right operand starting at/after `from`: [start, end) or (-1, -1). */
+  private def operandRight(s: String, from: Int): (Int, Int) = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length) return (-1, -1)
+    val start = i
+    if (s(i) == '-' || s(i) == '+') i += 1
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i < s.length && s(i) == '(') {
+      var depth = 0
+      while (i < s.length) {
+        if (s(i) == '(') depth += 1
+        else if (s(i) == ')') { depth -= 1; if (depth == 0) return (start, i + 1) }
+        i += 1
+      }
+      (-1, -1)
+    } else if (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) {
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+      // a call like f(x): swallow the balanced argument list
+      if (i < s.length && s(i) == '(') {
+        var depth = 0
+        while (i < s.length) {
+          if (s(i) == '(') depth += 1
+          else if (s(i) == ')') { depth -= 1; if (depth == 0) return (start, i + 1) }
+          i += 1
+        }
+        return (-1, -1)
+      }
+      (start, i)
+    } else (-1, -1)
+  }
+
   private def parse(root: JsonNode, source: Path): Plugin = {
     val name = Option(root.get("name")).orElse(Option(root.get("id")))
       .filter(_.isTextual).map(_.asText())

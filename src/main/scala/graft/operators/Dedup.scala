@@ -104,20 +104,23 @@ object Dedup {
     */
   private[graft] def lshPairsFrom(bandKeysDf: DataFrame,
       hotThreshold: Long = HotKeyThreshold, shards: Int = SkewShards): DataFrame = {
-    // member count via a window over (band, key): ONE shuffle tags
-    // every row (a groupBy+join would shuffle the band-key table
-    // twice more), and the window output stays hash-partitioned on
-    // the join key, so the self-joins below reuse that partitioning
-    val countWindow = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val tagged = bandKeysDf
-      .withColumn("__n", count(lit(1)).over(countWindow))
-      .persist()
-    val cold = tagged.filter(col("__n") <= hotThreshold)
+    // Hot keys are by definition FEW (≤ rows/threshold), so they are
+    // found with a map-side-combined aggregate and broadcast back as
+    // the hot/cold tag — NOT a count().over(band,key) window, which
+    // would shuffle every band-key row just to compute a count a
+    // broadcast could carry (the round-3 window tag cost q42/q43
+    // 2.4–3.2× at sf0.1). The common case (zero hot keys) broadcasts
+    // an empty relation and the anti join is a no-op scan.
+    val hotKeys = bandKeysDf.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select("band", "key")
+    val cold = bandKeysDf.join(broadcast(hotKeys), Seq("band", "key"), "left_anti")
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val hot = tagged.filter(col("__n") > hotThreshold)
+    val hot = bandKeysDf.join(broadcast(hotKeys), Seq("band", "key"), "left_semi")
       .withColumn("s", pmod(hash(col("doc_id")), lit(shards)))
     // doc in shard s joins as LEFT of blocks (s, s..S-1) and RIGHT of
     // blocks (0..s, s): every cross-shard pair meets in exactly one

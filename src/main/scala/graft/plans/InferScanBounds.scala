@@ -133,6 +133,31 @@ object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
         val next = if (lower) slack(c * k - (k - 1), lower) else slack(c * k + (k - 1), lower)
         invert(child, next, lower, depth + 1)
       }
+      // ── timestamp-encoded events: the canonical read normalizes a
+      // TIMESTAMP_MICROS file via unix_micros(to_utc_timestamp(ts,
+      // "UTC")) * 1000 (sources/Tables.normalizeEventTs), so the
+      // derived-time chain now passes through these two steps before
+      // reaching the stored timestamp attribute. Both are monotone
+      // bijections on the stored µs value: carry the bound through in
+      // the µs domain and emit a timestamp-typed literal at the
+      // attribute (finalBound), which parquet can prune on.
+      case UnixMicros(child) =>
+        invert(child, bound, lower, depth + 1)
+      // the analyzer resolves to_utc_timestamp over an NTZ column by
+      // inserting Cast(ntz → timestamp) (session-tz) underneath; the
+      // COMPOSITION to_utc_timestamp(cast(ntz), "UTC") renders the
+      // cast's instant back in the same session tz and re-interprets
+      // it as UTC, so the two conversions cancel and the result is
+      // exactly the stored µs value, session-tz-independent. Only the
+      // composed shape is inverted — a bare NTZ→timestamp cast alone
+      // IS session-tz-dependent and must not be.
+      case ToUTCTimestamp(Cast(child, TimestampType, _, _), Literal(tz, StringType))
+          if tz != null && tz.toString == "UTC" && child.dataType == TimestampNTZType =>
+        invert(child, bound, lower, depth + 1)
+      case ToUTCTimestamp(child, Literal(tz, StringType))
+          if tz != null && tz.toString == "UTC" &&
+            (child.dataType == TimestampNTZType || child.dataType == TimestampType) =>
+        invert(child, bound, lower, depth + 1)
       case _ => None
     }
   }
@@ -171,6 +196,19 @@ object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
       case DoubleType =>
         val vs = if (lower) Math.nextDown(v) else Math.nextUp(v)
         Some(if (lower) GreaterThanOrEqual(a, Literal(vs)) else LessThanOrEqual(a, Literal(vs)))
+      case TimestampNTZType | TimestampType =>
+        // a timestamp attribute is only reachable through the
+        // UnixMicros/ToUTCTimestamp cases, so `v` is epoch-µs here;
+        // slack one full µs outward on top of the representation ulp
+        // and emit the bound as a timestamp literal (internal rep of
+        // both timestamp types is an epoch-µs long)
+        val vs = if (lower) v - Math.ulp(Math.abs(v)) - 1.0 else v + Math.ulp(Math.abs(v)) + 1.0
+        val b = if (lower) Math.ceil(vs) else Math.floor(vs)
+        if (Math.abs(b) >= 4.6e18) None
+        else {
+          val lit = Literal(b.toLong, a.dataType)
+          Some(if (lower) GreaterThanOrEqual(a, lit) else LessThanOrEqual(a, lit))
+        }
       case _ => None
     }
 }

@@ -22,14 +22,52 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * by default; read it as a raw nanosecond long instead. DuckDB
-    * truncates the same column to microseconds on read, so the
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects by
+    * default — we read it as a raw nanosecond long via `nanosAsLong`)
+    * and TIMESTAMP_MICROS with isAdjustedToUTC=0 (which Spark reads as
+    * TIMESTAMP_NTZ). [[normalizeEventTs]] canonicalizes both to the
+    * engine's internal axis: epoch **nanoseconds** as `LongType`.
+    * DuckDB truncates the nanos column to microseconds on read, so the
     * canonical time axis below floors ns → µs to stay bit-identical.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    normalizeEventTs(table(spark, dir, "events"))
+  }
+
+  /** Canonicalize the `ts` column to epoch-nanoseconds `LongType`
+    * regardless of the file's physical encoding. Works on both batch
+    * and streaming DataFrames, so every `readStream` path reuses it.
+    *
+    * The timestamp branch uses `to_utc_timestamp(ts, "UTC")`, which on
+    * a TIMESTAMP_NTZ input interprets the stored wall-clock value as
+    * UTC **explicitly** — the result does not depend on
+    * `spark.sql.session.timeZone`, so a non-UTC caller can't silently
+    * shift every epoch value.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df // already epoch-ns (nanosAsLong path)
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(to_utc_timestamp(col("ts"), "UTC")) * lit(1000L))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported physical type $other; expected int64-ns, timestamp-µs (NTZ) or timestamp-µs (UTC)")
+    }
+  }
+
+  /** Raw (un-normalized) file schema for `events`, for streaming
+    * sources that must declare the on-disk schema to `readStream`
+    * before [[normalizeEventTs]] runs on the stream.
+    */
+  def rawEventsSchema(spark: SparkSession, dir: String, glob: String = "events.parquet")
+      : org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -50,19 +50,17 @@ object StreamingAsOf {
   def run(spark: SparkSession, dir: String, glob: String = "events.parquet",
       oneFilePerTrigger: Boolean = false,
       samplesOverride: Option[DataFrame] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val outDir = java.nio.file.Files.createTempDirectory("graft-stream-asof").toString
     val purchases = samplesOverride.getOrElse(Tables.series(spark, dir))
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("s_uid"), col("t").as("s_t"),
         col("value").as("s_v"), col("event_id").as("s_eid"))
-    val schema = spark.read.option("pathGlobFilter", glob)
-      .parquet(dir).schema
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     val withTrigger =
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
-    val stream = withTrigger.parquet(dir)
+    val stream = Tables.normalizeEventTs(withTrigger.parquet(dir))
       .selectExpr("user_id", "event_id",
         "cast(ts div 1000 as double) / 1e6 as t")
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

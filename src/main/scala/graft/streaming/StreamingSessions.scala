@@ -126,14 +126,15 @@ object StreamingSessions {
       glob: String = "events.parquet",
       oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[SessionRow] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // declare the on-disk schema to readStream, then canonicalize ts
+    // to epoch-ns on the stream itself (same path as the batch read)
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
     // file source requires a directory: glob-filter the events table
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     val withTrigger =
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
-    withTrigger.parquet(dir)
+    Tables.normalizeEventTs(withTrigger.parquet(dir))
       .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
       .groupByKey(_.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
@@ -182,10 +183,10 @@ object StreamingSessions {
     */
   def runWindowed(spark: SparkSession, dir: String,
       sinkName: String = "stream_windows"): DataFrame = withStateShuffle(spark, 8) {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
+    val schema = Tables.rawEventsSchema(spark, dir)
+    val stream = Tables.normalizeEventTs(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .selectExpr("user_id",
         "timestamp_seconds(cast(ts div 1000 as double) / 1e6) as ets", "value")
       .withWatermark("ets", "1 day")
@@ -348,10 +349,10 @@ object StreamingSessions {
     */
   def runStreamJoin(spark: SparkSession, dir: String,
       sinkName: String = "stream_joined"): DataFrame = withStateShuffle(spark, 8) {
-    val schema = Tables.events(spark, dir).schema
-    val base = spark.readStream.schema(schema)
+    val schema = Tables.rawEventsSchema(spark, dir)
+    val base = Tables.normalizeEventTs(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
         timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"))
     val purchases = base.filter(col("event_type") === "purchase")
@@ -452,12 +453,11 @@ object StreamingSessions {
       glob: String = "events.parquet",
       oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[FunnelRow] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val withTrigger =
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
-    withTrigger.parquet(dir)
+    Tables.normalizeEventTs(withTrigger.parquet(dir))
       .selectExpr("user_id", "event_id",
         "cast(ts div 1000 as double) / 1e6 as t", "event_type")
       .groupByKey(_.getAs[Long]("user_id"))
@@ -556,13 +556,12 @@ object StreamingSessions {
       glob: String = "events.parquet",
       oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[EwmaRow] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     val withTrigger =
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
-    withTrigger.parquet(dir)
+    Tables.normalizeEventTs(withTrigger.parquet(dir))
       .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
       .groupByKey(_.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(ewmaStep)

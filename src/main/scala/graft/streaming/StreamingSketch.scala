@@ -62,7 +62,7 @@ object StreamingSketch {
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     val withTrigger =
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
-    withTrigger.parquet(dir)
+    graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .select(col("source"), TextHash.base32(col("token")).as("h"))
       .groupByKey(_.getString(0))

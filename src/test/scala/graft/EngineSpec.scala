@@ -51,10 +51,61 @@ class EngineSpec extends AnyFunSuite {
 
   test("all 14 reference filters dispatch") {
     FilterEngine.availableFilters.foreach { name =>
-      val spec = FilterSpec.fromParams(name, Map("step" -> 1.0))
+      val spec = FilterSpec.fromParams(name, Map.empty)
       assert(spec.name == name)
     }
     assert(FilterEngine.availableFilters.size == 14)
+  }
+
+  test("reference filter-name aliases dispatch to the same specs") {
+    assert(FilterSpec.fromParams("normalize_zscore", Map.empty) == FilterSpec.Zscore)
+    assert(FilterSpec.fromParams("normalize_percent", Map.empty) == FilterSpec.PercentNormalize)
+    assert(FilterSpec.fromParams("abs", Map.empty) == FilterSpec.Absolute)
+  }
+
+  test("reference dialect params: Hz cutoffs convert via fs, target_fs maps to step") {
+    // filter_engine.py:115-118: wn = cutoff / (0.5 * fs)
+    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0, "order" -> 2.0), fs = 120.0)
+      == FilterSpec.ButterLowpass(0.1, 2))
+    // reference defaults cutoff=6.0 order=2 apply in the Hz dialect
+    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0), fs = 120.0)
+      == FilterSpec.ButterLowpass(0.1, 2))
+    // graft dialect unchanged
+    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff_wn" -> 0.3))
+      == FilterSpec.ButterLowpass(0.3, 4))
+    assert(FilterSpec.fromParams("butter_bandpass",
+      Map("low_cut" -> 0.5, "high_cut" -> 10.0), fs = 100.0)
+      == FilterSpec.ButterBandpass(0.01, 0.2, 2))
+    // filter_engine.py:80-84: resample to target_fs → grid step 1/target_fs
+    assert(FilterSpec.fromParams("resample", Map("target_fs" -> 50.0))
+      == FilterSpec.ResampleTo(1.0 / 50.0))
+  }
+
+  test("unrecognized numeric params throw instead of silently defaulting") {
+    val e = intercept[IllegalArgumentException] {
+      FilterSpec.fromParams("butter_lowpass", Map("cutof" -> 6.0))
+    }
+    assert(e.getMessage.contains("cutof"))
+    intercept[IllegalArgumentException] {
+      FilterSpec.fromParams("moving_average", Map("step" -> 1.0))
+    }
+  }
+
+  test("verbatim reference recipe JSON replays with the user's Hz params, not defaults") {
+    // the reference's saved-recipe wire shape with a Hz-valued cutoff:
+    // replay must equal the directly-parameterized kernel bit-for-bit
+    val fs = 10.0
+    val refJson =
+      """{"operations": [
+        |  {"description": "filter",
+        |   "params": {"channels": ["value"], "filter_type": "butter_lowpass",
+        |              "cutoff": 1.5, "order": 2, "apply_selection": false},
+        |   "start": 0.0, "end": 100.0}]}""".stripMargin
+    val d = seriesDf((0 until 64).map(i => math.sin(i * 0.7) + 0.1 * i): _*)
+    val replayed = Recipes.compile(spark, s, Recipes.fromJson(refJson), fs)(d)
+    val direct = FilterEngine.apply(spark, d, s, Seq("value"),
+      FilterSpec.ButterLowpass(1.5 / (0.5 * fs), 2))
+    assert(vcol(replayed, "value") == vcol(direct, "value"))
   }
 
   test("selection scoping: identity outside, windows confined inside") {
@@ -63,6 +114,22 @@ class EngineSpec extends AnyFunSuite {
       FilterSpec.MovingAverage(3), selection = Some((3.0, 5.0)))
     // outside [3,5]: untouched; inside: centered mean over ONLY rows 3..5
     assert(vcol(r, "value") == Seq(1.0, 2.0, 3.0, 15.0, 20.0, 25.0))
+  }
+
+  test("pd.eval dialect shim: **, ~, True/False translate to Spark SQL") {
+    assert(Plugins.translateExpr("a ** 2") == "pow(a, 2)")
+    assert(Plugins.translateExpr("a**b**c") == "pow(a, pow(b, c))")
+    assert(Plugins.translateExpr("(x + y) ** 0.5") == "pow((x + y), 0.5)")
+    assert(Plugins.translateExpr("abs(v) ** 2 + 1") == "pow(abs(v), 2) + 1")
+    assert(Plugins.translateExpr("v ** -2") == "pow(v, -2)")
+    assert(Plugins.translateExpr("~flag and True") == " not flag and true")
+    // pass-through: already-valid Spark SQL is untouched
+    assert(Plugins.translateExpr("value * 2 + 1") == "value * 2 + 1")
+
+    // end-to-end: a verbatim pd.eval-dialect derived op replays
+    val out = Recipes.compile(spark, s, Seq(
+      Op.Derived("e", "value ** 2 + 1")))(seriesDf(1.0, 2.0, 3.0))
+    assert(vcol(out, "e") == Seq(2.0, 5.0, 10.0))
   }
 
   test("recipe JSON roundtrip") {
