@@ -24,7 +24,9 @@ object FilterSpec {
   case object PercentNormalize extends FilterSpec { val name = "percent_normalize" }
   final case class MovingRms(window: Int = 5) extends FilterSpec { val name = "moving_rms" }
   case object Absolute extends FilterSpec { val name = "absolute" }
-  /** method ∈ linear | nearest | cubic (dialogs.py:49). */
+  /** method ∈ linear | nearest | zero | slinear | quadratic | cubic
+    * (dialogs.py:49 INTERPOLATE_METHODS — all six).
+    */
   final case class Interpolate(method: String = "linear") extends FilterSpec { val name = "interpolate" }
   final case class ResampleTo(step: Double) extends FilterSpec { val name = "resample" }
 
@@ -179,10 +181,22 @@ object FilterEngine {
       case PercentNormalize => SeriesOps.percentNormalize(df, s, src, out)
       case MovingRms(w) => SeriesOps.movingRms(df, s, src, out, w)
       case Absolute => SeriesOps.absolute(df, src, out)
+      // all six reference methods (dialogs.py:49 INTERPOLATE_METHODS);
+      // `slinear` is scipy's first-order spline = linear interpolation
+      // on the axis, so it shares the linear path by identity, not by
+      // fallback. Unknown methods THROW — silently interpolating with
+      // a different method than the recipe asked for is a wrong answer.
       case Interpolate("nearest") => SeriesOps.interpolateNearest(df, s, src, out)
-      case Interpolate("cubic") | Interpolate("quadratic") =>
+      case Interpolate("zero") => SeriesOps.interpolateZero(df, s, src, out)
+      case Interpolate("cubic") =>
         withSrc(df, s, src, out)(SignalKernels.interpolateCubic(spark, _, s, _, _))
-      case Interpolate(_) => SeriesOps.interpolateLinear(df, s, src, out)
+      case Interpolate("quadratic") =>
+        withSrc(df, s, src, out)(SignalKernels.interpolateQuadratic(spark, _, s, _, _))
+      case Interpolate("linear") | Interpolate("slinear") =>
+        SeriesOps.interpolateLinear(df, s, src, out)
+      case Interpolate(other) =>
+        throw new IllegalArgumentException(
+          s"unknown interpolate method '$other' (supported: linear, nearest, zero, slinear, quadratic, cubic)")
       case ButterLowpass(wn, ord) =>
         withSrc(df, s, src, out)(SignalKernels.butterLowpass(spark, _, s, _, _, ord, wn))
       case ButterBandpass(lo, hi, ord) =>

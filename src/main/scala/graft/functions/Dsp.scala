@@ -120,6 +120,43 @@ object Dsp {
     }
   }
 
+  /** C1 quadratic spline through knots `(ts, xs)` (strictly
+    * increasing ts), clamped to the knot range at the ends
+    * (reference W10's `method='quadratic'`, dialogs.py:49). One
+    * parabola per interval, entering slope `m(0)` taken from the
+    * parabola through the first three knots (so exactly-quadratic
+    * data is reproduced on every interval), then propagated by the
+    * C1 condition `m(i+1) = 2·d(i) − m(i)` where `d(i)` is the
+    * interval's secant slope. Two knots degrade to the secant line —
+    * the same unified evaluation expression, so the DuckDB oracle
+    * ([[KernelOracles.quadraticSplineOracle]]) replays one op order.
+    */
+  def quadraticSpline(ts: Array[Double], xs: Array[Double]): Double => Double = {
+    val n = ts.length
+    require(n >= 2, "spline needs at least two knots")
+    val d = Array.tabulate(n - 1)(i => (xs(i + 1) - xs(i)) / (ts(i + 1) - ts(i)))
+    val m = new Array[Double](n - 1)
+    m(0) =
+      if (n == 2) d(0)
+      else {
+        // Lagrange derivative at ts(0) of the parabola through the
+        // first three knots — op order mirrored by the SQL oracle
+        val x0 = ts(0); val x1 = ts(1); val x2 = ts(2)
+        xs(0) * (2.0 * x0 - x1 - x2) / ((x0 - x1) * (x0 - x2)) +
+          xs(1) * (x0 - x2) / ((x1 - x0) * (x1 - x2)) +
+          xs(2) * (x0 - x1) / ((x2 - x0) * (x2 - x1))
+      }
+    for (i <- 1 until n - 1) m(i) = 2.0 * d(i - 1) - m(i - 1)
+    t0 => {
+      val t = math.max(ts(0), math.min(ts(n - 1), t0))
+      var i = java.util.Arrays.binarySearch(ts, t)
+      if (i < 0) i = -i - 2
+      if (i >= n - 1) i = n - 2
+      val dt = t - ts(i)
+      xs(i) + m(i) * dt + (d(i) - m(i)) / (ts(i + 1) - ts(i)) * dt * dt
+    }
+  }
+
   // ------------------------------------------------------------------
   // Butterworth transfer-function design + zero-phase filtering.
   //

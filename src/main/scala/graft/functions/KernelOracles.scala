@@ -241,6 +241,66 @@ object KernelOracles {
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 
+  /** q147: C1 quadratic spline interpolation oracle — the
+    * [[Dsp.quadraticSpline]] slope recursion `m(j+1) = 2·d(j) − m(j)`
+    * (seeded from the parabola through the first three knots) as a
+    * recursive CTE over the non-null knots, with the kernel's exact
+    * IEEE op order in the seed, the step, and the per-interval
+    * evaluation. Knot lists are 1-based (DuckDB); `m`'s `j` is the
+    * 0-based interval index like the Scala array.
+    */
+  def quadraticSplineOracle(seriesSql: String): String =
+    s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn,
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+       |  FROM s),
+       |k AS MATERIALIZED (SELECT user_id, tn, v,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn) - 1 AS j
+       |  FROM r WHERE v IS NOT NULL),
+       |kl AS MATERIALIZED (SELECT user_id, list(tn ORDER BY j) AS lts,
+       |    list(v ORDER BY j) AS lxs, count(*) AS kn
+       |  FROM k GROUP BY user_id),
+       |-- entering slope per interval: seed = parabola-through-first-3
+       |-- derivative at lts[1] (secant when kn = 2); step = 2·d − m
+       |mrec AS (
+       |  SELECT user_id, 0 AS j,
+       |    CASE WHEN kn >= 3 THEN
+       |      lxs[1] * (2e0 * lts[1] - lts[2] - lts[3]) / ((lts[1] - lts[2]) * (lts[1] - lts[3]))
+       |      + lxs[2] * (lts[1] - lts[3]) / ((lts[2] - lts[1]) * (lts[2] - lts[3]))
+       |      + lxs[3] * (lts[1] - lts[2]) / ((lts[3] - lts[1]) * (lts[3] - lts[2]))
+       |    ELSE (lxs[2] - lxs[1]) / (lts[2] - lts[1]) END AS m
+       |  FROM kl WHERE kn >= 2
+       |  UNION ALL
+       |  SELECT p.user_id, p.j + 1,
+       |    2e0 * ((kl.lxs[p.j + 2] - kl.lxs[p.j + 1]) / (kl.lts[p.j + 2] - kl.lts[p.j + 1])) - p.m
+       |  FROM mrec p JOIN kl ON kl.user_id = p.user_id
+       |  WHERE p.j + 1 <= kl.kn - 2),
+       |bm AS MATERIALIZED (SELECT user_id, j, m FROM mrec),
+       |ev AS MATERIALIZED (
+       |  SELECT r.user_id, r.event_id, r.tn, r.v, kl.lts, kl.lxs, kl.kn,
+       |    CASE WHEN kl.kn >= 2
+       |      THEN greatest(kl.lts[1], least(kl.lts[kl.kn], r.tn)) END AS tc
+       |  FROM r JOIN kl ON kl.user_id = r.user_id),
+       |ei AS MATERIALIZED (
+       |  SELECT *, CASE WHEN kn >= 2 THEN
+       |      CASE WHEN len(list_filter(lts, e -> e <= tc)) - 1 >= kn - 1
+       |           THEN kn - 2 ELSE len(list_filter(lts, e -> e <= tc)) - 1 END
+       |    END AS i0
+       |  FROM ev)
+       |SELECT ei.user_id, ei.event_id, ei.tn,
+       |  round(CASE
+       |    WHEN v IS NOT NULL THEN v
+       |    WHEN kn < 2 THEN 'NaN'::DOUBLE
+       |    ELSE lxs[i0 + 1] + mi.m * (tc - lts[i0 + 1])
+       |       + ((lxs[i0 + 2] - lxs[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]) - mi.m)
+       |         / (lts[i0 + 2] - lts[i0 + 1])
+       |         * (tc - lts[i0 + 1]) * (tc - lts[i0 + 1])
+       |  END, 6) AS vq
+       |FROM ei
+       |LEFT JOIN bm mi ON mi.user_id = ei.user_id AND mi.j = ei.i0
+       |ORDER BY ei.user_id, ei.event_id""".stripMargin
+
   /** q66: natural cubic spline interpolation oracle. Thomas-algorithm
     * forward sweep and back substitution as recursive CTEs over the
     * non-null knots; evaluation mirrors `Dsp.naturalCubicSpline`

@@ -130,6 +130,46 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
+  /** W10 `method='quadratic'`: C1 quadratic spline through the
+    * non-null knots (one parabola per interval, slopes propagated by
+    * `m(i+1) = 2·d(i) − m(i)`). The oracle replays the slope
+    * recursion as a recursive CTE with the kernel's exact IEEE op
+    * order ([[graft.functions.KernelOracles.quadraticSplineOracle]]).
+    */
+  val q147InterpolateQuadratic: QueryDef = QueryDef.sql(
+    "q147_interpolate_quadratic",
+    graft.functions.KernelOracles.quadraticSplineOracle(Tables.seriesSql)) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    SignalKernels.interpolateQuadratic(spark, df, s, "v", "vq")
+      .select(col("user_id"), col("event_id"), col("tn"), round(col("vq"), 6).as("vq"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W10 `method='zero'`: zero-order hold — each null takes the
+    * previous non-null (step function); leading nulls clamp to the
+    * first non-null.
+    */
+  val q148InterpolateZero: QueryDef = QueryDef.sql(
+    "q148_interpolate_zero",
+    s"""$S, n AS (SELECT user_id, event_id, tn,
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM s),
+       |b AS (SELECT *,
+       |  last_value(v IGNORE NULLS) OVER ($PW) AS pv,
+       |  first_value(v IGNORE NULLS) OVER ($FW) AS nv
+       |FROM n)
+       |SELECT user_id, event_id, tn,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pv IS NOT NULL THEN pv
+       |       ELSE nv END AS vz
+       |FROM b ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val df = Tables.seriesNorm(spark, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    SeriesOps.interpolateZero(df, s, "v", "vz")
+      .select("user_id", "event_id", "tn", "vz")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sessionization: gap > 12 h starts a new session — the scalable
     * generalization of the reference's suggestion-segment merging.
     *
@@ -661,6 +701,7 @@ object EventSeriesJoins {
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill, q125AsofExec,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
+    q147InterpolateQuadratic, q148InterpolateZero,
     q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel,
     q136NativeSession, q140OhlcBars)
 }

@@ -360,6 +360,21 @@ object SeriesOps {
     df.withColumn(out, last(col(value), ignoreNulls = true)
       .over(s.ordered.rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** Zero-order-hold interpolation of nulls (`method='zero'`,
+    * dialogs.py:49): each null takes the previous non-null value (a
+    * step function, like scipy's zero-order spline); leading nulls
+    * clamp to the first non-null like the other variants
+    * (`limit_direction="both"`).
+    */
+  def interpolateZero(df: DataFrame, s: Series, value: String, out: String): DataFrame = {
+    val v = col(value)
+    val before = s.ordered.rowsBetween(Window.unboundedPreceding, 0)
+    val after = s.ordered.rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    df.withColumn(out, when(v.isNotNull, v).when(pv.isNotNull, pv).otherwise(nv))
+  }
+
   /** Nearest-neighbor interpolation of nulls (`method='nearest'`,
     * dialogs.py:49): each null takes the value of the closer
     * bracketing non-null on the time axis (ties → the earlier one);

@@ -120,6 +120,22 @@ object SignalKernels {
       }
     }
 
+  /** C1 quadratic-spline interpolation of missing samples
+    * (`method='quadratic'`, dialogs.py:49) — same knot/edge/fallback
+    * semantics as [[interpolateCubic]] with [[Dsp.quadraticSpline]]
+    * as the evaluator.
+    */
+  def interpolateQuadratic(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
+      val valid = ts.indices.filter(i => !xs(i).isNaN)
+      if (valid.length < 2) xs
+      else {
+        val f = Dsp.quadraticSpline(valid.map(ts).toArray, valid.map(xs).toArray)
+        Array.tabulate(xs.length)(i => if (xs(i).isNaN) f(ts(i)) else xs(i))
+      }
+    }
+
   /** [[applyKernel]] variant whose kernel also sees the time axis.
     * All original columns ride along through the per-key scan and the
     * kernel output is appended as `out` — ONE shuffle by series key,

@@ -230,6 +230,39 @@ class EngineSpec extends AnyFunSuite {
     assert(viaRecipe == cub)
   }
 
+  test("quadratic spline reproduces a parabola at gaps; zero holds previous; unknown throws") {
+    import spark.implicits._
+    // parabola y = 0.5 t² − 2t + 3 sampled at integer knots with gaps
+    def py(t: Double) = 0.5 * t * t - 2.0 * t + 3.0
+    val d = (0 until 10).map { i =>
+      val t = i.toDouble
+      (1L, i.toLong, t, if (i % 3 == 1) None else Some(py(t)))
+    }.toDF("user_id", "event_id", "tn", "value")
+    val quad = SignalKernels.interpolateQuadratic(spark, d, s, "value", "o")
+      .orderBy("tn").select("o").collect().map(_.getDouble(0)).toSeq
+    quad.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - py(i.toDouble)) < 1e-9, s"i=$i got $v")
+    }
+    // zero-order hold: interior nulls take the previous value,
+    // leading nulls clamp forward
+    val z = Seq((1L, 0L, 0.0, None), (1L, 1L, 1.0, Some(7.0)), (1L, 2L, 2.0, None),
+      (1L, 3L, 3.0, Some(9.0)), (1L, 4L, 4.0, None))
+      .toDF("user_id", "event_id", "tn", "value")
+    val zr = SeriesOps.interpolateZero(z, s, "value", "o")
+      .orderBy("tn").select("o").collect().map(_.getDouble(0)).toSeq
+    assert(zr == Seq(7.0, 7.0, 7.0, 9.0, 9.0))
+    // slinear dispatches to the linear path (first-order spline ≡
+    // linear on the axis), not to a fallback
+    val lin = FilterEngine.apply(spark, z, s, Seq("value"), FilterSpec.Interpolate("linear"))
+    val sli = FilterEngine.apply(spark, z, s, Seq("value"), FilterSpec.Interpolate("slinear"))
+    assert(vcol(lin, "value") == vcol(sli, "value"))
+    // unknown methods fail loudly instead of silently interpolating
+    val e = intercept[IllegalArgumentException] {
+      FilterEngine.apply(spark, z, s, Seq("value"), FilterSpec.Interpolate("akima")).collect()
+    }
+    assert(e.getMessage.contains("akima"))
+  }
+
   test("reference-shaped recipe wire format parses and replays") {
     val refJson =
       """{"operations": [
