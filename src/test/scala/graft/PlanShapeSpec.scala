@@ -51,6 +51,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "no partial sketch aggregation below the exchange")
   }
 
+  test("LSH skew guard tags hot keys by broadcast, never a whole-table window") {
+    // the hot/cold split must come from a broadcast of the (few) hot
+    // band keys — a count().over(band,key) window here shuffles every
+    // band-key row and cost q42/q43 2.4-3.2x at sf0.1 (round 3)
+    val p = plan("q42_lsh_pairs")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "band-key table must not be window-tagged")
+    assert(p.contains("BroadcastHashJoin"), "hot-key tag must broadcast")
+  }
+
   test("bloom probe broadcasts the positions set, never the corpus") {
     val p = plan("q94_bloom_contamination")
     assert(p.contains("BroadcastHashJoin"), "positions join must broadcast")
