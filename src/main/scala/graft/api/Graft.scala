@@ -91,6 +91,14 @@ object Graft {
     * in ONE job (§2.10). `fs` parameterizes the reference dialect's
     * Hz-valued filter params (filter_engine.py:115-134); pass the
     * trial's inferred rate for faithful replay of saved recipes.
+    *
+    * Note: `fs` is a scalar like the reference's engine state (one
+    * trial per file, filter_engine.py:20-23). Replaying a Hz-dialect
+    * recipe over a MULTI-trial frame applies one rate to all trials;
+    * for mixed-rate batches convert per-trial
+    * ([[graft.sources.TrialReader.inferSampleRates]]) and replay per
+    * partition group, or use the graft dialect's normalized params,
+    * which are rate-free.
     */
   def replayRecipe(spark: SparkSession, recipeJson: String, df: DataFrame,
       series: Series, fs: Double = 120.0): DataFrame =

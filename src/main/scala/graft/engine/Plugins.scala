@@ -71,14 +71,37 @@ object Plugins {
     * already valid Spark SQL passes through unchanged.
     */
   def translateExpr(e: String): String = {
-    var s = e
+    // mask single-quoted SQL string literals (with '' escape) behind
+    // identifier-like placeholders: the dialect translation must
+    // never rewrite DATA, and an identifier-shaped token still scans
+    // correctly as a `**` operand (e.g. length('ab') ** 2)
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = new StringBuilder
+    var i = 0
+    while (i < e.length) {
+      if (e(i) == '\'') {
+        val start = i
+        i += 1
+        var closed = false
+        while (i < e.length && !closed) {
+          if (e(i) == '\'') {
+            if (i + 1 < e.length && e(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        masked ++= s"__strlit_${literals.length}__"
+        literals += e.substring(start, i)
+      } else { masked += e(i); i += 1 }
+    }
+    var s = masked.toString
       .replaceAll("\\bTrue\\b", "true")
       .replaceAll("\\bFalse\\b", "false")
       .replaceAll("\\bNone\\b", "null")
-    s = translatePow(s)
-    // prefix ~ (boolean not). Applied after ** so operand scans stay
-    // simple; `~` never appears in valid Spark SQL column exprs here.
-    s.replace("~", " not ")
+    // prefix ~ (boolean not) — after ** so operand scans stay simple
+    s = translatePow(s).replace("~", " not ")
+    literals.zipWithIndex.foldLeft(s) { case (acc, (lit, j)) =>
+      acc.replace(s"__strlit_${j}__", lit)
+    }
   }
 
   /** Rewrite every `**` into `pow(l, r)`, rightmost-first so chains

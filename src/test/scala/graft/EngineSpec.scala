@@ -125,6 +125,12 @@ class EngineSpec extends AnyFunSuite {
     assert(Plugins.translateExpr("~flag and True") == " not flag and true")
     // pass-through: already-valid Spark SQL is untouched
     assert(Plugins.translateExpr("value * 2 + 1") == "value * 2 + 1")
+    // string literals are DATA, never rewritten (incl. '' escapes)
+    assert(Plugins.translateExpr("concat(s, '2**3 ~ True')") == "concat(s, '2**3 ~ True')")
+    assert(Plugins.translateExpr("x ** 2 + length('it''s ~ **')") ==
+      "pow(x, 2) + length('it''s ~ **')")
+    // a literal inside a ** operand scans as one operand
+    assert(Plugins.translateExpr("length('ab') ** 2") == "pow(length('ab'), 2)")
 
     // end-to-end: a verbatim pd.eval-dialect derived op replays
     val out = Recipes.compile(spark, s, Seq(
