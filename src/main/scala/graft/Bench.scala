@@ -43,11 +43,20 @@ object Bench {
     // noise. Driver runs use the default of 1.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = selected.map { q =>
+      // A FAILED query records -1, never its fail-fast wall time: an
+      // analysis error takes ~0.1 s and would otherwise masquerade as
+      // a 20x speedup in round-over-round comparisons (this is what
+      // invalidated the round-3 events numbers).
       val dt = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
+            -1.0
+        }
       }.min
       // scope caches per query: intra-query persists (self-join
       // intermediates) stay effective, but nothing leaks into the
@@ -63,11 +72,13 @@ object Bench {
     // numbers (round 2's full-name map overflowed it). Keys are the
     // unambiguous qNN prefix; the full-name map goes to a sidecar file.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val nErrors = results.count(_._2 < 0)
+    val errField = if (nErrors > 0) s""","errors":$nErrors""" else ""
     def mkLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val total = results.map(_._2).filter(_ >= 0).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     }
     // Degrade per-query precision before the line can outgrow the
     // window (1 dp still ranks offenders; an unparseable round loses
@@ -76,12 +87,12 @@ object Bench {
       val l2 = mkLine(v => f"$v%.2f")
       if (l2.length <= 1800) l2 else mkLine(v => f"$v%.1f")
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val full = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full$errField,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()
