@@ -54,10 +54,23 @@ class EventsEncodingSpec extends AnyFunSuite {
     (longDir, tsDir)
   }
 
-  test("batch read canonicalizes both encodings to identical epoch-ns longs") {
+  /** The third physical possibility: TIMESTAMP_MICROS with
+    * isAdjustedToUTC=1, which Spark reads as TimestampType.
+    */
+  private def writeUtcAdjustedFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-utc").toString
+    val base = usValues.toDF("event_id", "us", "user_id", "event_type", "value")
+    writeSingleFile(base.select(col("event_id"),
+      timestamp_micros(col("us")).as("ts"), col("user_id"),
+      col("event_type"), col("value")), dir)
+    dir
+  }
+
+  test("batch read canonicalizes all three encodings to identical epoch-ns longs") {
     val (longDir, tsDir) = writeFixtures()
+    val utcDir = writeUtcAdjustedFixture()
     val expected = usValues.map { case (eid, us, _, _, _) => eid -> us * 1000L }.toMap
-    for (dir <- Seq(longDir, tsDir)) {
+    for (dir <- Seq(longDir, tsDir, utcDir)) {
       val got = Tables.events(spark, dir)
         .select("event_id", "ts").as[(Long, Long)].collect().toMap
       assert(got == expected, s"encoding at $dir")

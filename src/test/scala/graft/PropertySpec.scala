@@ -46,6 +46,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pd.eval dialect shim: exprs without dialect tokens are identity; pow ops never crash") {
+    // identity on anything free of ** / ~ / True / False / None
+    val sqlish: Gen[String] = for {
+      cols <- Gen.listOfN(3, Gen.oneOf("value", "v2", "abs(value)", "1.5", "(value + 2)"))
+      ops <- Gen.listOfN(2, Gen.oneOf(" + ", " * ", " - ", " / "))
+    } yield cols.head + ops.head + cols(1) + ops(1) + cols(2)
+    forSamples(sqlish, 20) { e =>
+      assert(graft.engine.Plugins.translateExpr(e) == e, e)
+    }
+    // every generated a ** b over identifier/number/paren/call operands
+    // translates to a pow() call that still references both operands
+    val operand: Gen[String] =
+      Gen.oneOf("x", "y_2", "3", "2.5", "(x + 1)", "abs(x)", "-2", "('a')")
+    forSamples(Gen.zip(operand, operand), 20) { case (a, b) =>
+      val t = graft.engine.Plugins.translateExpr(s"$a ** $b")
+      // a leading unary minus stays OUTSIDE the pow call — Python's
+      // ** binds tighter than unary minus (-2 ** x == -(2**x))
+      assert(t.contains("pow(") && !t.contains("**"), s"$a ** $b -> $t")
+    }
+  }
+
   test("zscore output: mean 0, population std 1 (or all-zero)") {
     forSamples(valuesGen, 8) { vs =>
       val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, i * 1.0, v) }
