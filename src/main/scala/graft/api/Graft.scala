@@ -88,21 +88,16 @@ object Graft {
     new Session(trial.series, EngineState(trial.df))
 
   /** Compile a recipe JSON and replay it over a (multi-)trial frame
-    * in ONE job (§2.10). `fs` parameterizes the reference dialect's
-    * Hz-valued filter params (filter_engine.py:115-134); pass the
-    * trial's inferred rate for faithful replay of saved recipes.
-    *
-    * Note: `fs` is a scalar like the reference's engine state (one
-    * trial per file, filter_engine.py:20-23). Replaying a Hz-dialect
-    * recipe over a MULTI-trial frame applies one rate to all trials;
-    * for mixed-rate batches convert per-trial
-    * ([[graft.sources.TrialReader.inferSampleRates]]) and replay per
-    * partition group, or use the graft dialect's normalized params,
-    * which are rate-free.
+    * in ONE job (§2.10). Hz-dialect filter params (the reference's
+    * saved-recipe form, filter_engine.py:115-134) normalize against
+    * each series' OWN inferred sample rate at execution, so a saved
+    * recipe replays faithfully even over a mixed-rate multi-trial
+    * batch — the reference's per-trial `set_sample_rate` loop,
+    * distributed.
     */
   def replayRecipe(spark: SparkSession, recipeJson: String, df: DataFrame,
-      series: Series, fs: Double = 120.0): DataFrame =
-    Recipes.compile(spark, series, Recipes.fromJson(recipeJson), fs)(df)
+      series: Series): DataFrame =
+    Recipes.compile(spark, series, Recipes.fromJson(recipeJson))(df)
 
   /** Discover plugins in a directory (plugin_system.py:13-46). */
   def loadPlugins(dir: String): Seq[Plugins.Plugin] =
@@ -116,7 +111,7 @@ object Graft {
   def applyPlugin(spark: SparkSession, trial: Trial,
       plugins: Seq[Plugins.Plugin], name: String): DataFrame =
     Plugins.get(plugins, name)
-      .map(p => Recipes.compile(spark, trial.series, p.ops, trial.sampleRate)(trial.df))
+      .map(p => Recipes.compile(spark, trial.series, p.ops)(trial.df))
       .getOrElse(trial.df)
 
   /** Write the cleaned frame (S5). */

@@ -17,6 +17,16 @@ object FilterSpec {
   final case class Savgol(window: Int = 11, polyorder: Int = 2) extends FilterSpec { val name = "savgol" }
   final case class ButterLowpass(cutoffWn: Double = 0.2, order: Int = 4) extends FilterSpec { val name = "butter_lowpass" }
   final case class ButterBandpass(lowWn: Double = 0.05, highWn: Double = 0.4, order: Int = 4) extends FilterSpec { val name = "butter_bandpass" }
+  /** Reference dialect: cutoff in Hz, normalized per series against
+    * the INFERRED sample rate at execution (filter_engine.py:115-118;
+    * reference defaults cutoff=6.0 Hz, order=2 at :51-52) — faithful
+    * for one-job replay over mixed-rate multi-trial frames.
+    */
+  final case class ButterLowpassHz(cutoffHz: Double = 6.0, order: Int = 2) extends FilterSpec { val name = "butter_lowpass" }
+  /** Reference dialect band-pass in Hz (filter_engine.py:125-130,
+    * defaults low=0.5, high=10.0, order=2 at :55-58).
+    */
+  final case class ButterBandpassHz(lowHz: Double = 0.5, highHz: Double = 10.0, order: Int = 2) extends FilterSpec { val name = "butter_bandpass" }
   case object Detrend extends FilterSpec { val name = "detrend" }
   case object Derivative extends FilterSpec { val name = "derivative" }
   final case class Integrate(dt: Double = 1.0) extends FilterSpec { val name = "integrate" }
@@ -54,22 +64,25 @@ object FilterSpec {
     "resample" -> Set("step", "target_fs"))
 
   /** name + params map → spec (the reference's string dispatch);
-    * `sp` carries string-valued params (interpolate's `method`), `fs`
-    * the inferred sample rate (S4; reference default 120 Hz,
-    * data_model.py:56) used to convert the reference dialect's
-    * Hz-valued cutoffs to normalized Wn (filter_engine.py:115-134:
-    * `wn = hz / (0.5 * fs)`) and `target_fs` to a grid step.
+    * `sp` carries string-valued params (interpolate's `method`).
+    *
+    * Two Butterworth dialects: graft's normalized `cutoff_wn`/
+    * `low_wn`/`high_wn` map to the Wn specs directly; the reference's
+    * Hz-valued `cutoff`/`low_cut`/`high_cut` map to the Hz specs,
+    * which normalize against the PER-SERIES inferred sample rate at
+    * execution (filter_engine.py:115-134 via data_model.sample_rate)
+    * — so a saved reference recipe replays faithfully over a
+    * multi-trial frame of mixed rates in one job. Mixing dialects in
+    * one filter throws, as do unrecognized numeric params.
     *
     * Reference filter-name aliases (`normalize_zscore`,
     * `normalize_percent`, `abs`; filter_engine.py:66-77) are accepted
-    * so a verbatim saved recipe dispatches identically. When the
-    * reference dialect is used (`cutoff`/`low_cut`/`high_cut`
-    * present, or neither dialect's key present under a reference
-    * alias), `order` defaults to the reference's 2
+    * so a verbatim saved recipe dispatches identically. In the Hz
+    * dialect `order` defaults to the reference's 2
     * (filter_engine.py:52,58) rather than the graft default 4.
     */
   def fromParams(name: String, p: Map[String, Double],
-      sp: Map[String, String] = Map.empty, fs: Double = 120.0): FilterSpec = {
+      sp: Map[String, String] = Map.empty): FilterSpec = {
     val canonical = name match {
       case "normalize_zscore" => "zscore"
       case "normalize_percent" => "percent_normalize"
@@ -83,29 +96,28 @@ object FilterSpec {
           s"unrecognized numeric parameter(s) ${unknown.toSeq.sorted.mkString(", ")} " +
             s"for filter '$name' (accepted: ${allowed.toSeq.sorted.mkString(", ")})")
     }
-    def hzToWn(hz: Double): Double = {
-      require(fs > 0, s"sample rate must be positive to convert $hz Hz (got $fs)")
-      hz / (0.5 * fs)
-    }
+    def oneDialect(graft: Boolean, ref: Boolean): Unit =
+      if (graft && ref) throw new IllegalArgumentException(
+        s"filter '$name' mixes normalized-Wn and Hz parameters; use one dialect")
     canonical match {
       case "moving_average" => MovingAverage(p.getOrElse("window", 5.0).toInt)
       case "median" => Median(p.getOrElse("window", 5.0).toInt)
       case "savgol" => Savgol(p.getOrElse("window", 11.0).toInt, p.getOrElse("polyorder", 2.0).toInt)
       case "butter_lowpass" =>
-        val wn = p.get("cutoff_wn")
-          .orElse(p.get("cutoff").map(hzToWn))
-          .getOrElse(0.2)
-        val order = p.get("order").map(_.toInt)
-          .getOrElse(if (p.contains("cutoff")) 2 else 4)
-        ButterLowpass(wn, order)
+        oneDialect(p.contains("cutoff_wn"), p.contains("cutoff"))
+        if (p.contains("cutoff"))
+          ButterLowpassHz(p("cutoff"), p.get("order").map(_.toInt).getOrElse(2))
+        else
+          ButterLowpass(p.getOrElse("cutoff_wn", 0.2), p.get("order").map(_.toInt).getOrElse(4))
       case "butter_bandpass" =>
         val refDialect = p.contains("low_cut") || p.contains("high_cut")
-        val lo = p.get("low_wn").orElse(p.get("low_cut").map(hzToWn))
-          .getOrElse(if (refDialect) hzToWn(0.5) else 0.05)
-        val hi = p.get("high_wn").orElse(p.get("high_cut").map(hzToWn))
-          .getOrElse(if (refDialect) hzToWn(10.0) else 0.4)
-        val order = p.get("order").map(_.toInt).getOrElse(if (refDialect) 2 else 4)
-        ButterBandpass(lo, hi, order)
+        oneDialect(p.contains("low_wn") || p.contains("high_wn"), refDialect)
+        if (refDialect)
+          ButterBandpassHz(p.getOrElse("low_cut", 0.5), p.getOrElse("high_cut", 10.0),
+            p.get("order").map(_.toInt).getOrElse(2))
+        else
+          ButterBandpass(p.getOrElse("low_wn", 0.05), p.getOrElse("high_wn", 0.4),
+            p.get("order").map(_.toInt).getOrElse(4))
       case "detrend" => Detrend
       case "derivative" => Derivative
       case "integrate" => Integrate(p.getOrElse("dt", 1.0))
@@ -201,6 +213,10 @@ object FilterEngine {
         withSrc(df, s, src, out)(SignalKernels.butterLowpass(spark, _, s, _, _, ord, wn))
       case ButterBandpass(lo, hi, ord) =>
         withSrc(df, s, src, out)(SignalKernels.butterBandpass(spark, _, s, _, _, ord, lo, hi))
+      case ButterLowpassHz(hz, ord) =>
+        withSrc(df, s, src, out)(SignalKernels.butterLowpassHz(spark, _, s, _, _, ord, hz))
+      case ButterBandpassHz(lo, hi, ord) =>
+        withSrc(df, s, src, out)(SignalKernels.butterBandpassHz(spark, _, s, _, _, ord, lo, hi))
       case ResampleTo(step) =>
         // cardinality-changing: replaces the frame with the new grid
         Resample.toUniformGrid(df, s, src, out, step)

@@ -42,25 +42,23 @@ object Recipes {
     final case class MarkBad(start: Double, end: Double) extends Op
   }
 
-  /** Execute one op. `fs` is the trial's inferred sample rate —
-    * reference recipes carry Butterworth cutoffs in Hz and resample
-    * targets as `target_fs`, both normalized against fs at replay
-    * time (filter_engine.py:115-134, 80-84).
+  /** Execute one op. Reference recipes carry Butterworth cutoffs in
+    * Hz; those normalize against the PER-SERIES inferred sample rate
+    * at execution ([[FilterSpec.fromParams]] → the Hz kernel
+    * variants), faithful over mixed-rate multi-trial frames.
     */
-  def exec(spark: SparkSession, s: Series, fs: Double = 120.0)(
-      df: DataFrame, op: Op): DataFrame = op match {
+  def exec(spark: SparkSession, s: Series)(df: DataFrame, op: Op): DataFrame = op match {
     case Op.Filter(name, params, channels, sel, strParams) =>
       FilterEngine.apply(spark, df, s, channels,
-        FilterSpec.fromParams(name, params, strParams, fs), sel)
+        FilterSpec.fromParams(name, params, strParams), sel)
     case Op.Derived(name, e) => df.withColumn(name, expr(Plugins.translateExpr(e)))
     case Op.DeleteSegment(a, b) => SeriesOps.deleteCollapse(df, s, a, b)
     case Op.MarkBad(a, b) => SeriesOps.markBad(df, s, a, b)
   }
 
   /** Compile a recipe to a single lazy transform (fold). */
-  def compile(spark: SparkSession, s: Series, ops: Seq[Op],
-      fs: Double = 120.0): DataFrame => DataFrame =
-    df => ops.foldLeft(df)(exec(spark, s, fs))
+  def compile(spark: SparkSession, s: Series, ops: Seq[Op]): DataFrame => DataFrame =
+    df => ops.foldLeft(df)(exec(spark, s))
 
   // ------------------------- JSON ⇄ ADT -------------------------
 

@@ -57,6 +57,57 @@ object SignalKernels {
     applyKernel(spark, df, s, src, out)(Dsp.filtfiltTf(tf, _))
   }
 
+  /** Reference sample-rate inference over one series' time axis
+    * (data_model.py:116-126): `round(1/median(positive Δt), 2)`,
+    * fallback 120 Hz — the pure in-kernel form of
+    * [[graft.sources.TrialReader.inferSampleRate]], same op order
+    * (`rint(100/median)/100`, exact interpolating median).
+    */
+  private[graft] def inferFsLocal(ts: Array[Double]): Double = {
+    if (ts.length < 2) return 120.0
+    val d = new Array[Double](ts.length - 1)
+    var n = 0
+    var i = 1
+    while (i < ts.length) {
+      val dt = ts(i) - ts(i - 1)
+      if (dt > 0) { d(n) = dt; n += 1 }
+      i += 1
+    }
+    if (n == 0) return 120.0
+    java.util.Arrays.sort(d, 0, n)
+    val med = if (n % 2 == 1) d(n / 2) else (d(n / 2 - 1) + d(n / 2)) / 2.0
+    if (med <= 0) 120.0 else math.rint(100.0 / med) / 100.0
+  }
+
+  /** Hz-parameterized Butterworth low-pass: the reference dialect
+    * carries `cutoff` in Hz and normalizes it against the TRIAL'S
+    * inferred sample rate (filter_engine.py:115-118 via
+    * data_model.sample_rate). Here the rate is inferred per series
+    * INSIDE the kernel, so one job replays a Hz recipe faithfully
+    * over a multi-trial frame of MIXED rates — the scalar-fs
+    * limitation a single pre-converted Wn cannot avoid. (Under a
+    * time selection the group's axis is the selection slice; on the
+    * uniform axes the reference targets, median Δt — hence fs — is
+    * identical to the full-trial value.)
+    */
+  def butterLowpassHz(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, order: Int, cutoffHz: Double): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
+      val fs = inferFsLocal(ts)
+      Dsp.filtfiltTf(Dsp.butterLowpassTf(order, cutoffHz / (0.5 * fs)), xs)
+    }
+
+  /** Hz-parameterized Butterworth band-pass — per-series rate
+    * inference like [[butterLowpassHz]] (filter_engine.py:125-130).
+    */
+  def butterBandpassHz(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, order: Int, lowHz: Double, highHz: Double): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
+      val fs = inferFsLocal(ts)
+      val nyq = 0.5 * fs
+      Dsp.filtfiltTf(Dsp.butterBandpassTf(order, lowHz / nyq, highHz / nyq), xs)
+    }
+
   /** EWMA smoothing — `y_0 = x_0; y_i = α·x_i + (1−α)·y_{i−1}`
     * (pandas `ewm(alpha).mean()` with `adjust=False`): a first-order
     * IIR, so it rides the same per-series sequential-kernel runner as

@@ -63,19 +63,19 @@ class EngineSpec extends AnyFunSuite {
     assert(FilterSpec.fromParams("abs", Map.empty) == FilterSpec.Absolute)
   }
 
-  test("reference dialect params: Hz cutoffs convert via fs, target_fs maps to step") {
-    // filter_engine.py:115-118: wn = cutoff / (0.5 * fs)
-    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0, "order" -> 2.0), fs = 120.0)
-      == FilterSpec.ButterLowpass(0.1, 2))
-    // reference defaults cutoff=6.0 order=2 apply in the Hz dialect
-    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0), fs = 120.0)
-      == FilterSpec.ButterLowpass(0.1, 2))
+  test("reference dialect params map to Hz specs; target_fs maps to step") {
+    // filter_engine.py:115-118: Hz params stay Hz; normalization
+    // happens per series at execution
+    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0, "order" -> 2.0))
+      == FilterSpec.ButterLowpassHz(6.0, 2))
+    // reference default order=2 applies in the Hz dialect
+    assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff" -> 6.0))
+      == FilterSpec.ButterLowpassHz(6.0, 2))
     // graft dialect unchanged
     assert(FilterSpec.fromParams("butter_lowpass", Map("cutoff_wn" -> 0.3))
       == FilterSpec.ButterLowpass(0.3, 4))
-    assert(FilterSpec.fromParams("butter_bandpass",
-      Map("low_cut" -> 0.5, "high_cut" -> 10.0), fs = 100.0)
-      == FilterSpec.ButterBandpass(0.01, 0.2, 2))
+    assert(FilterSpec.fromParams("butter_bandpass", Map("low_cut" -> 0.5, "high_cut" -> 10.0))
+      == FilterSpec.ButterBandpassHz(0.5, 10.0, 2))
     // filter_engine.py:80-84: resample to target_fs → grid step 1/target_fs
     assert(FilterSpec.fromParams("resample", Map("target_fs" -> 50.0))
       == FilterSpec.ResampleTo(1.0 / 50.0))
@@ -89,23 +89,48 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FilterSpec.fromParams("moving_average", Map("step" -> 1.0))
     }
+    // mixing normalized-Wn and Hz params in one filter is ambiguous
+    intercept[IllegalArgumentException] {
+      FilterSpec.fromParams("butter_bandpass", Map("low_wn" -> 0.1, "high_cut" -> 10.0))
+    }
   }
 
   test("verbatim reference recipe JSON replays with the user's Hz params, not defaults") {
     // the reference's saved-recipe wire shape with a Hz-valued cutoff:
-    // replay must equal the directly-parameterized kernel bit-for-bit
-    val fs = 10.0
+    // replay must equal the Wn kernel parameterized with the rate the
+    // reference would infer from this axis (dt=0.1 → fs=10), bit-equal
     val refJson =
       """{"operations": [
         |  {"description": "filter",
         |   "params": {"channels": ["value"], "filter_type": "butter_lowpass",
         |              "cutoff": 1.5, "order": 2, "apply_selection": false},
         |   "start": 0.0, "end": 100.0}]}""".stripMargin
-    val d = seriesDf((0 until 64).map(i => math.sin(i * 0.7) + 0.1 * i): _*)
-    val replayed = Recipes.compile(spark, s, Recipes.fromJson(refJson), fs)(d)
+    val d = (0 until 64).map(i => (1L, i.toLong, i * 0.1, math.sin(i * 0.7) + 0.1 * i))
+      .toDF("user_id", "event_id", "tn", "value")
+    val replayed = Recipes.compile(spark, s, Recipes.fromJson(refJson))(d)
     val direct = FilterEngine.apply(spark, d, s, Seq("value"),
-      FilterSpec.ButterLowpass(1.5 / (0.5 * fs), 2))
+      FilterSpec.ButterLowpass(1.5 / (0.5 * 10.0), 2))
     assert(vcol(replayed, "value") == vcol(direct, "value"))
+  }
+
+  test("Hz recipe over a mixed-rate multi-trial frame uses each trial's own rate") {
+    // trial 1 at 10 Hz, trial 2 at 20 Hz, one replay job: each series
+    // must match the Wn kernel converted with ITS rate
+    val mixed = ((0 until 64).map(i => (1L, i.toLong, i * 0.1, math.sin(i * 0.5))) ++
+      (0 until 64).map(i => (2L, i.toLong, i * 0.05, math.cos(i * 0.3))))
+      .toDF("user_id", "event_id", "tn", "value")
+    val replayed = FilterEngine.apply(spark, mixed, s, Seq("value"),
+      FilterSpec.ButterLowpassHz(1.5, 2))
+    def one(uid: Long, fs: Double) = {
+      val d = mixed.filter(col("user_id") === uid)
+      FilterEngine.apply(spark, d, s, Seq("value"),
+        FilterSpec.ButterLowpass(1.5 / (0.5 * fs), 2))
+    }
+    val got1 = vcol(replayed.filter(col("user_id") === 1L), "value")
+    val got2 = vcol(replayed.filter(col("user_id") === 2L), "value")
+    assert(got1 == vcol(one(1L, 10.0), "value"))
+    assert(got2 == vcol(one(2L, 20.0), "value"))
+    assert(got1 != got2)
   }
 
   test("selection scoping: identity outside, windows confined inside") {
