@@ -47,7 +47,7 @@ object Bench {
       // analysis error takes ~0.1 s and would otherwise masquerade as
       // a 20x speedup in round-over-round comparisons (this is what
       // invalidated the round-3 events numbers).
-      val dt = (1 to repeat).map { _ =>
+      val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -57,7 +57,11 @@ object Bench {
             System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
             -1.0
         }
-      }.min
+      }
+      // best of the SUCCESSFUL repeats; -1 only when every repeat
+      // failed (a transient failure must not erase real timings)
+      val ok = runs.filter(_ >= 0)
+      val dt = if (ok.nonEmpty) ok.min else -1.0
       // scope caches per query: intra-query persists (self-join
       // intermediates) stay effective, but nothing leaks into the
       // next query's memory budget — in a 69-query session the

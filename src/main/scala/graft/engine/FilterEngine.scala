@@ -30,6 +30,11 @@ object FilterSpec {
   case object Detrend extends FilterSpec { val name = "detrend" }
   case object Derivative extends FilterSpec { val name = "derivative" }
   final case class Integrate(dt: Double = 1.0) extends FilterSpec { val name = "integrate" }
+  /** Reference semantics: `cumsum(x) · dt` with `dt = 1/max(fs, 1)`
+    * from the TRIAL'S inferred sample rate (filter_engine.py:63-65) —
+    * the no-`dt`-param form a saved reference recipe replays with.
+    */
+  case object IntegrateAuto extends FilterSpec { val name = "integrate" }
   case object Zscore extends FilterSpec { val name = "zscore" }
   case object PercentNormalize extends FilterSpec { val name = "percent_normalize" }
   final case class MovingRms(window: Int = 5) extends FilterSpec { val name = "moving_rms" }
@@ -120,7 +125,10 @@ object FilterSpec {
             p.get("order").map(_.toInt).getOrElse(4))
       case "detrend" => Detrend
       case "derivative" => Derivative
-      case "integrate" => Integrate(p.getOrElse("dt", 1.0))
+      // no dt param = the reference's form: dt comes from the trial's
+      // inferred rate at execution (filter_engine.py:63-65), NOT a
+      // silent 1.0 (which scaled outputs ~fs× off on replay)
+      case "integrate" => p.get("dt").map(Integrate(_)).getOrElse(IntegrateAuto)
       case "zscore" => Zscore
       case "percent_normalize" => PercentNormalize
       case "moving_rms" => MovingRms(p.getOrElse("window", 5.0).toInt)
@@ -128,7 +136,9 @@ object FilterSpec {
       case "interpolate" => Interpolate(sp.getOrElse("method", "linear"))
       case "resample" =>
         // reference: target_fs (Hz) → uniform grid of step 1/target_fs
-        // (filter_engine.py:80-84); graft dialect passes step directly
+        // (filter_engine.py:80-84); graft dialect passes step directly.
+        // Both at once is ambiguous → throw, like the Butterworth guard.
+        oneDialect(p.contains("step"), p.contains("target_fs"))
         val step = p.get("step").orElse(p.get("target_fs").map { tf =>
           require(tf > 0, s"target_fs must be positive (got $tf)"); 1.0 / tf
         }).getOrElse(1.0)
@@ -189,6 +199,8 @@ object FilterEngine {
       case Detrend => SeriesOps.detrend(df, s, src, out)
       case Derivative => SeriesOps.derivative(df, s, src, out)
       case Integrate(dt) => SeriesOps.integrate(df, s, src, out, dt)
+      case IntegrateAuto =>
+        withSrc(df, s, src, out)(SignalKernels.integrateAuto(spark, _, s, _, _))
       case Zscore => SeriesOps.zscore(df, s, src, out)
       case PercentNormalize => SeriesOps.percentNormalize(df, s, src, out)
       case MovingRms(w) => SeriesOps.movingRms(df, s, src, out, w)

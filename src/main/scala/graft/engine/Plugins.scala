@@ -60,18 +60,24 @@ object Plugins {
     * (main.py:815; README.md:244-251 — the reference's ONLY
     * user-facing query language) to Spark SQL before `expr()`:
     *
-    *   - `a ** b` → `pow(a, b)` (right-associative, like Python);
-    *   - prefix `~x` → `NOT x` (pandas boolean negation);
+    *   - `a ** b` → `pow(a, b)` (right-associative like Python, and
+    *     `**` binds tighter than unary minus: `-2 ** x` → `-pow(2, x)`);
     *   - `True`/`False`/`None` → `true`/`false`/`null`.
     *
     * `and`/`or`/`not` need no translation — Spark SQL accepts them
-    * as (case-insensitive) keywords. The operand grammar covered is
-    * exactly pd.eval's arithmetic surface: identifiers, numeric
-    * literals, function calls, and parenthesized groups. Anything
-    * already valid Spark SQL passes through unchanged.
+    * as (case-insensitive) keywords — and `~` is deliberately LEFT
+    * ALONE: on integral types Spark's `~` is bitwise-not exactly like
+    * pd.eval's, and on a boolean column (where pandas negates) Spark
+    * fails analysis loudly, which beats a blind rewrite that would
+    * corrupt the integer case. The operand grammar covered is exactly
+    * pd.eval's arithmetic surface: identifiers, numeric literals
+    * (incl. signed-exponent scientific notation), function calls, and
+    * parenthesized groups. Anything already valid Spark SQL passes
+    * through unchanged.
     */
   def translateExpr(e: String): String = {
-    // mask single-quoted SQL string literals (with '' escape) behind
+    // mask SQL string literals — single-quoted (with '' escape) AND
+    // double-quoted (Spark's default second literal syntax) — behind
     // identifier-like placeholders: the dialect translation must
     // never rewrite DATA, and an identifier-shaped token still scans
     // correctly as a `**` operand (e.g. length('ab') ** 2)
@@ -79,13 +85,14 @@ object Plugins {
     val masked = new StringBuilder
     var i = 0
     while (i < e.length) {
-      if (e(i) == '\'') {
+      if (e(i) == '\'' || e(i) == '"') {
+        val q = e(i)
         val start = i
         i += 1
         var closed = false
         while (i < e.length && !closed) {
-          if (e(i) == '\'') {
-            if (i + 1 < e.length && e(i + 1) == '\'') i += 2
+          if (e(i) == q) {
+            if (i + 1 < e.length && e(i + 1) == q) i += 2
             else { closed = true; i += 1 }
           } else i += 1
         }
@@ -97,11 +104,12 @@ object Plugins {
       .replaceAll("\\bTrue\\b", "true")
       .replaceAll("\\bFalse\\b", "false")
       .replaceAll("\\bNone\\b", "null")
-    // prefix ~ (boolean not) — after ** so operand scans stay simple
-    s = translatePow(s).replace("~", " not ")
-    literals.zipWithIndex.foldLeft(s) { case (acc, (lit, j)) =>
-      acc.replace(s"__strlit_${j}__", lit)
-    }
+    s = translatePow(s)
+    // restore masked literals in ONE regex pass — replacements are
+    // never rescanned, so a literal whose CONTENT contains a
+    // placeholder-shaped token cannot trigger a second substitution
+    "__strlit_(\\d+)__".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(literals(m.group(1).toInt)))
   }
 
   /** Rewrite every `**` into `pow(l, r)`, rightmost-first so chains
@@ -144,6 +152,18 @@ object Plugins {
       (-1, -1)
     } else if (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.') {
       while (i >= 0 && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i -= 1
+      // numeric literal with a signed exponent: `1e-3 ** x` scans
+      // back over "3", then must absorb "-", "e", and the mantissa —
+      // but `foo2e-3` is an identifier minus 3, so the absorb is
+      // reverted when the mantissa turns out to extend an identifier
+      if (i >= 0 && (s(i) == '-' || s(i) == '+') && i >= 1 &&
+          (s(i - 1) == 'e' || s(i - 1) == 'E') && i >= 2 &&
+          (s(i - 2).isDigit || s(i - 2) == '.') && i + 1 < s.length && s(i + 1).isDigit) {
+        val save = i
+        i -= 2
+        while (i >= 0 && (s(i).isDigit || s(i) == '.')) i -= 1
+        if (i >= 0 && (s(i).isLetter || s(i) == '_')) i = save
+      }
       (i + 1, end)
     } else (-1, -1)
   }
@@ -165,7 +185,18 @@ object Plugins {
       }
       (-1, -1)
     } else if (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) {
+      val tokStart = i
       while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+      // numeric literal with a signed exponent: `x ** 1e-3` stops at
+      // the sign; absorb it plus the exponent digits — but ONLY when
+      // the token so far is purely numeric-with-e (`y2e-3` is the
+      // identifier y2e minus 3, not a literal)
+      if (i < s.length && (s(i) == '-' || s(i) == '+') &&
+          s.substring(tokStart, i).matches("[0-9.]+[eE]") &&
+          i + 1 < s.length && s(i + 1).isDigit) {
+        i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+      }
       // a call like f(x): swallow the balanced argument list
       if (i < s.length && s(i) == '(') {
         var depth = 0

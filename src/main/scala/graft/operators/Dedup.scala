@@ -87,10 +87,15 @@ object Dedup {
   private[graft] val SkewShards = 16
 
   /** Candidate near-dup pairs: docs sharing any full LSH band.
-    * The band-key table is persisted before the self-join — otherwise
-    * both join sides re-run the whole signature pipeline (at
-    * production scale this is "materialize the signature table once,
-    * then bucket-join it", the standard MinHash-LSH shape).
+    * The band-key relation feeds the hot-key aggregate plus both
+    * sides of each self-join; the shingle-hash table underneath it IS
+    * persisted ([[hashedFromDocs]]), so each reference recomputes
+    * only the in-memory minhash/banding projection — a deliberate
+    * CPU-for-cache-pressure trade measured cheaper than pinning the
+    * banded table at bench scale. At production scale neither cache
+    * is the answer: [[materializeSignatures]] writes the signature
+    * relation to parquet once and every stage bucket-joins it (the
+    * standard MinHash-LSH shape).
     *
     * Skew guard: a degenerate corpus (say half the docs identical)
     * funnels its whole m² pair workload through ONE reducer if the

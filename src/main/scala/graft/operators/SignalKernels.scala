@@ -108,6 +108,22 @@ object SignalKernels {
       Dsp.filtfiltTf(Dsp.butterBandpassTf(order, lowHz / nyq, highHz / nyq), xs)
     }
 
+  /** Reference integrate: `np.cumsum(x) · dt` with
+    * `dt = 1/max(fs, 1)` from the series' OWN inferred rate
+    * (filter_engine.py:63-65) — cumsum first, multiply after, NaNs
+    * poison the running sum exactly like numpy.
+    */
+  def integrateAuto(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String): DataFrame =
+    applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
+      val dt = 1.0 / math.max(inferFsLocal(ts), 1.0)
+      val y = new Array[Double](xs.length)
+      var acc = 0.0
+      var i = 0
+      while (i < xs.length) { acc += xs(i); y(i) = acc * dt; i += 1 }
+      y
+    }
+
   /** EWMA smoothing — `y_0 = x_0; y_i = α·x_i + (1−α)·y_{i−1}`
     * (pandas `ewm(alpha).mean()` with `adjust=False`): a first-order
     * IIR, so it rides the same per-series sequential-kernel runner as

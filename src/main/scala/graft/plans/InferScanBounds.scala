@@ -133,34 +133,49 @@ object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
         val next = if (lower) slack(c * k - (k - 1), lower) else slack(c * k + (k - 1), lower)
         invert(child, next, lower, depth + 1)
       }
-      // ── timestamp-encoded events: the canonical read normalizes a
-      // TIMESTAMP_MICROS file via unix_micros(to_utc_timestamp(ts,
-      // "UTC")) * 1000 (sources/Tables.normalizeEventTs), so the
-      // derived-time chain now passes through these two steps before
-      // reaching the stored timestamp attribute. Both are monotone
-      // bijections on the stored µs value: carry the bound through in
-      // the µs domain and emit a timestamp-typed literal at the
-      // attribute (finalBound), which parquet can prune on.
-      case UnixMicros(child) =>
+      // ── timestamp-encoded events (sources/Tables.normalizeEventTs):
+      // `unix_micros(ts)` over a true TimestampType is the stored
+      // instant's µs — zone-free and strictly monotone; carry the
+      // bound through in the µs domain and emit a timestamp-typed
+      // literal at the attribute (finalBound) for parquet pruning.
+      case UnixMicros(child) if child.dataType == TimestampType =>
         invert(child, bound, lower, depth + 1)
-      // the analyzer resolves to_utc_timestamp over an NTZ column by
-      // inserting Cast(ntz → timestamp) (session-tz) underneath; the
-      // COMPOSITION to_utc_timestamp(cast(ntz), "UTC") renders the
-      // cast's instant back in the same session tz and re-interprets
-      // it as UTC, so the two conversions cancel and the result is
-      // exactly the stored µs value, session-tz-independent. Only the
-      // composed shape is inverted — a bare NTZ→timestamp cast alone
-      // IS session-tz-dependent and must not be.
-      case ToUTCTimestamp(Cast(child, TimestampType, _, _), Literal(tz, StringType))
-          if tz != null && tz.toString == "UTC" && child.dataType == TimestampNTZType =>
+      // NTZ files: `timestampdiff(MICROSECOND, ntz-epoch, ts)` equals
+      // the stored µs value, session-zone-independent (verified incl.
+      // DST: UTC / America/New_York / Australia/Lord_Howe agree; the
+      // zone-dependent to_utc_timestamp form was deliberately
+      // rejected — see normalizeEventTs). The analyzer may leave both
+      // operands NTZ or coerce them to TimestampType in the session
+      // zone; both shapes are matched, and the start literal must be
+      // the NTZ epoch under that same coercion or nothing fires.
+      case TimestampDiff("MICROSECOND", Literal(start, TimestampNTZType), child, _)
+          if start == 0L && child.dataType == TimestampNTZType =>
         invert(child, bound, lower, depth + 1)
-      case ToUTCTimestamp(child, Literal(tz, StringType))
-          if tz != null && tz.toString == "UTC" &&
-            (child.dataType == TimestampNTZType || child.dataType == TimestampType) =>
+      case TimestampDiff("MICROSECOND", lit @ Literal(_, TimestampType),
+          Cast(child, TimestampType, tzId, _), _)
+          if child.dataType == TimestampNTZType && isCoercedNtzEpoch(lit, tzId) =>
         invert(child, bound, lower, depth + 1)
       case _ => None
     }
   }
+
+  /** Is `lit` the TIMESTAMP the analyzer produces when it coerces the
+    * NTZ epoch literal `TIMESTAMP_NTZ'1970-01-01 00:00:00'` to
+    * TimestampType in zone `tzId`? (Coercion interprets the wall time
+    * in that zone, so the instant is −offset(1970, zone).)
+    */
+  private def isCoercedNtzEpoch(lit: Literal, tzId: Option[String]): Boolean =
+    lit.value match {
+      case micros: java.lang.Long =>
+        try {
+          val zone = java.time.ZoneId.of(
+            tzId.getOrElse(org.apache.spark.sql.catalyst.util.DateTimeUtils.TimeZoneUTC.getID))
+          val offsetSec = zone.getRules
+            .getOffset(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)).getTotalSeconds
+          micros.longValue == -offsetSec.toLong * 1000000L
+        } catch { case _: Exception => false }
+      case _ => false
+    }
 
   /** value-preserving (or bounded-error long→double) widenings ONLY —
     * the monotone casts whose inversion cannot tighten the bound
@@ -198,7 +213,7 @@ object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
         Some(if (lower) GreaterThanOrEqual(a, Literal(vs)) else LessThanOrEqual(a, Literal(vs)))
       case TimestampNTZType | TimestampType =>
         // a timestamp attribute is only reachable through the
-        // UnixMicros/ToUTCTimestamp cases, so `v` is epoch-µs here;
+        // UnixMicros/TimestampDiff cases, so `v` is epoch-µs here;
         // slack one full µs outward on top of the representation ulp
         // and emit the bound as a timestamp literal (internal rep of
         // both timestamp types is an epoch-µs long)

@@ -40,18 +40,23 @@ object Tables {
     * regardless of the file's physical encoding. Works on both batch
     * and streaming DataFrames, so every `readStream` path reuses it.
     *
-    * The timestamp branch uses `to_utc_timestamp(ts, "UTC")`, which on
-    * a TIMESTAMP_NTZ input interprets the stored wall-clock value as
-    * UTC **explicitly** — the result does not depend on
-    * `spark.sql.session.timeZone`, so a non-UTC caller can't silently
-    * shift every epoch value.
+    * The NTZ branch extracts the stored micros with an NTZ-to-NTZ
+    * `timestampdiff` from the NTZ epoch — no timezone enters the
+    * computation, so the result is independent of
+    * `spark.sql.session.timeZone` (verified: identical under UTC,
+    * America/New_York, Asia/Tokyo; the superficially-appealing
+    * `unix_micros(to_utc_timestamp(ts, "UTC"))` form is NOT — the
+    * analyzer's implicit ntz→timestamp cast applies the session zone
+    * and shifts every epoch by the zone offset). `unix_micros` on a
+    * true TimestampType is instant-based and already zone-free.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df // already epoch-ns (nanosAsLong path)
       case Some(TimestampNTZType) =>
-        df.withColumn("ts", unix_micros(to_utc_timestamp(col("ts"), "UTC")) * lit(1000L))
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * lit(1000L))
       case Some(TimestampType) =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case Some(other) =>

@@ -113,6 +113,23 @@ class EngineSpec extends AnyFunSuite {
     assert(vcol(replayed, "value") == vcol(direct, "value"))
   }
 
+  test("reference integrate replays with dt = 1/fs, not a silent 1.0") {
+    // dt=0.1 axis → fs=10 → dt=1/10; cumsum([1,2,3]) * 0.1
+    val d = Seq((1L, 0L, 0.0, 1.0), (1L, 1L, 0.1, 2.0), (1L, 2L, 0.2, 3.0))
+      .toDF("user_id", "event_id", "tn", "value")
+    val spec = FilterSpec.fromParams("integrate", Map.empty)
+    assert(spec == FilterSpec.IntegrateAuto)
+    val out = FilterEngine.apply(spark, d, s, Seq("value"), spec)
+    assert(vcol(out, "value").zip(Seq(0.1, 0.3, 0.6))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // explicit dt stays the graft dialect
+    assert(FilterSpec.fromParams("integrate", Map("dt" -> 0.5)) == FilterSpec.Integrate(0.5))
+    // step + target_fs together is ambiguous
+    intercept[IllegalArgumentException] {
+      FilterSpec.fromParams("resample", Map("step" -> 2.0, "target_fs" -> 50.0))
+    }
+  }
+
   test("Hz recipe over a mixed-rate multi-trial frame uses each trial's own rate") {
     // trial 1 at 10 Hz, trial 2 at 20 Hz, one replay job: each series
     // must match the Wn kernel converted with ITS rate
@@ -147,7 +164,17 @@ class EngineSpec extends AnyFunSuite {
     assert(Plugins.translateExpr("(x + y) ** 0.5") == "pow((x + y), 0.5)")
     assert(Plugins.translateExpr("abs(v) ** 2 + 1") == "pow(abs(v), 2) + 1")
     assert(Plugins.translateExpr("v ** -2") == "pow(v, -2)")
-    assert(Plugins.translateExpr("~flag and True") == " not flag and true")
+    // ~ passes through untouched: Spark's integral bitwise-not matches
+    // pd.eval; a boolean ~ fails analysis loudly rather than being
+    // blindly rewritten (which would corrupt the integer case)
+    assert(Plugins.translateExpr("~flags and True") == "~flags and true")
+    // signed-exponent scientific notation on either side of **
+    assert(Plugins.translateExpr("x ** 1e-3") == "pow(x, 1e-3)")
+    assert(Plugins.translateExpr("1e-3 ** x") == "pow(1e-3, x)")
+    // ...but an identifier ending in e stays a subtraction
+    assert(Plugins.translateExpr("y2e-3 ** x") == "y2e-pow(3, x)")
+    // double-quoted literals are data too
+    assert(Plugins.translateExpr("concat(s, \"2**3\")") == "concat(s, \"2**3\")")
     // pass-through: already-valid Spark SQL is untouched
     assert(Plugins.translateExpr("value * 2 + 1") == "value * 2 + 1")
     // string literals are DATA, never rewritten (incl. '' escapes)

@@ -79,6 +79,24 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp reads are independent of the session timezone") {
+    // round 4 nearly shipped unix_micros(to_utc_timestamp(ts,'UTC')),
+    // which shifts every epoch by the session-zone offset — this pin
+    // reads the NTZ and UTC-adjusted fixtures under a non-UTC session
+    // and requires the exact UTC-session values
+    val (_, tsDir) = writeFixtures()
+    val utcDir = writeUtcAdjustedFixture()
+    val expected = usValues.map { case (eid, us, _, _, _) => eid -> us * 1000L }.toMap
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    for (dir <- Seq(tsDir, utcDir)) {
+      val got = Tables.events(ny, dir)
+        .select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"session-timezone-dependent read at $dir")
+    }
+  }
+
   test("series view is bit-identical across encodings") {
     val (longDir, tsDir) = writeFixtures()
     val a = Tables.series(spark, longDir).orderBy("event_id").collect().toSeq
