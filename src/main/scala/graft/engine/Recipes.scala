@@ -89,9 +89,23 @@ object Recipes {
       p.flatMap(o => Option(o.get(f))).filter(_.isNumber).map(_.asDouble())
     desc match {
       case "filter" =>
-        val params = p.map(_.properties().asScala.collect {
+        val raw = p.map(_.properties().asScala.collect {
           case e if e.getValue.isNumber => e.getKey -> e.getValue.asDouble()
         }.toMap).getOrElse(Map.empty)
+        val ft = p.flatMap(o => Option(o.get("filter_type"))).map(_.asText()).getOrElse("")
+        // this wire shape IS the reference dialect, so a bare
+        // Butterworth gets the reference defaults (cutoff 6 Hz /
+        // 0.5-10 Hz band, filter_engine.py:51-57), not graft's
+        // normalized-Wn defaults
+        val params = ft match {
+          case "butter_lowpass"
+              if !raw.contains("cutoff") && !raw.contains("cutoff_wn") =>
+            raw + ("cutoff" -> 6.0)
+          case "butter_bandpass"
+              if !Seq("low_cut", "high_cut", "low_wn", "high_wn").exists(raw.contains) =>
+            raw + ("low_cut" -> 0.5, "high_cut" -> 10.0)
+          case _ => raw
+        }
         val strParams = p.map(_.properties().asScala.collect {
           case e if e.getValue.isTextual && e.getKey != "filter_type" &&
             e.getKey != "preset" => e.getKey -> e.getValue.asText()

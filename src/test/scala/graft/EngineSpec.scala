@@ -321,6 +321,18 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("akima"))
   }
 
+  test("bare Butterworth in the reference wire shape gets reference defaults") {
+    val ops = Recipes.fromJson(
+      """{"operations": [
+        |  {"description": "filter",
+        |   "params": {"channels": ["value"], "filter_type": "butter_lowpass"}},
+        |  {"description": "filter",
+        |   "params": {"channels": ["value"], "filter_type": "butter_bandpass"}}
+        |]}""".stripMargin)
+    val specs = ops.collect { case Op.Filter(n, p, _, _, sp) => FilterSpec.fromParams(n, p, sp) }
+    assert(specs == Seq(FilterSpec.ButterLowpassHz(6.0, 2), FilterSpec.ButterBandpassHz(0.5, 10.0, 2)))
+  }
+
   test("reference-shaped recipe wire format parses and replays") {
     val refJson =
       """{"operations": [
