@@ -129,6 +129,37 @@ class PlanRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("timestamp-chain bounds never drop rows on an NTZ parquet fixture") {
+    // the micros-encoded events read derives
+    // t = (timestampdiff(µs, epoch, ts) * 1000 div 1000) / 1e6;
+    // slice at boundaries exactly on/next to stored microseconds and
+    // compare with/without the rule against the real parquet scan
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz-parity").toString
+    (0 until 4000).map(i => (i.toLong, 1704000000000000L + i * 997L))
+      .toDF("event_id", "us")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us"))
+          .cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val base = graft.sources.Tables
+      .normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .selectExpr("event_id", "cast(ts div 1000 as double) / 1e6 as t")
+    val bounds = Seq(
+      (1.704000000000997e9 / 1000, 1.704000000099700e9 / 1000),
+      (1704000000.000997, 1704000000.0997),
+      (1704000000.0009969999, 1704000000.0997000001),
+      (1704000000.0, 1704000003.988))
+    def run() = bounds.map { case (lo, hi) =>
+      base.filter(col("t") >= lo && col("t") <= hi)
+        .agg(count(lit(1)), sum("event_id")).collect().toSeq
+    }
+    val naive = run()
+    spark.experimental.extraOptimizations = Seq(InferScanBounds)
+    try assert(run() == naive)
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("point-in-interval theta joins rewrite too (degenerate point side)") {
     // p.t BETWEEN i.s AND i.e with no equi key: the left "interval"
     // is the point [t, t] — one bucket, same machinery
