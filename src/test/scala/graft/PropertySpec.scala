@@ -67,6 +67,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("in-kernel fs inference matches the S4 load-path inference exactly") {
+    // SignalKernels.inferFsLocal (per-group, drives Hz-dialect filter
+    // design) and TrialReader.inferSampleRate (load path, q49 oracle)
+    // implement the same reference formula — pin them together so an
+    // edit to one can't silently skew the other
+    val axisGen: Gen[List[Double]] =
+      Gen.chooseNum(2, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(0.0, 0.005, 0.01, 0.02, 0.1, 0.25)))
+    forSamples(axisGen, 12) { steps =>
+      val ts = steps.scanLeft(0.0)(_ + _).toArray
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toSeq.toDF("i", "normalized_time")
+      val fromDf = graft.sources.TrialReader.inferSampleRate(df, "normalized_time")
+      val fromArr = graft.operators.SignalKernels.inferFsLocal(ts)
+      assert(fromDf == fromArr, s"axis=${ts.toSeq}")
+    }
+  }
+
   test("zscore output: mean 0, population std 1 (or all-zero)") {
     forSamples(valuesGen, 8) { vs =>
       val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, i * 1.0, v) }
