@@ -107,9 +107,13 @@ object Plugins {
     s = translatePow(s)
     // restore masked literals in ONE regex pass — replacements are
     // never rescanned, so a literal whose CONTENT contains a
-    // placeholder-shaped token cannot trigger a second substitution
+    // placeholder-shaped token cannot trigger a second substitution;
+    // a placeholder-SHAPED token the USER wrote (no matching mask)
+    // passes through as itself
     "__strlit_(\\d+)__".r.replaceAllIn(s, m =>
-      scala.util.matching.Regex.quoteReplacement(literals(m.group(1).toInt)))
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1).toIntOption.filter(_ < literals.length)
+          .map(literals(_)).getOrElse(m.matched)))
   }
 
   /** Rewrite every `**` into `pow(l, r)`, rightmost-first so chains

@@ -94,6 +94,10 @@ object SignalKernels {
       out: String, order: Int, cutoffHz: Double): DataFrame =
     applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
       val fs = inferFsLocal(ts)
+      // rint(100/median)/100 rounds to 0.0 for median Δt > 200 s; a
+      // zero rate would design Wn = ∞ → all-NaN output, so fail loud
+      // (scipy's butter raises for the same degenerate input)
+      require(fs > 0, s"inferred sample rate $fs must be positive for a $cutoffHz Hz cutoff")
       Dsp.filtfiltTf(Dsp.butterLowpassTf(order, cutoffHz / (0.5 * fs)), xs)
     }
 
@@ -104,6 +108,7 @@ object SignalKernels {
       out: String, order: Int, lowHz: Double, highHz: Double): DataFrame =
     applyKernelWithTime(spark, df, s, src, out) { (ts, xs) =>
       val fs = inferFsLocal(ts)
+      require(fs > 0, s"inferred sample rate $fs must be positive for a $lowHz-$highHz Hz band")
       val nyq = 0.5 * fs
       Dsp.filtfiltTf(Dsp.butterBandpassTf(order, lowHz / nyq, highHz / nyq), xs)
     }

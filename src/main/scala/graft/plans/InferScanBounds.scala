@@ -133,49 +133,27 @@ object InferScanBounds extends Rule[LogicalPlan] with PredicateHelper {
         val next = if (lower) slack(c * k - (k - 1), lower) else slack(c * k + (k - 1), lower)
         invert(child, next, lower, depth + 1)
       }
-      // ── timestamp-encoded events (sources/Tables.normalizeEventTs):
+      // ── timestamp-encoded events (sources/Tables.normalizeEventTs).
+      // NTZ files read through the UTC-pinned cast
+      // (graftshim.NtzMicros): Cast(ntz→timestamp) with an EXPLICIT
+      // UTC zone is a bijection on the stored µs (UTC has no DST
+      // gaps), so unix_micros over it IS the stored value — invert
+      // with the bound carried in the µs domain and emit an
+      // NTZ-typed literal at the attribute for parquet pruning. A
+      // cast with any other (or session-defaulted) zone is NOT
+      // inverted: it is zone-dependent and lossy in DST gaps.
+      // This arm must precede the generic one — the cast's output
+      // type is TimestampType and would match it vacuously.
+      case UnixMicros(Cast(child, TimestampType, Some("UTC"), _))
+          if child.dataType == TimestampNTZType =>
+        invert(child, bound, lower, depth + 1)
       // `unix_micros(ts)` over a true TimestampType is the stored
-      // instant's µs — zone-free and strictly monotone; carry the
-      // bound through in the µs domain and emit a timestamp-typed
-      // literal at the attribute (finalBound) for parquet pruning.
+      // instant's µs — zone-free and strictly monotone.
       case UnixMicros(child) if child.dataType == TimestampType =>
-        invert(child, bound, lower, depth + 1)
-      // NTZ files: `timestampdiff(MICROSECOND, ntz-epoch, ts)` equals
-      // the stored µs value, session-zone-independent (verified incl.
-      // DST: UTC / America/New_York / Australia/Lord_Howe agree; the
-      // zone-dependent to_utc_timestamp form was deliberately
-      // rejected — see normalizeEventTs). The analyzer may leave both
-      // operands NTZ or coerce them to TimestampType in the session
-      // zone; both shapes are matched, and the start literal must be
-      // the NTZ epoch under that same coercion or nothing fires.
-      case TimestampDiff("MICROSECOND", Literal(start, TimestampNTZType), child, _)
-          if start == 0L && child.dataType == TimestampNTZType =>
-        invert(child, bound, lower, depth + 1)
-      case TimestampDiff("MICROSECOND", lit @ Literal(_, TimestampType),
-          Cast(child, TimestampType, tzId, _), _)
-          if child.dataType == TimestampNTZType && isCoercedNtzEpoch(lit, tzId) =>
         invert(child, bound, lower, depth + 1)
       case _ => None
     }
   }
-
-  /** Is `lit` the TIMESTAMP the analyzer produces when it coerces the
-    * NTZ epoch literal `TIMESTAMP_NTZ'1970-01-01 00:00:00'` to
-    * TimestampType in zone `tzId`? (Coercion interprets the wall time
-    * in that zone, so the instant is −offset(1970, zone).)
-    */
-  private def isCoercedNtzEpoch(lit: Literal, tzId: Option[String]): Boolean =
-    lit.value match {
-      case micros: java.lang.Long =>
-        try {
-          val zone = java.time.ZoneId.of(
-            tzId.getOrElse(org.apache.spark.sql.catalyst.util.DateTimeUtils.TimeZoneUTC.getID))
-          val offsetSec = zone.getRules
-            .getOffset(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)).getTotalSeconds
-          micros.longValue == -offsetSec.toLong * 1000000L
-        } catch { case _: Exception => false }
-      case _ => false
-    }
 
   /** value-preserving (or bounded-error long→double) widenings ONLY —
     * the monotone casts whose inversion cannot tighten the bound

@@ -40,15 +40,17 @@ object Tables {
     * regardless of the file's physical encoding. Works on both batch
     * and streaming DataFrames, so every `readStream` path reuses it.
     *
-    * The NTZ branch extracts the stored micros with an NTZ-to-NTZ
-    * `timestampdiff` from the NTZ epoch — no timezone enters the
-    * computation, so the result is independent of
-    * `spark.sql.session.timeZone` (verified: identical under UTC,
-    * America/New_York, Asia/Tokyo; the superficially-appealing
-    * `unix_micros(to_utc_timestamp(ts, "UTC"))` form is NOT — the
-    * analyzer's implicit ntz→timestamp cast applies the session zone
-    * and shifts every epoch by the zone offset). `unix_micros` on a
-    * true TimestampType is instant-based and already zone-free.
+    * The NTZ branch extracts the stored micros with a cast whose
+    * zone is pinned to UTC at construction
+    * ([[org.apache.spark.sql.graftshim.NtzMicros]]) — independent of
+    * `spark.sql.session.timeZone` for EVERY wall time. The two
+    * SQL-level alternatives both fail: `to_utc_timestamp` shifts by
+    * the session-zone offset outright, and an NTZ `timestampdiff`
+    * from the epoch cancels the offset for ordinary wall times but
+    * corrupts wall times inside the session zone's DST
+    * spring-forward gap (+1h — the session-zone ntz→timestamp
+    * coercion maps nonexistent local times forward). `unix_micros`
+    * on a true TimestampType is instant-based and already zone-free.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -56,7 +58,7 @@ object Tables {
       case Some(LongType) | None => df // already epoch-ns (nanosAsLong path)
       case Some(TimestampNTZType) =>
         df.withColumn("ts",
-          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * lit(1000L))
+          org.apache.spark.sql.graftshim.NtzMicros.ntzEpochMicros(col("ts")) * lit(1000L))
       case Some(TimestampType) =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case Some(other) =>

@@ -175,6 +175,11 @@ class EngineSpec extends AnyFunSuite {
     assert(Plugins.translateExpr("y2e-3 ** x") == "y2e-pow(3, x)")
     // double-quoted literals are data too
     assert(Plugins.translateExpr("concat(s, \"2**3\")") == "concat(s, \"2**3\")")
+    // a user identifier that happens to look like a mask placeholder
+    // passes through rather than crashing the restore
+    assert(Plugins.translateExpr("x + __strlit_0__") == "x + __strlit_0__")
+    assert(Plugins.translateExpr("__strlit_99999999999__ ** 2")
+      == "pow(__strlit_99999999999__, 2)")
     // pass-through: already-valid Spark SQL is untouched
     assert(Plugins.translateExpr("value * 2 + 1") == "value * 2 + 1")
     // string literals are DATA, never rewritten (incl. '' escapes)

@@ -97,6 +97,23 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ wall times inside a DST spring-forward gap survive a non-UTC session") {
+    // 2024-03-10T02:30:00 does not exist as a New York local time — a
+    // session-zone ntz→timestamp coercion maps it forward (+1h), which
+    // is how the timestampdiff-based read silently corrupted gap
+    // rows. The UTC-pinned cast must return the exact stored micros.
+    val gapUs = 1710037800000000L // 2024-03-10T02:30:00 wall, as µs-since-epoch-wall
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-gap").toString
+    writeSingleFile(
+      Seq((1L, gapUs)).toDF("event_id", "us")
+        .select(col("event_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts")), dir)
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val got = Tables.events(ny, dir).select("ts").head.getLong(0)
+    assert(got == gapUs * 1000L, s"DST-gap wall time shifted: $got")
+  }
+
   test("series view is bit-identical across encodings") {
     val (longDir, tsDir) = writeFixtures()
     val a = Tables.series(spark, longDir).orderBy("event_id").collect().toSeq

@@ -146,9 +146,9 @@ class PlanRewriteSpec extends AnyFunSuite {
       .normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .selectExpr("event_id", "cast(ts div 1000 as double) / 1e6 as t")
     val bounds = Seq(
-      (1.704000000000997e9 / 1000, 1.704000000099700e9 / 1000),
       (1704000000.000997, 1704000000.0997),
       (1704000000.0009969999, 1704000000.0997000001),
+      (1704000000.001, 1704000000.001),
       (1704000000.0, 1704000003.988))
     def run() = bounds.map { case (lo, hi) =>
       base.filter(col("t") >= lo && col("t") <= hi)
