@@ -276,9 +276,16 @@ object CorpusOps {
     * sample (q75), membership changes minimally as the corpus grows
     * (a doc is displaced only when a smaller-hash doc arrives), and
     * unlike `TABLESAMPLE` it is reproducible on any cluster layout.
-    * The per-stratum top-k compiles to WindowGroupLimit: each task
-    * prunes to k rows per source BEFORE the exchange, so the shuffle
-    * carries k·|sources| rows regardless of corpus size.
+    *
+    * Scale shape: a per-stratum top-k over a LOW-cardinality stratum
+    * key is an AGGREGATE, not a window — `row_number().over(
+    * partitionBy(source))` funnels every source's rows through one
+    * reducer's sort at 100 TB even with the WindowGroupLimit
+    * map-side prune. [[graft.functions.TopKPairsAgg]] keeps the k
+    * smallest (hk, doc_id) pairs in O(k) state with map-side partial
+    * merge, so the exchange carries k·|sources| pairs total and the
+    * rank falls out of `posexplode` on the sorted final state —
+    * identical rows to the window form under any partitioning.
     */
   val SamplePerSource = 20
 
@@ -291,13 +298,17 @@ object CorpusOps {
        |    ORDER BY hk, doc_id) AS rn FROM h)
        |SELECT source, rn, doc_id, hk FROM r WHERE rn <= $SamplePerSource
        |ORDER BY source, rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val hk = graft.functions.TextHash.base32Builtin(col("doc_id").cast("string"))
-    val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    val topk = udaf(new graft.functions.TopKPairsAgg(SamplePerSource),
+      ExpressionEncoder[(Long, Long)]())
     docs(spark, dir)
       .select(col("doc_id"), col("source"), hk.as("hk"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= SamplePerSource)
-      .select("source", "rn", "doc_id", "hk")
+      .groupBy("source")
+      .agg(topk(col("hk"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("doc_id"), col("col._1").as("hk"))
       .orderBy("source", "rn")
   }
 

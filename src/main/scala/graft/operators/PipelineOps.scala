@@ -618,7 +618,18 @@ object PipelineOps {
     * a global bar that empties low-quality sources). `percent_rank`
     * is `(rank-1)/(n-1)`: integers in, one IEEE division out —
     * deterministic, tie-stable (ties share a rank on both engines).
-    * One window on the source shuffle, zero joins.
+    *
+    * Scale shape: `source` is low-cardinality, so
+    * `percent_rank().over(partitionBy(source))` would sort each
+    * source's ENTIRE doc population on one reducer. Instead the rank
+    * is read off a per-(source, quality_ppm) count histogram:
+    * `rank−1` = docs with a strictly smaller ppm = the prefix sum of
+    * the histogram, and `(rank−1)/(n−1)` is the same single IEEE
+    * division PercentRank evaluates — bit-identical output, zero
+    * single-reducer sorts. The histogram is bounded by the VALUE
+    * DOMAIN (|sources| × 1e6 ppm values), not the corpus size, so
+    * broadcasting it back is a bounded-size build side at any scale;
+    * the doc-side scan never shuffles at all.
     */
   val q107QualityRank: QueryDef = QueryDef.sql(
     "q107_quality_rank",
@@ -628,21 +639,41 @@ object PipelineOps {
        |SELECT doc_id, source, CAST(quality_ppm AS BIGINT) AS quality_ppm,
        |  percent_rank() OVER (PARTITION BY source ORDER BY quality_ppm) AS qrank
        |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    // rank over the INTEGER ppm score (identical tie structure on both
-    // engines); percent_rank itself is one (rank-1)/(n-1) IEEE
-    // division — emitted raw, bit-identical, nothing to round
-    val w = Window.partitionBy("source").orderBy("quality_ppm")
-    graft.operators.TextOps.withQuality(docs(spark, dir))
-      .select(col("doc_id"), col("source"), col("quality_ppm"),
-        percent_rank().over(w).as("qrank"))
+    val scored = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("source"), col("quality_ppm"))
+    val wOrd = Window.partitionBy("source").orderBy("quality_ppm")
+    val ranks = scored.groupBy("source", "quality_ppm").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank0", coalesce(
+        sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      // PercentRank's guard + division, verbatim: n ≤ 1 → 0.0
+      .withColumn("qrank", when(col("n") > 1,
+        col("rank0").cast("double") / (col("n") - 1).cast("double")).otherwise(lit(0.0)))
+      .select("source", "quality_ppm", "qrank")
+    scored.join(broadcast(ranks), Seq("source", "quality_ppm"))
+      .select("doc_id", "source", "quality_ppm", "qrank")
       .orderBy("doc_id")
   }
 
   /** Inter-arrival statistics per event type: milli-quantized gaps
     * between a user's consecutive same-type events, rolled up to
-    * exact-integer mean and dyadic p50/p90 per type — the cadence
-    * dashboard for event streams. One (user, type) shuffle for the
-    * lag, one hash aggregate.
+    * exact-integer mean and exact (interpolated) p50/p90 per type —
+    * the cadence dashboard for event streams.
+    *
+    * Scale shape: the percentiles are EXACT but never buffer a
+    * group's values. `event_type` has ~5 values, so a plain
+    * `percentile(dtm, p)` would pour billions of longs into one
+    * ObjectHashAggregate buffer per type at 100 TB. Instead the
+    * milli-quantized gaps roll up to a VALUE HISTOGRAM —
+    * `groupBy(event_type, dtm).count()` is a hash aggregate with
+    * map-side combine whose size is bounded by the dtm domain
+    * (distinct milli gaps ≲ time-range-in-ms), not the row count —
+    * and the quantile is read off the prefix-summed histogram with
+    * the same `position = p·(n−1)`, `(hi−pos)·v_lo + (pos−lo)·v_hi`
+    * interpolation Spark's `Percentile` evaluates, so the output is
+    * bit-identical to the buffered form (same trick as q86/q101).
+    * The per-type prefix-sum window runs over the tiny histogram,
+    * never the raw rows.
     */
   val q108Interarrival: QueryDef = QueryDef.sql(
     "q108_interarrival",
@@ -659,15 +690,41 @@ object PipelineOps {
        |FROM d WHERE dtm IS NOT NULL
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val byUserType = Window.partitionBy("user_id", "event_type").orderBy("tn", "event_id")
-    graft.sources.Tables.seriesNorm(spark, dir)
+    val hist = graft.sources.Tables.seriesNorm(spark, dir)
       .withColumn("dtm",
         round((col("tn") - lag(col("tn"), 1).over(byUserType)) * 1e3).cast("long"))
       .filter(col("dtm").isNotNull)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        round(sum("dtm").cast("double") / count(lit(1)) / 1e3, 6).as("mean_sec"),
-        round(percentile(col("dtm"), lit(0.5)) / 1e3, 6).as("p50_sec"),
-        round(percentile(col("dtm"), lit(0.9)) / 1e3, 6).as("p90_sec"))
+      .groupBy("event_type", "dtm").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("event_type").orderBy("dtm")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    // the histogram rows covering the 0-based sort positions
+    // floor(p·(n−1)) and ceil(p·(n−1)): row with cumulative range
+    // [cum−cnt, cum) covers position i iff cum−cnt ≤ i < cum
+    def bracket(p: Double, tag: String): Seq[Column] = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      Seq(
+        min(when(col("cum") - col("cnt") <= lo && lo < col("cum"), col("dtm"))).as(s"vlo_$tag"),
+        min(when(col("cum") - col("cnt") <= hi && hi < col("cum"), col("dtm"))).as(s"vhi_$tag"))
+    }
+    val aggs = Seq(max("n").as("n_gaps"), sum(col("dtm") * col("cnt")).as("dt_sum")) ++
+      bracket(0.5, "50") ++ bracket(0.9, "90")
+    val agged = cum.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    // Percentile.getPercentile's exact interpolation, replayed on the
+    // bracketing values (no interpolation when pos is integral or the
+    // two bracketing keys coincide)
+    def interp(p: Double, vlo: Column, vhi: Column): Column = {
+      val pos = (col("n_gaps") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      when(lo === hi || vlo === vhi, vlo.cast("double"))
+        .otherwise((hi.cast("double") - pos) * vlo.cast("double") +
+          (pos - lo.cast("double")) * vhi.cast("double"))
+    }
+    agged.select(col("event_type"), col("n_gaps"),
+      round(col("dt_sum").cast("double") / col("n_gaps") / 1e3, 6).as("mean_sec"),
+      round(interp(0.5, col("vlo_50"), col("vhi_50")) / 1e3, 6).as("p50_sec"),
+      round(interp(0.9, col("vlo_90"), col("vhi_90")) / 1e3, 6).as("p90_sec"))
       .orderBy("event_type")
   }
 

@@ -16,8 +16,35 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("group top-k queries prune map-side (WindowGroupLimit)") {
-    for (q <- Seq("q54_window_dedup", "q88_stratified_sample", "q89_tfidf_topk"))
+    for (q <- Seq("q54_window_dedup", "q89_tfidf_topk"))
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost its group-limit prune")
+  }
+
+  test("stratified sample is a bounded top-k aggregate, not a stratum window") {
+    // low-cardinality stratum key ⇒ a window sort would funnel each
+    // source through one reducer; the TopKPairsAgg state is O(k) and
+    // merges map-side below the exchange
+    val p = plan("q88_stratified_sample")
+    assert(!p.contains("Window"), "q88 regressed to a per-source window sort")
+    val firstExchange = p.indexOf("Exchange")
+    assert(p.indexOf("ObjectHashAggregate") >= 0 && firstExchange >= 0)
+    assert(p.lastIndexOf("ObjectHashAggregate") > firstExchange,
+      "no partial top-k aggregation below the exchange")
+  }
+
+  test("exact group percentiles ride the value histogram, not a group buffer") {
+    // percentile() over a ~5-value group key buffers every row of the
+    // group in one ObjectHashAggregate buffer — the histogram form
+    // must keep the plan in plain hash aggregates
+    val p = plan("q108_interarrival")
+    assert(!p.toLowerCase.contains("percentile"), "q108 regressed to buffered percentile")
+    assert(!p.contains("ObjectHashAggregate"), "q108 has an object-buffer aggregate")
+  }
+
+  test("per-source percent_rank reads a broadcast histogram, not a stratum window") {
+    val p = plan("q107_quality_rank")
+    assert(p.contains("BroadcastHashJoin"), "q107 lost the broadcast rank join")
+    assert(!p.contains("percent_rank"), "q107 regressed to a per-source window rank")
   }
 
   test("global top-k is TakeOrderedAndProject, not a full sort") {
