@@ -489,11 +489,16 @@ object Dedup {
     var rounds = 0
     var labSum = labels.agg(sum("lab")).head().getLong(0)
     while (!converged && rounds < 20) {
-      val next = labels
+      val step = labels
         .unionAll(edges.join(labels, edges("a") === labels("d"))
           .select(col("b").as("d"), col("lab")))
         .groupBy("d").agg(min("lab").as("lab"))
-        .persist()
+      // long-diameter components: truncate lineage every k rounds so
+      // the label chain's plan depth stays bounded (same cadence as
+      // the Graphs loops)
+      val next =
+        if ((rounds + 1) % graft.operators.Graphs.CheckpointEvery == 0) step.localCheckpoint()
+        else step.persist()
       val nextSum = next.agg(sum("lab")).head().getLong(0)
       labels.unpersist()
       labels = next

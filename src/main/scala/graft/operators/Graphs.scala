@@ -28,6 +28,21 @@ object Graphs {
 
   val Iterations = 5
 
+  /** Lineage-truncation cadence for the iterative loops. Persisting
+    * per round caps recomputation but the LOGICAL plan still grows a
+    * join per round — at real convergence depths (or a lost
+    * executor) the accumulated chain means quadratic analysis cost
+    * and a full-chain replay. Every k-th round the rank/frontier
+    * relation is `localCheckpoint`ed (eager), which materializes it
+    * AND cuts the plan back to a leaf, bounding lineage depth at k
+    * joins regardless of iteration count. k = 8 keeps the default
+    * 5/6-round queries on the single lazy chain (zero extra jobs); a
+    * production unbounded-convergence run on a cluster with dynamic
+    * allocation would use reliable `checkpoint` to a real dir
+    * instead (localCheckpoint state dies with its executor).
+    */
+  val CheckpointEvery = 8
+
   /** Integer-ppm PageRank over a symmetric edge list `(src, dst)`.
     * Every node (appearing as src or dst) starts at 1e6 ppm; after
     * each step ranks are re-damped; dangling nodes cannot exist in a
@@ -39,21 +54,23 @@ object Graphs {
     * round per step tripled the wall time at bench scale and buys
     * nothing without reuse). Only the edge+degree relation, consumed
     * once per iteration, is persisted; the harness clears caches per
-    * query, facade callers unpersist at their own scope. An
-    * unbounded-convergence variant would instead checkpoint each
-    * round like [[Dedup.connectedComponents]].
+    * query, facade callers unpersist at their own scope. Past
+    * [[CheckpointEvery]] rounds the chain is cut by an eager
+    * localCheckpoint, so deep runs keep a bounded plan.
     */
   def pageRankPpm(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src").persist()
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank_ppm", lit(1000000L))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       ranks = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank_ppm div deg").as("c"))
         .groupBy("node")
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("rank_ppm"))
+      // deep runs: cut the chain every k rounds (see CheckpointEvery)
+      if (i % CheckpointEvery == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -200,10 +217,10 @@ object Graphs {
     * FIXED number of relaxation rounds: each round is one shuffle
     * join of the current distance relation to the edges plus one
     * min-aggregate on the destination — the Pregel frontier step as
-    * plain DataFrame ops (same lazy straight-line chaining as
-    * [[pageRankPpm]]; an unbounded-convergence variant would
-    * checkpoint per round like the CC loop). Integer distances and
-    * min-aggregates are order-insensitive ⇒ bit-deterministic.
+    * plain DataFrame ops (same per-layer pinning as [[pageRankPpm]],
+    * with lineage cut every [[CheckpointEvery]] rounds for deep
+    * runs). Integer distances and min-aggregates are
+    * order-insensitive ⇒ bit-deterministic.
     */
   def bfsHops(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
     val e = edges.persist()
@@ -220,13 +237,16 @@ object Graphs {
     var frontier = source.select(col("s").as("node"), lit(0L).as("d")).persist()
     frontier.count()
     var layers = Seq(frontier)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { i =>
       val prev = frontier
-      frontier = e.join(prev, e("src") === prev("node"))
+      val next = e.join(prev, e("src") === prev("node"))
         .select(e("dst").as("node"), (col("d") + 1).as("d"))
         .groupBy("node").agg(min("d").as("d"))
-        .persist()
-      frontier.count()
+      // every k-th layer truncates lineage instead of just pinning it
+      // (CheckpointEvery); both branches leave the layer materialized
+      frontier =
+        if (i % CheckpointEvery == 0) next.localCheckpoint()
+        else { val p = next.persist(); p.count(); p }
       layers :+= frontier
     }
     val dist = layers.reduce(_ union _)

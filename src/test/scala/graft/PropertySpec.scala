@@ -330,6 +330,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deep iterative graph runs keep a bounded plan (lineage cut every k rounds)") {
+    import graft.operators.Graphs
+    val n = 20L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val sym = path.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = sym.toDF("src", "dst")
+    val iters = 12
+    assert(iters > Graphs.CheckpointEvery, "test must cross the checkpoint cadence")
+    val pr = Graphs.pageRankPpm(edges, iters)
+    // past the cut, the optimized plan holds only the post-checkpoint
+    // rounds — without truncation it would carry one logical Join per
+    // round (the lookbehind skips physical *HashJoin text inside
+    // InMemoryRelation dumps)
+    val planStr = pr.queryExecution.optimizedPlan.toString
+    val joins = "(?<![A-Za-z])Join\\b".r.findAllIn(planStr).size
+    assert(joins <= Graphs.CheckpointEvery,
+      s"pageRank lineage not truncated: $joins joins at $iters rounds")
+    assert(planStr.contains("LogicalRDD"), "no checkpoint leaf in the deep plan")
+    // integer brute force with the identical div/damping op order
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var ranks = adj.keySet.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s0, ds) <- adj; d <- ds) contrib(d) += ranks(s0) / deg(s0)
+      ranks = adj.keySet.map(k => k -> (150000L + 85L * contrib(k) / 100L)).toMap
+    }
+    val got = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ranks)
+    // deep BFS crosses the cut and stays correct on a known path graph
+    val hops = Graphs.bfsHops(edges, edges.agg(min("src").as("s")), iters)
+    val gotH = hops.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val want = (0L until n).map(k => k -> (if (k <= iters) Some(k) else None)).toMap
+    assert(gotH == want)
+  }
+
   test("kmv set algebra is exact below k for random token sets") {
     import graft.operators.Sketches
     forSamples(Gen.zip(
