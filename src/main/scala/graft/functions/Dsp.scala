@@ -120,40 +120,80 @@ object Dsp {
     }
   }
 
-  /** C1 quadratic spline through knots `(ts, xs)` (strictly
-    * increasing ts), clamped to the knot range at the ends
-    * (reference W10's `method='quadratic'`, dialogs.py:49). One
-    * parabola per interval, entering slope `m(0)` taken from the
-    * parabola through the first three knots (so exactly-quadratic
-    * data is reproduced on every interval), then propagated by the
-    * C1 condition `m(i+1) = 2·d(i) − m(i)` where `d(i)` is the
-    * interval's secant slope. Two knots degrade to the secant line —
-    * the same unified evaluation expression, so the DuckDB oracle
-    * ([[KernelOracles.quadraticSplineOracle]]) replays one op order.
+  /** Global C1 quadratic B-spline interpolant through knots
+    * `(ts, xs)` (strictly increasing ts), clamped to the knot range
+    * at the ends — the algorithm behind the reference W10's
+    * `method='quadratic'` (dialogs.py:49 → pandas → scipy
+    * `interp1d(kind='quadratic')` → `make_interp_spline(k=2)`):
+    * interior knots at the data midpoints with the first and last
+    * midpoint dropped (scipy's "a la not-a-knot" layout for even k),
+    * B-spline coefficients from the banded collocation system
+    * `B(x_i)·c = y_i` — tridiagonal here, solved by the Thomas
+    * algorithm (stable without pivoting: B-spline collocation
+    * matrices are totally positive) — and de Boor evaluation.
+    * The solve is global, so a local jump shapes the whole curve
+    * exactly as scipy's does (cross-validated against an independent
+    * numpy reimplementation, scripts/golden_quadspline.py, in
+    * DspSpec). Two knots degrade to the secant line (scipy raises
+    * there; a total function is kinder in a column engine). The
+    * DuckDB oracle ([[KernelOracles.quadraticSplineOracle]]) replays
+    * the same knot layout, collocation entries, Thomas sweeps and
+    * evaluation in the same IEEE op order.
     */
   def quadraticSpline(ts: Array[Double], xs: Array[Double]): Double => Double = {
     val n = ts.length
     require(n >= 2, "spline needs at least two knots")
-    val d = Array.tabulate(n - 1)(i => (xs(i + 1) - xs(i)) / (ts(i + 1) - ts(i)))
-    val m = new Array[Double](n - 1)
-    m(0) =
-      if (n == 2) d(0)
-      else {
-        // Lagrange derivative at ts(0) of the parabola through the
-        // first three knots — op order mirrored by the SQL oracle
-        val x0 = ts(0); val x1 = ts(1); val x2 = ts(2)
-        xs(0) * (2.0 * x0 - x1 - x2) / ((x0 - x1) * (x0 - x2)) +
-          xs(1) * (x0 - x2) / ((x1 - x0) * (x1 - x2)) +
-          xs(2) * (x0 - x1) / ((x2 - x0) * (x2 - x1))
+    if (n == 2) {
+      val d0 = (xs(1) - xs(0)) / (ts(1) - ts(0))
+      t0 => {
+        val t = math.max(ts(0), math.min(ts(1), t0))
+        xs(0) + d0 * (t - ts(0))
       }
-    for (i <- 1 until n - 1) m(i) = 2.0 * d(i - 1) - m(i - 1)
-    t0 => {
-      val t = math.max(ts(0), math.min(ts(n - 1), t0))
-      var i = java.util.Arrays.binarySearch(ts, t)
-      if (i < 0) i = -i - 2
-      if (i >= n - 1) i = n - 2
-      val dt = t - ts(i)
-      xs(i) + m(i) * dt + (d(i) - m(i)) / (ts(i + 1) - ts(i)) * dt * dt
+    } else {
+      // knot vector (0-based, length n+3): triple end knots, interior
+      // knots at data midpoints minus the first and last midpoint
+      val tq = new Array[Double](n + 3)
+      tq(0) = ts(0); tq(1) = ts(0); tq(2) = ts(0)
+      for (r <- 1 to n - 3) tq(2 + r) = (ts(r) + ts(r + 1)) / 2.0
+      tq(n) = ts(n - 1); tq(n + 1) = ts(n - 1); tq(n + 2) = ts(n - 1)
+      // the three nonzero degree-2 B-splines on interval [tq(j), tq(j+1))
+      // at x, for coefficients c(j-2), c(j-1), c(j) (de Boor closed form)
+      def basis(j: Int, x: Double): (Double, Double, Double) = {
+        val b0 = ((tq(j + 1) - x) / (tq(j + 1) - tq(j - 1))) * ((tq(j + 1) - x) / (tq(j + 1) - tq(j)))
+        val b1 = ((x - tq(j - 1)) / (tq(j + 1) - tq(j - 1))) * ((tq(j + 1) - x) / (tq(j + 1) - tq(j))) +
+          ((tq(j + 2) - x) / (tq(j + 2) - tq(j))) * ((x - tq(j)) / (tq(j + 1) - tq(j)))
+        val b2 = ((x - tq(j)) / (tq(j + 2) - tq(j))) * ((x - tq(j)) / (tq(j + 1) - tq(j)))
+        (b0, b1, b2)
+      }
+      // collocation: row 0 and n-1 are identities (full-multiplicity
+      // end knots), interior site ts(i) lives on interval j = i+1 →
+      // a tridiagonal system in c(1..n-2); Thomas sweep
+      val c = new Array[Double](n)
+      c(0) = xs(0); c(n - 1) = xs(n - 1)
+      val cp = new Array[Double](n - 1)
+      val dp = new Array[Double](n - 1)
+      for (i <- 1 to n - 2) {
+        val (aa, bb, cc) = basis(i + 1, ts(i))
+        val rhs = (xs(i) - (if (i == 1) aa * xs(0) else 0.0)) -
+          (if (i == n - 2) cc * xs(n - 1) else 0.0)
+        val w = if (i == 1) bb else bb - aa * cp(i - 1)
+        cp(i) = cc / w
+        dp(i) = (if (i == 1) rhs else rhs - aa * dp(i - 1)) / w
+      }
+      c(n - 2) = dp(n - 2)
+      for (i <- n - 3 to 1 by -1) c(i) = dp(i) - cp(i) * c(i + 1)
+      t0 => {
+        val t = math.max(ts(0), math.min(ts(n - 1), t0))
+        // rightmost knot interval containing t, clamped to [2, n-1]
+        var lo = 0; var hi = n + 3
+        while (lo < hi) { // upper bound: first index with tq(idx) > t
+          val mid = (lo + hi) >>> 1
+          if (tq(mid) <= t) lo = mid + 1 else hi = mid
+        }
+        val j = math.min(math.max(lo - 1, 2), n - 1)
+        val (b0, b1, b2) = basis(j, t)
+        b0 * c(j - 2) + b1 * c(j - 1) + b2 * c(j)
+      }
     }
   }
 

@@ -241,15 +241,36 @@ object KernelOracles {
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 
-  /** q147: C1 quadratic spline interpolation oracle — the
-    * [[Dsp.quadraticSpline]] slope recursion `m(j+1) = 2·d(j) − m(j)`
-    * (seeded from the parabola through the first three knots) as a
-    * recursive CTE over the non-null knots, with the kernel's exact
-    * IEEE op order in the seed, the step, and the per-interval
-    * evaluation. Knot lists are 1-based (DuckDB); `m`'s `j` is the
-    * 0-based interval index like the Scala array.
+  /** The three nonzero degree-2 B-splines on 0-based knot interval
+    * `j` at `x`, as DuckDB SQL over the 1-based knot list `tq` —
+    * exactly [[Dsp.quadraticSpline]]'s `basis` op order. `tm1/t0/
+    * tp1/tp2` are the SQL refs for the Scala kernel's
+    * `tq(j-1)/tq(j)/tq(j+1)/tq(j+2)`.
     */
-  def quadraticSplineOracle(seriesSql: String): String =
+  private def qsBasis(tm1: String, t0: String, tp1: String, tp2: String,
+      x: String): (String, String, String) = (
+    s"(($tp1 - $x) / ($tp1 - $tm1)) * (($tp1 - $x) / ($tp1 - $t0))",
+    s"(($x - $tm1) / ($tp1 - $tm1)) * (($tp1 - $x) / ($tp1 - $t0))" +
+      s" + (($tp2 - $x) / ($tp2 - $t0)) * (($x - $t0) / ($tp1 - $t0))",
+    s"(($x - $t0) / ($tp2 - $t0)) * (($x - $t0) / ($tp1 - $t0))")
+
+  /** q147: scipy-faithful quadratic B-spline interpolation oracle —
+    * replays [[Dsp.quadraticSpline]]'s `make_interp_spline(k=2)`
+    * algorithm in the kernel's exact IEEE op order: the midpoint
+    * knot vector (triple end knots, first/last midpoint dropped),
+    * the tridiagonal collocation rows (site `lts[i+1]` lives on
+    * 0-based knot interval `i+1`), a Thomas forward sweep and back
+    * substitution as recursive CTEs, and de Boor evaluation of the
+    * three nonzero basis splines against the solved coefficients.
+    * Lists are 1-based (DuckDB); `i`/`j0` are 0-based coefficient /
+    * interval indices like the Scala arrays, so the Scala kernel's
+    * `tq(j)` is SQL `tq[j + 1]`.
+    */
+  def quadraticSplineOracle(seriesSql: String): String = {
+    // collocation at x = lts[i+1] (0-based site i) on interval j = i+1
+    val (ca, cb, cc) = qsBasis("tq[i + 1]", "tq[i + 2]", "tq[i + 3]", "tq[i + 4]", "lts[i + 1]")
+    // evaluation at tc on interval j0
+    val (eb0, eb1, eb2) = qsBasis("tq[j0]", "tq[j0 + 1]", "tq[j0 + 2]", "tq[j0 + 3]", "tc")
     s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
        |FROM ($seriesSql)),
        |r AS MATERIALIZED (SELECT user_id, event_id, tn,
@@ -261,45 +282,72 @@ object KernelOracles {
        |kl AS MATERIALIZED (SELECT user_id, list(tn ORDER BY j) AS lts,
        |    list(v ORDER BY j) AS lxs, count(*) AS kn
        |  FROM k GROUP BY user_id),
-       |-- entering slope per interval: seed = parabola-through-first-3
-       |-- derivative at lts[1] (secant when kn = 2); step = 2·d − m
-       |mrec AS (
-       |  SELECT user_id, 0 AS j,
-       |    CASE WHEN kn >= 3 THEN
-       |      lxs[1] * (2e0 * lts[1] - lts[2] - lts[3]) / ((lts[1] - lts[2]) * (lts[1] - lts[3]))
-       |      + lxs[2] * (lts[1] - lts[3]) / ((lts[2] - lts[1]) * (lts[2] - lts[3]))
-       |      + lxs[3] * (lts[1] - lts[2]) / ((lts[3] - lts[1]) * (lts[3] - lts[2]))
-       |    ELSE (lxs[2] - lxs[1]) / (lts[2] - lts[1]) END AS m
-       |  FROM kl WHERE kn >= 2
+       |-- scipy k=2 knot vector: triple end knots + interior midpoints
+       |-- with the first and last midpoint dropped (0-based length kn+3)
+       |klq AS MATERIALIZED (SELECT user_id, lts, lxs, kn,
+       |  [lts[1], lts[1], lts[1]]
+       |    || list_transform(range(1, kn - 2), g -> (lts[g + 1] + lts[g + 2]) / 2e0)
+       |    || [lts[kn], lts[kn], lts[kn]] AS tq
+       |  FROM kl),
+       |-- tridiagonal collocation rows i = 1..kn-2 (0-based): the three
+       |-- nonzero basis values at site lts[i+1], rhs folded with the
+       |-- known end coefficients c0 = lxs[1], c(kn-1) = lxs[kn]
+       |rows_ct AS MATERIALIZED (
+       |  SELECT user_id, i, kn, av, bv, cv,
+       |    (lxs[i + 1] - CASE WHEN i = 1 THEN av * lxs[1] ELSE 0e0 END)
+       |      - CASE WHEN i = kn - 2 THEN cv * lxs[kn] ELSE 0e0 END AS rhs
+       |  FROM (
+       |    SELECT user_id, lts, lxs, kn, tq, i,
+       |      $ca AS av,
+       |      $cb AS bv,
+       |      $cc AS cv
+       |    FROM (SELECT *, unnest(range(1, kn - 1)) AS i FROM klq WHERE kn >= 3) u) q),
+       |-- Thomas forward sweep: w = bv - av*cp_prev (i=1: w = bv)
+       |fwd AS (
+       |  SELECT user_id, 1 AS i, cv / bv AS cp, rhs / bv AS dp
+       |  FROM rows_ct WHERE i = 1
        |  UNION ALL
-       |  SELECT p.user_id, p.j + 1,
-       |    2e0 * ((kl.lxs[p.j + 2] - kl.lxs[p.j + 1]) / (kl.lts[p.j + 2] - kl.lts[p.j + 1])) - p.m
-       |  FROM mrec p JOIN kl ON kl.user_id = p.user_id
-       |  WHERE p.j + 1 <= kl.kn - 2),
-       |bm AS MATERIALIZED (SELECT user_id, j, m FROM mrec),
+       |  SELECT user_id, i, cv / w AS cp, (rhs - av * pdp) / w AS dp FROM (
+       |    SELECT rc.user_id, rc.i, rc.cv, rc.av, rc.rhs,
+       |      rc.bv - rc.av * f.cp AS w, f.dp AS pdp
+       |    FROM fwd f JOIN rows_ct rc ON rc.user_id = f.user_id AND rc.i = f.i + 1) q),
+       |fm AS MATERIALIZED (SELECT user_id, i, cp, dp FROM fwd),
+       |-- back substitution: c(kn-2) = dp(kn-2); c(i) = dp(i) - cp(i)*c(i+1)
+       |bwd AS (
+       |  SELECT f.user_id, f.i, f.dp AS cval
+       |    FROM fm f JOIN klq ON klq.user_id = f.user_id WHERE f.i = klq.kn - 2
+       |  UNION ALL
+       |  SELECT f.user_id, f.i, f.dp - f.cp * b.cval
+       |    FROM bwd b JOIN fm f ON f.user_id = b.user_id AND f.i = b.i - 1
+       |    WHERE b.i >= 2),
+       |coef AS MATERIALIZED (
+       |  SELECT user_id, 0 AS i, lxs[1] AS cval FROM klq WHERE kn >= 3
+       |  UNION ALL SELECT user_id, i, cval FROM bwd
+       |  UNION ALL SELECT user_id, kn - 1 AS i, lxs[kn] AS cval FROM klq WHERE kn >= 3),
        |ev AS MATERIALIZED (
-       |  SELECT r.user_id, r.event_id, r.tn, r.v, kl.lts, kl.lxs, kl.kn,
-       |    CASE WHEN kl.kn >= 2
-       |      THEN greatest(kl.lts[1], least(kl.lts[kl.kn], r.tn)) END AS tc
-       |  FROM r JOIN kl ON kl.user_id = r.user_id),
+       |  SELECT r.user_id, r.event_id, r.tn, r.v, klq.lts, klq.lxs, klq.kn, klq.tq,
+       |    CASE WHEN klq.kn >= 2
+       |      THEN greatest(klq.lts[1], least(klq.lts[klq.kn], r.tn)) END AS tc
+       |  FROM r JOIN klq ON klq.user_id = r.user_id),
+       |-- rightmost knot interval containing tc, clamped to [2, kn-1]
        |ei AS MATERIALIZED (
-       |  SELECT *, CASE WHEN kn >= 2 THEN
-       |      CASE WHEN len(list_filter(lts, e -> e <= tc)) - 1 >= kn - 1
-       |           THEN kn - 2 ELSE len(list_filter(lts, e -> e <= tc)) - 1 END
-       |    END AS i0
+       |  SELECT *, CASE WHEN kn >= 3 THEN
+       |      least(greatest(len(list_filter(tq, e -> e <= tc)) - 1, 2), kn - 1)
+       |    END AS j0
        |  FROM ev)
        |SELECT ei.user_id, ei.event_id, ei.tn,
        |  round(CASE
        |    WHEN v IS NOT NULL THEN v
        |    WHEN kn < 2 THEN 'NaN'::DOUBLE
-       |    ELSE lxs[i0 + 1] + mi.m * (tc - lts[i0 + 1])
-       |       + ((lxs[i0 + 2] - lxs[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]) - mi.m)
-       |         / (lts[i0 + 2] - lts[i0 + 1])
-       |         * (tc - lts[i0 + 1]) * (tc - lts[i0 + 1])
+       |    WHEN kn = 2 THEN lxs[1] + ((lxs[2] - lxs[1]) / (lts[2] - lts[1])) * (tc - lts[1])
+       |    ELSE ($eb0) * cm2.cval + ($eb1) * cm1.cval + ($eb2) * cm0.cval
        |  END, 6) AS vq
        |FROM ei
-       |LEFT JOIN bm mi ON mi.user_id = ei.user_id AND mi.j = ei.i0
+       |LEFT JOIN coef cm2 ON cm2.user_id = ei.user_id AND cm2.i = ei.j0 - 2
+       |LEFT JOIN coef cm1 ON cm1.user_id = ei.user_id AND cm1.i = ei.j0 - 1
+       |LEFT JOIN coef cm0 ON cm0.user_id = ei.user_id AND cm0.i = ei.j0
        |ORDER BY ei.user_id, ei.event_id""".stripMargin
+  }
 
   /** q66: natural cubic spline interpolation oracle. Thomas-algorithm
     * forward sweep and back substitution as recursive CTEs over the

@@ -130,10 +130,12 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
-  /** W10 `method='quadratic'`: C1 quadratic spline through the
-    * non-null knots (one parabola per interval, slopes propagated by
-    * `m(i+1) = 2·d(i) − m(i)`). The oracle replays the slope
-    * recursion as a recursive CTE with the kernel's exact IEEE op
+  /** W10 `method='quadratic'`: global quadratic B-spline through the
+    * non-null knots — scipy `make_interp_spline(k=2)`'s midpoint-knot
+    * collocation solve, the algorithm pandas dispatches to for the
+    * reference's `method='quadratic'` (dialogs.py:49). The oracle
+    * replays the knot layout, tridiagonal Thomas sweeps and de Boor
+    * evaluation as recursive CTEs with the kernel's exact IEEE op
     * order ([[graft.functions.KernelOracles.quadraticSplineOracle]]).
     */
   val q147InterpolateQuadratic: QueryDef = QueryDef.sql(

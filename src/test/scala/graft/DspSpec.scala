@@ -95,4 +95,19 @@ class DspSpec extends AnyFunSuite {
       assert(approx(s, g, 1e-9), s"bandpass diff ${s - g}")
     }
   }
+
+  test("quadratic B-spline matches the numpy make_interp_spline(k=2) golden") {
+    // 17 non-uniform knots with a local jump: the global collocation
+    // solve must spread it exactly as scipy's does (a local slope-
+    // propagation scheme would diverge wildly here)
+    val f = Dsp.quadraticSpline(DspGolden.qsKnotsT, DspGolden.qsKnotsY)
+    DspGolden.qsEvalAt.zip(DspGolden.qsGolden).foreach { case (q, g) =>
+      assert(approx(f(q), g, 1e-9), s"at $q diff ${f(q) - g}")
+    }
+    // n = 3: the single parabola through three points
+    val f3 = Dsp.quadraticSpline(Array(0.0, 1.3, 2.1), Array(1.0, -0.7, 2.4))
+    DspGolden.qs3EvalAt.zip(DspGolden.qs3Golden).foreach { case (q, g) =>
+      assert(approx(f3(q), g, 1e-12), s"at $q diff ${f3(q) - g}")
+    }
+  }
 }
