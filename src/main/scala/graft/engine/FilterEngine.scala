@@ -45,6 +45,14 @@ object FilterSpec {
   final case class Interpolate(method: String = "linear") extends FilterSpec { val name = "interpolate" }
   final case class ResampleTo(step: Double) extends FilterSpec { val name = "resample" }
 
+  /** Bare `resample` in the reference wire shape: `target_fs` defaults
+    * to the trial's own inferred sample rate (filter_engine.py:80-84,
+    * `params.get('target_fs', self.sample_rate)`), resolved from the
+    * frame at execution like [[IntegrateAuto]] — NOT a silent 1 Hz
+    * grid, which would decimate a 120 Hz trial 120×.
+    */
+  case object ResampleAuto extends FilterSpec { val name = "resample" }
+
   /** Numeric parameter names each filter accepts — BOTH the graft
     * dialect (`cutoff_wn`/`low_wn`/`high_wn`/`step`/`dt`) and the
     * reference's recipe dialect (`cutoff`/`low_cut`/`high_cut` in Hz,
@@ -139,10 +147,12 @@ object FilterSpec {
         // (filter_engine.py:80-84); graft dialect passes step directly.
         // Both at once is ambiguous → throw, like the Butterworth guard.
         oneDialect(p.contains("step"), p.contains("target_fs"))
-        val step = p.get("step").orElse(p.get("target_fs").map { tf =>
-          require(tf > 0, s"target_fs must be positive (got $tf)"); 1.0 / tf
-        }).getOrElse(1.0)
-        ResampleTo(step)
+        p.get("step").map(ResampleTo(_))
+          .orElse(p.get("target_fs").map { tf =>
+            require(tf > 0, s"target_fs must be positive (got $tf)")
+            ResampleTo(1.0 / tf)
+          })
+          .getOrElse(ResampleAuto)
       case other => throw new IllegalArgumentException(s"unknown filter: $other")
     }
   }
@@ -232,6 +242,11 @@ object FilterEngine {
       case ResampleTo(step) =>
         // cardinality-changing: replaces the frame with the new grid
         Resample.toUniformGrid(df, s, src, out, step)
+      case ResampleAuto =>
+        // the trial's inferred rate, one scalar agg at execution
+        // (reference default: params.get('target_fs', self.sample_rate))
+        val fs = graft.sources.TrialReader.inferSampleRate(df, s.timeCol)
+        Resample.toUniformGrid(df, s, src, out, 1.0 / fs)
     }
   }
 

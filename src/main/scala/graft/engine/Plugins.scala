@@ -91,7 +91,10 @@ object Plugins {
         i += 1
         var closed = false
         while (i < e.length && !closed) {
-          if (e(i) == q) {
+          // backslash escape ('it\'s', "a\"b" — Spark's default
+          // literal syntax): the escaped char can't close the literal
+          if (e(i) == '\\' && i + 1 < e.length) i += 2
+          else if (e(i) == q) {
             if (i + 1 < e.length && e(i + 1) == q) i += 2
             else { closed = true; i += 1 }
           } else i += 1

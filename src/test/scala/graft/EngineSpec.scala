@@ -178,6 +178,12 @@ class EngineSpec extends AnyFunSuite {
     // a user identifier that happens to look like a mask placeholder
     // passes through rather than crashing the restore
     assert(Plugins.translateExpr("x + __strlit_0__") == "x + __strlit_0__")
+    // backslash-escaped quote (Spark's default literal syntax): the
+    // escaped quote must not close the mask early — the ** and True
+    // inside the literal are data, and code AFTER it still translates
+    assert(Plugins.translateExpr("concat(s, 'it\\'s 2**3 True') ** 2") ==
+      "pow(concat(s, 'it\\'s 2**3 True'), 2)")
+    assert(Plugins.translateExpr("\"a\\\"b**c\" ** n") == "pow(\"a\\\"b**c\", n)")
     assert(Plugins.translateExpr("__strlit_99999999999__ ** 2")
       == "pow(__strlit_99999999999__, 2)")
     // pass-through: already-valid Spark SQL is untouched
@@ -336,6 +342,20 @@ class EngineSpec extends AnyFunSuite {
         |]}""".stripMargin)
     val specs = ops.collect { case Op.Filter(n, p, _, _, sp) => FilterSpec.fromParams(n, p, sp) }
     assert(specs == Seq(FilterSpec.ButterLowpassHz(6.0, 2), FilterSpec.ButterBandpassHz(0.5, 10.0, 2)))
+  }
+
+  test("bare resample defaults to the trial's inferred rate, not a 1 Hz grid") {
+    import spark.implicits._
+    // reference filter_engine.py:80-84: target_fs defaults to
+    // self.sample_rate — a hand-authored {"filter": "resample"} recipe
+    // must regrid at the trial's own rate
+    assert(FilterSpec.fromParams("resample", Map.empty, Map.empty) == FilterSpec.ResampleAuto)
+    // 10 Hz trial: ResampleAuto ≡ explicit target_fs = 10
+    val d = (0 until 40).map(i => (1L, i.toLong, i * 0.1, math.sin(i * 0.3)))
+      .toDF("user_id", "event_id", "tn", "value")
+    val auto = FilterEngine.apply(spark, d, s, Seq("value"), FilterSpec.ResampleAuto)
+    val explicit = FilterEngine.apply(spark, d, s, Seq("value"), FilterSpec.ResampleTo(0.1))
+    assert(auto.orderBy("tn").collect().toSeq == explicit.orderBy("tn").collect().toSeq)
   }
 
   test("reference-shaped recipe wire format parses and replays") {
