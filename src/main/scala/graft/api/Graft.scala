@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.engine.{Annotation, EngineState, FilterEngine, FilterSpec, Plugins, Recipes, Session}
+import graft.operators.SeriesOps
 import graft.operators.SeriesOps.Series
 import graft.sources.{AnnotationStore, TrialReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -87,6 +88,36 @@ object Graft {
   def applyFilter(spark: SparkSession, trial: Trial, channels: Seq[String],
       spec: FilterSpec, selection: Option[(Double, Double)] = None): DataFrame =
     FilterEngine.apply(spark, trial.df, trial.series, channels, spec, selection)
+
+  /** The filter-preview data path (reference main.py:706-725,
+    * `FilterPreviewDialog`): one channel's original-vs-filtered
+    * overlay on the FILTERED time base, first `n` rows by time.
+    * Cardinality-preserving filters pair row-for-row; a
+    * cardinality-changing one (resample) gets the original
+    * linearly interpolated onto the new grid with edge clamping —
+    * the reference's `np.interp` branch. Returns
+    * `(seriesKeys…, timeCol, original, filtered)`, bounded and
+    * collect-friendly; the preview is a dialog, not a pipeline stage.
+    */
+  def previewFilter(spark: SparkSession, trial: Trial, channel: String,
+      spec: FilterSpec, selection: Option[(Double, Double)] = None,
+      n: Int = 1000): DataFrame = {
+    val s = trial.series
+    val keys = s.keyCols :+ s.timeCol
+    val filtered = applyFilter(spark, trial, Seq(channel), spec, selection)
+      .select(keys.map(col) :+ col(channel).as("filtered"): _*)
+    val orig = trial.df.select(keys.map(col) :+ col(channel).as("original"): _*)
+    val paired = spec match {
+      case _: FilterSpec.ResampleTo | FilterSpec.ResampleAuto =>
+        // full outer keeps every original knot for the interpolation,
+        // then only the grid rows (filtered non-null) survive
+        val both = filtered.join(orig, keys, "full_outer")
+        SeriesOps.interpolateLinear(both, s, "original", "original")
+          .filter(col("filtered").isNotNull)
+      case _ => filtered.join(orig, keys)
+    }
+    paired.orderBy(keys.map(col): _*).limit(n)
+  }
 
   /** Open an undo/redo session over the trial. */
   def openSession(trial: Trial): Session =

@@ -68,5 +68,48 @@ object RecipeQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q39RecipeReplay, q49SampleRate)
+  /** S1/S5 through the DataSource V2 connector end-to-end: a
+    * deterministic trial-shaped slice of lineitem is written with the
+    * connector's CSV sink (`TrialDataWriter`, rename-on-commit), read
+    * back through the connector's scan — column pruning and predicate
+    * pushdown both engage: the `l_quantity > 25` filter is evaluated
+    * on raw cells before row materialization
+    * ([[graft.sources.v2.TrialSource]]) — and aggregated with the
+    * integer-cents trick so partial-agg order can't flip rounding.
+    * The oracle computes the same aggregate straight from parquet, so
+    * a hash match certifies the sink+scan round-trip bit-exactly
+    * (Double.toString / parseDouble are shortest-roundtrip inverses).
+    */
+  val q149V2TrialScan: QueryDef = QueryDef.sql(
+    "q149_v2_trial_scan",
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+      |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_orderkey % 32 = 0 AND l_quantity > 25.0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val fmt = "graft.sources.v2.TrialSource"
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_v2_scan_" + Integer.toHexString(dir.hashCode))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 32 === 0)
+      .select(col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_returnflag"))
+      .write.format(fmt).mode("overwrite").save(tmp.toString)
+    spark.read.format(fmt).load(tmp.toString)
+      .filter(col("l_quantity") > 25.0) // pushed into the raw-cell scan
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(round(col("l_quantity") * lit(100.0)).cast("bigint")).cast("double")
+          / lit(100.0), 2).as("sum_qty"),
+        round(sum(round(col("l_extendedprice") * lit(100.0)).cast("bigint")).cast("double")
+          / lit(100.0), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(q39RecipeReplay, q49SampleRate, q149V2TrialScan)
 }

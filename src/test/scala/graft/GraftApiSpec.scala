@@ -68,6 +68,35 @@ class GraftApiSpec extends AnyFunSuite {
       trial.df.columns))
   }
 
+  test("previewFilter pairs original and filtered; resample interpolates onto the new grid") {
+    val dir = Files.createTempDirectory("graft-preview")
+    val csv = dir.resolve("trial.csv")
+    val rows = (0 until 40).map(i => f"${i / 10.0}%.6f,${i.toDouble}%.4f,P1")
+    Files.writeString(csv, "normalized_time,ch,participant_id\n"
+      + rows.mkString("\n") + "\n")
+    val trial = Graft.loadTrial(spark, csv.toString)
+
+    // cardinality-preserving: row-for-row overlay, bounded by n
+    val p = Graft.previewFilter(spark, trial, "ch", FilterSpec.MovingAverage(3), n = 5)
+      .collect()
+    assert(p.length == 5)
+    assert(p.map(_.getAs[Double]("original")).toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    // centered window mean of the identity ramp ≈ the ramp except edges
+    assert(p(2).getAs[Double]("filtered") == 2.0)
+
+    // cardinality-changing: original is np.interp-ed onto the new grid
+    // (reference main.py:714-716); ramp data interpolates exactly
+    val r = Graft.previewFilter(spark, trial, "ch", FilterSpec.ResampleTo(0.25), n = 100)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val t = row.getAs[Double]("normalized_time")
+      assert(math.abs(row.getAs[Double]("original") - t * 10.0) < 1e-9,
+        s"at $t got ${row.getAs[Double]("original")}")
+      assert(!row.isNullAt(row.fieldIndex("filtered")))
+    }
+  }
+
   test("bucketed materialization joins without a shuffle exchange") {
     import spark.implicits._
     val dim = (0L until 200L).map(k => (k, s"name_$k")).toDF("k", "name")
