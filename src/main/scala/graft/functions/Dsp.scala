@@ -78,45 +78,130 @@ object Dsp {
     solve(ata, atb)(0)
   }
 
-  /** Natural cubic spline through knots `(ts, xs)` (strictly
-    * increasing ts): returns an evaluator clamped to the knot range
-    * at the ends. Standard tridiagonal solve for the second
-    * derivatives (reference W10's `method='cubic'`,
-    * filter_engine.py:85-87 / dialogs.py:49).
+  /** Global cubic B-spline interpolant through knots `(ts, xs)`
+    * (strictly increasing ts), clamped to the knot range at the
+    * ends — the algorithm behind the reference W10's `method='cubic'`
+    * (filter_engine.py:85-87 / dialogs.py:49 → pandas → scipy
+    * `interp1d(kind='cubic')` → `make_interp_spline(k=3)` with the
+    * default not-a-knot layout): quadruple end knots, interior knots
+    * at the data sites minus the two nearest each end (scipy
+    * `_not_a_knot`), B-spline coefficients from the banded
+    * collocation system `B(x_i)·c = y_i` (kl = ku = 2 here, solved
+    * by unpivoted banded LU — stable, collocation matrices are
+    * totally positive) and BSPLVB-unrolled basis evaluation. NOT the
+    * natural spline (whose `S''=0` end condition scipy does not use);
+    * cross-validated against an independent numpy reimplementation
+    * (scripts/golden_cubicspline.py) in DspSpec. Two knots degrade
+    * to the secant, three to the unique parabola (scipy raises below
+    * k+1 points; a total function is kinder in a column engine).
+    * The DuckDB oracle ([[KernelOracles.cubicSplineOracle]]) replays
+    * the same knot layout, band slots, LU sweeps and evaluation in
+    * the same IEEE op order.
     */
-  def naturalCubicSpline(ts: Array[Double], xs: Array[Double]): Double => Double = {
+  def notAKnotCubicSpline(ts: Array[Double], xs: Array[Double]): Double => Double = {
     val n = ts.length
     require(n >= 2, "spline needs at least two knots")
     if (n == 2) {
       val slope = (xs(1) - xs(0)) / (ts(1) - ts(0))
-      return t0 => {
+      t0 => {
         val t = math.max(ts(0), math.min(ts(1), t0))
         xs(0) + slope * (t - ts(0))
       }
-    }
-    val h = Array.tabulate(n - 1)(i => ts(i + 1) - ts(i))
-    // Thomas algorithm for natural boundary (m(0) = m(n-1) = 0)
-    val m = new Array[Double](n)
-    val cp = new Array[Double](n)
-    val dp = new Array[Double](n)
-    for (i <- 1 until n - 1) {
-      val a = h(i - 1); val b = 2 * (h(i - 1) + h(i)); val c = h(i)
-      val d = 6 * ((xs(i + 1) - xs(i)) / h(i) - (xs(i) - xs(i - 1)) / h(i - 1))
-      val w = if (i == 1) b else b - a * cp(i - 1)
-      cp(i) = c / w
-      dp(i) = (if (i == 1) d else d - a * dp(i - 1)) / w
-    }
-    for (i <- n - 2 to 1 by -1) m(i) = dp(i) - cp(i) * m(i + 1)
-    t0 => {
-      val t = math.max(ts(0), math.min(ts(n - 1), t0))
-      var i = java.util.Arrays.binarySearch(ts, t)
-      if (i < 0) i = -i - 2
-      if (i >= n - 1) i = n - 2
-      val dt = t - ts(i); val hi = h(i)
-      val a = (ts(i + 1) - t) / hi
-      val b = dt / hi
-      a * xs(i) + b * xs(i + 1) +
-        ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) * hi * hi / 6.0
+    } else if (n == 3) {
+      val x0 = ts(0); val x1 = ts(1); val x2 = ts(2)
+      t0 => {
+        val t = math.max(x0, math.min(x2, t0))
+        xs(0) * ((t - x1) * (t - x2)) / ((x0 - x1) * (x0 - x2)) +
+          xs(1) * ((t - x0) * (t - x2)) / ((x1 - x0) * (x1 - x2)) +
+          xs(2) * ((t - x0) * (t - x1)) / ((x2 - x0) * (x2 - x1))
+      }
+    } else {
+      // not-a-knot knot vector (0-based, length n+4)
+      val tq = new Array[Double](n + 4)
+      var q = 0
+      while (q < 4) { tq(q) = ts(0); tq(n + q) = ts(n - 1); q += 1 }
+      for (r <- 1 to n - 4) tq(3 + r) = ts(r + 1)
+      // BSPLVB unrolled for k=3: the four nonzero cubic B-splines on
+      // knot interval [tq(j), tq(j+1)) at x — coefficients c(j-3..j)
+      def basis(j: Int, x: Double): (Double, Double, Double, Double) = {
+        val term10 = 1.0 / (tq(j + 1) - tq(j))
+        val c10 = (tq(j + 1) - x) * term10
+        val c11 = (x - tq(j)) * term10
+        val t20 = c10 / (tq(j + 1) - tq(j - 1))
+        val o20 = (tq(j + 1) - x) * t20
+        val s20 = (x - tq(j - 1)) * t20
+        val t21 = c11 / (tq(j + 2) - tq(j))
+        val o21 = s20 + (tq(j + 2) - x) * t21
+        val o22 = (x - tq(j)) * t21
+        val t30 = o20 / (tq(j + 1) - tq(j - 2))
+        val b0 = (tq(j + 1) - x) * t30
+        val s30 = (x - tq(j - 2)) * t30
+        val t31 = o21 / (tq(j + 2) - tq(j - 1))
+        val b1 = s30 + (tq(j + 2) - x) * t31
+        val s31 = (x - tq(j - 1)) * t31
+        val t32 = o22 / (tq(j + 3) - tq(j))
+        val b2 = s31 + (tq(j + 3) - x) * t32
+        val b3 = (x - tq(j)) * t32
+        (b0, b1, b2, b3)
+      }
+      // rightmost knot interval containing x, clamped to [3, n-1]
+      def interval(x: Double): Int = {
+        var lo = 0; var hi = n + 4
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (tq(mid) <= x) lo = mid + 1 else hi = mid
+        }
+        math.min(math.max(lo - 1, 3), n - 1)
+      }
+      // collocation rows in banded form: row i holds (e0,e1,d,u1,u2)
+      // at columns i-2..i+2; rows 0 and n-1 are identities (quadruple
+      // end knots make the end basis a delta)
+      val e0 = new Array[Double](n); val e1 = new Array[Double](n)
+      val dd = new Array[Double](n); val u1 = new Array[Double](n)
+      val u2 = new Array[Double](n); val rr = new Array[Double](n)
+      dd(0) = 1.0; rr(0) = xs(0)
+      dd(n - 1) = 1.0; rr(n - 1) = xs(n - 1)
+      for (i <- 1 to n - 2) {
+        val j = interval(ts(i))
+        // j−i is 2 (site strictly inside its interval: rows 1..n−3)
+        // or 1 (site is the interval's left knot, where B_j vanishes:
+        // row n−2) — guaranteed by the not-a-knot layout
+        require(j == i + 1 || j == i + 2, s"band violation at row $i (j=$j)")
+        val (b0, b1, b2, b3) = basis(j, ts(i))
+        rr(i) = xs(i)
+        if (j == i + 2) { e1(i) = b0; dd(i) = b1; u1(i) = b2; u2(i) = b3 }
+        else { e0(i) = b0; e1(i) = b1; dd(i) = b2; u1(i) = b3 }
+      }
+      // unpivoted banded LU forward sweep; the identity end rows fold
+      // the known c(0)/c(n-1) into their neighbours' rhs exactly
+      val ud = new Array[Double](n); val uu1 = new Array[Double](n)
+      val uu2 = new Array[Double](n); val ur = new Array[Double](n)
+      ud(0) = dd(0); uu1(0) = u1(0); uu2(0) = u2(0); ur(0) = rr(0)
+      for (i <- 1 to n - 1) {
+        val ppd = if (i >= 2) ud(i - 2) else 1.0
+        val ppu1 = if (i >= 2) uu1(i - 2) else 0.0
+        val ppu2 = if (i >= 2) uu2(i - 2) else 0.0
+        val ppr = if (i >= 2) ur(i - 2) else 0.0
+        val l2 = e0(i) / ppd
+        val e1b = e1(i) - l2 * ppu1
+        val db = dd(i) - l2 * ppu2
+        val rb = rr(i) - l2 * ppr
+        val l1 = e1b / ud(i - 1)
+        ud(i) = db - l1 * uu1(i - 1)
+        uu1(i) = u1(i) - l1 * uu2(i - 1)
+        uu2(i) = u2(i)
+        ur(i) = rb - l1 * ur(i - 1)
+      }
+      // back substitution (U bandwidth 2; zero-padded tail)
+      val c = new Array[Double](n + 2)
+      for (i <- n - 1 to 0 by -1)
+        c(i) = ((ur(i) - uu1(i) * c(i + 1)) - uu2(i) * c(i + 2)) / ud(i)
+      t0 => {
+        val t = math.max(ts(0), math.min(ts(n - 1), t0))
+        val j = interval(t)
+        val (b0, b1, b2, b3) = basis(j, t)
+        ((b0 * c(j - 3) + b1 * c(j - 2)) + b2 * c(j - 1)) + b3 * c(j)
+      }
     }
   }
 

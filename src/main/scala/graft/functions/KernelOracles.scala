@@ -349,16 +349,58 @@ object KernelOracles {
        |ORDER BY ei.user_id, ei.event_id""".stripMargin
   }
 
-  /** q66: natural cubic spline interpolation oracle. Thomas-algorithm
-    * forward sweep and back substitution as recursive CTEs over the
-    * non-null knots; evaluation mirrors `Dsp.naturalCubicSpline`
-    * including end clamping and the n=2 / n<2 fallbacks.
+  /** BSPLVB (k=3) unrolled as layered SQL over the 1-based knot
+    * list `tq`: emits columns `b0v..b3v`, the four nonzero cubic
+    * B-splines on 0-based knot interval `j` at `x`, in exactly
+    * [[Dsp.notAKnotCubicSpline]]'s `basis` op order. Each layer only
+    * references earlier layers, so no lateral-alias support is
+    * assumed. The Scala kernel's 0-based `tq(j + d)` is SQL
+    * `tq[j + d + 1]`.
     */
-  def cubicSplineOracle(seriesSql: String): String =
+  private def cubicBasisLayers(j: String, x: String): Seq[String] = {
+    def t(d: Int): String = {
+      val m = d + 1
+      if (m == 0) s"tq[$j]" else if (m > 0) s"tq[$j + $m]" else s"tq[$j - ${-m}]"
+    }
+    Seq(
+      s"1e0 / (${t(1)} - ${t(0)}) AS term10",
+      s"(${t(1)} - $x) * term10 AS c10, ($x - ${t(0)}) * term10 AS c11",
+      s"c10 / (${t(1)} - ${t(-1)}) AS t20, c11 / (${t(2)} - ${t(0)}) AS t21",
+      s"(${t(1)} - $x) * t20 AS o20, ($x - ${t(-1)}) * t20 AS s20, ($x - ${t(0)}) * t21 AS o22",
+      s"s20 + (${t(2)} - $x) * t21 AS o21",
+      s"o20 / (${t(1)} - ${t(-2)}) AS t30, o21 / (${t(2)} - ${t(-1)}) AS t31, o22 / (${t(3)} - ${t(0)}) AS t32",
+      s"(${t(1)} - $x) * t30 AS b0v, ($x - ${t(-2)}) * t30 AS s30, ($x - ${t(-1)}) * t31 AS s31, ($x - ${t(0)}) * t32 AS b3v",
+      s"s30 + (${t(2)} - $x) * t31 AS b1v, s31 + (${t(3)} - $x) * t32 AS b2v")
+  }
+
+  private def layered(inner: String, layers: Seq[String]): String =
+    layers.foldLeft(s"($inner)")((acc, l) => s"(SELECT *, $l FROM $acc)")
+
+  /** q66: scipy-faithful cubic B-spline interpolation oracle —
+    * replays [[Dsp.notAKnotCubicSpline]]'s `make_interp_spline(k=3)`
+    * algorithm in the kernel's exact IEEE op order: the not-a-knot
+    * knot vector (quadruple end knots, interior knots = data sites
+    * minus the two nearest each end), banded collocation rows
+    * (kl = ku = 2, identity end rows), an unpivoted banded-LU
+    * forward sweep carrying two U rows of state and a two-ahead back
+    * substitution as recursive CTEs, and BSPLVB evaluation of the
+    * four nonzero basis splines against the solved coefficients.
+    * Lists are 1-based (DuckDB); `i`/`j0` are 0-based row / interval
+    * indices like the Scala arrays. Two knots replay the secant,
+    * three the Lagrange parabola — the kernel's graceful
+    * degradations below scipy's k+1 minimum.
+    */
+  def cubicSplineOracle(seriesSql: String): String = {
+    val siteJ = "least(greatest(len(list_filter(tq, e -> e <= xc)) - 1, 3), kn - 1)"
+    val colloc = layered(
+      s"""SELECT user_id, i, kn, lts, lxs, tq, lts[i + 1] AS xc
+         |    FROM (SELECT *, unnest(range(1, kn - 1)) AS i FROM klq WHERE kn >= 4) u0""".stripMargin,
+      s"$siteJ AS jc" +: cubicBasisLayers("jc", "xc"))
+    val evalB = layered("SELECT * FROM ei", cubicBasisLayers("j0", "tc"))
     s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
        |FROM ($seriesSql)),
        |r AS MATERIALIZED (SELECT user_id, event_id, tn,
-       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v, value AS rawv
+       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
        |  FROM s),
        |k AS MATERIALIZED (SELECT user_id, tn, v,
        |  row_number() OVER (PARTITION BY user_id ORDER BY tn) - 1 AS j
@@ -366,69 +408,89 @@ object KernelOracles {
        |kl AS MATERIALIZED (SELECT user_id, list(tn ORDER BY j) AS lts,
        |    list(v ORDER BY j) AS lxs, count(*) AS kn
        |  FROM k GROUP BY user_id),
-       |-- forward sweep: w = b - a*cp_prev (j=1: w=b); cp = c/w; dp = (d - a*dp_prev)/w
+       |-- scipy not-a-knot knot vector for k=3: quadruple end knots +
+       |-- the data sites minus the two nearest each end
+       |klq AS MATERIALIZED (SELECT user_id, lts, lxs, kn,
+       |  [lts[1], lts[1], lts[1], lts[1]]
+       |    || list_transform(range(1, kn - 3), g -> lts[g + 2])
+       |    || [lts[kn], lts[kn], lts[kn], lts[kn]] AS tq
+       |  FROM kl),
+       |-- banded collocation rows (columns i-2..i+2): interior site
+       |-- lts[i+1] lives on interval jc = i+2 (strictly inside: slots
+       |-- e1..u2) or jc = i+1 (left knot, where B_jc vanishes: slots
+       |-- e0..u1); rows 0 and kn-1 are identities
+       |rows_ct AS MATERIALIZED (
+       |  SELECT user_id, 0 AS i, kn, 0e0 AS e0, 0e0 AS e1, 1e0 AS d0,
+       |    0e0 AS u1, 0e0 AS u2, lxs[1] AS rhs FROM klq WHERE kn >= 4
+       |  UNION ALL
+       |  SELECT user_id, i, kn,
+       |    CASE WHEN jc = i + 2 THEN 0e0 ELSE b0v END AS e0,
+       |    CASE WHEN jc = i + 2 THEN b0v ELSE b1v END AS e1,
+       |    CASE WHEN jc = i + 2 THEN b1v ELSE b2v END AS d0,
+       |    CASE WHEN jc = i + 2 THEN b2v ELSE b3v END AS u1,
+       |    CASE WHEN jc = i + 2 THEN b3v ELSE 0e0 END AS u2,
+       |    lxs[i + 1] AS rhs
+       |  FROM $colloc cb
+       |  UNION ALL
+       |  SELECT user_id, kn - 1 AS i, kn, 0e0, 0e0, 1e0, 0e0, 0e0, lxs[kn]
+       |    FROM klq WHERE kn >= 4),
+       |-- unpivoted banded-LU forward sweep, carrying the previous TWO
+       |-- U rows: l2 eliminates against row i-2, l1 against row i-1
        |fwd AS (
-       |  SELECT user_id, 1 AS j, c / w AS cp, d / w AS dp FROM (
-       |    SELECT user_id, lts[3] - lts[2] AS c,
-       |      2e0 * ((lts[2] - lts[1]) + (lts[3] - lts[2])) AS w,
-       |      6e0 * ((lxs[3] - lxs[2]) / (lts[3] - lts[2])
-       |           - (lxs[2] - lxs[1]) / (lts[2] - lts[1])) AS d
-       |    FROM kl WHERE kn >= 3) q
+       |  SELECT user_id, 0 AS i, d0 AS d, u1, u2, rhs AS r,
+       |    1e0 AS pd, 0e0 AS pu1, 0e0 AS pu2, 0e0 AS pr
+       |  FROM rows_ct WHERE i = 0
        |  UNION ALL
-       |  SELECT user_id, j, c / w AS cp, (d - a * pdp) / w AS dp FROM (
-       |    SELECT f.user_id, f.j + 1 AS j,
-       |      kl.lts[f.j + 3] - kl.lts[f.j + 2] AS c,
-       |      kl.lts[f.j + 2] - kl.lts[f.j + 1] AS a,
-       |      2e0 * ((kl.lts[f.j + 2] - kl.lts[f.j + 1]) + (kl.lts[f.j + 3] - kl.lts[f.j + 2]))
-       |        - (kl.lts[f.j + 2] - kl.lts[f.j + 1]) * f.cp AS w,
-       |      6e0 * ((kl.lxs[f.j + 3] - kl.lxs[f.j + 2]) / (kl.lts[f.j + 3] - kl.lts[f.j + 2])
-       |           - (kl.lxs[f.j + 2] - kl.lxs[f.j + 1]) / (kl.lts[f.j + 2] - kl.lts[f.j + 1])) AS d,
-       |      f.dp AS pdp
-       |    FROM fwd f JOIN kl ON kl.user_id = f.user_id
-       |    WHERE f.j + 1 <= kl.kn - 2) q),
-       |fm AS MATERIALIZED (SELECT user_id, j, cp, dp FROM fwd),
-       |-- back substitution: m(j) = dp(j) - cp(j) * m(j+1), m(kn-1) = 0;
-       |-- m(0) and m(kn-1) stay 0 via the coalesce at evaluation
+       |  SELECT user_id, i, db - l1 * fu1 AS d, u1r - l1 * fu2 AS u1,
+       |    u2r AS u2, rb - l1 * fr AS r,
+       |    fd AS pd, fu1 AS pu1, fu2 AS pu2, fr AS pr
+       |  FROM (SELECT q.*, e1b / fd AS l1 FROM (
+       |    SELECT f.user_id, rc.i,
+       |      rc.e1 - (rc.e0 / f.pd) * f.pu1 AS e1b,
+       |      rc.d0 - (rc.e0 / f.pd) * f.pu2 AS db,
+       |      rc.rhs - (rc.e0 / f.pd) * f.pr AS rb,
+       |      rc.u1 AS u1r, rc.u2 AS u2r,
+       |      f.d AS fd, f.u1 AS fu1, f.u2 AS fu2, f.r AS fr
+       |    FROM fwd f JOIN rows_ct rc ON rc.user_id = f.user_id AND rc.i = f.i + 1) q) q2),
+       |fm AS MATERIALIZED (SELECT user_id, i, d, u1, u2, r FROM fwd),
+       |-- back substitution with the U bandwidth-2 tail zero-padded:
+       |-- c(i) = ((r - u1*c(i+1)) - u2*c(i+2)) / d
        |bwd AS (
-       |  SELECT f.user_id, f.j, f.dp - f.cp * 0e0 AS m
-       |    FROM fm f JOIN kl ON kl.user_id = f.user_id WHERE f.j = kl.kn - 2
+       |  SELECT f.user_id, f.i, ((f.r - f.u1 * 0e0) - f.u2 * 0e0) / f.d AS c, 0e0 AS cn
+       |    FROM fm f JOIN klq ON klq.user_id = f.user_id WHERE f.i = klq.kn - 1
        |  UNION ALL
-       |  SELECT f.user_id, f.j, f.dp - f.cp * b.m
-       |    FROM bwd b JOIN fm f ON f.user_id = b.user_id AND f.j = b.j - 1
-       |    WHERE b.j >= 2),
-       |bm AS MATERIALIZED (SELECT user_id, j, m FROM bwd),
+       |  SELECT f.user_id, f.i, ((f.r - f.u1 * b.c) - f.u2 * b.cn) / f.d AS c, b.c AS cn
+       |    FROM bwd b JOIN fm f ON f.user_id = b.user_id AND f.i = b.i - 1
+       |    WHERE b.i >= 1),
+       |coef AS MATERIALIZED (SELECT user_id, i, c FROM bwd),
        |ev AS MATERIALIZED (
-       |  SELECT r.user_id, r.event_id, r.tn, r.v, r.rawv, kl.lts, kl.lxs, kl.kn,
-       |    CASE WHEN kl.kn >= 2
-       |      THEN greatest(kl.lts[1], least(kl.lts[kl.kn], r.tn)) END AS tc
-       |  FROM r JOIN kl ON kl.user_id = r.user_id),
+       |  SELECT r.user_id, r.event_id, r.tn, r.v, klq.lts, klq.lxs, klq.kn, klq.tq,
+       |    CASE WHEN klq.kn >= 2
+       |      THEN greatest(klq.lts[1], least(klq.lts[klq.kn], r.tn)) END AS tc
+       |  FROM r JOIN klq ON klq.user_id = r.user_id),
+       |-- rightmost knot interval containing tc, clamped to [3, kn-1]
        |ei AS MATERIALIZED (
-       |  SELECT *, CASE WHEN kn >= 3 THEN
-       |      CASE WHEN len(list_filter(lts, e -> e <= tc)) - 1 >= kn - 1
-       |           THEN kn - 2 ELSE len(list_filter(lts, e -> e <= tc)) - 1 END
-       |    END AS i0
-       |  FROM ev)
-       |SELECT ei.user_id, ei.event_id, ei.tn,
+       |  SELECT *, CASE WHEN kn >= 4 THEN
+       |      least(greatest(len(list_filter(tq, e -> e <= tc)) - 1, 3), kn - 1)
+       |    END AS j0
+       |  FROM ev),
+       |eb AS MATERIALIZED (SELECT * FROM $evalB q3)
+       |SELECT eb.user_id, eb.event_id, eb.tn,
        |  round(CASE
        |    WHEN v IS NOT NULL THEN v
        |    WHEN kn < 2 THEN 'NaN'::DOUBLE
        |    WHEN kn = 2 THEN lxs[1] + ((lxs[2] - lxs[1]) / (lts[2] - lts[1])) * (tc - lts[1])
-       |    ELSE (lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]) * lxs[i0 + 1]
-       |       + (tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]) * lxs[i0 + 2]
-       |       + (((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1])
-       |            * ((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
-       |            * ((lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
-       |          - (lts[i0 + 2] - tc) / (lts[i0 + 2] - lts[i0 + 1]))
-       |          * coalesce(mi.m, 0e0)
-       |        + ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1])
-       |            * ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
-       |            * ((tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
-       |          - (tc - lts[i0 + 1]) / (lts[i0 + 2] - lts[i0 + 1]))
-       |          * coalesce(mi1.m, 0e0))
-       |        * (lts[i0 + 2] - lts[i0 + 1]) * (lts[i0 + 2] - lts[i0 + 1]) / 6e0
+       |    WHEN kn = 3 THEN
+       |      lxs[1] * ((tc - lts[2]) * (tc - lts[3])) / ((lts[1] - lts[2]) * (lts[1] - lts[3]))
+       |      + lxs[2] * ((tc - lts[1]) * (tc - lts[3])) / ((lts[2] - lts[1]) * (lts[2] - lts[3]))
+       |      + lxs[3] * ((tc - lts[1]) * (tc - lts[2])) / ((lts[3] - lts[1]) * (lts[3] - lts[2]))
+       |    ELSE ((b0v * cm3.c + b1v * cm2.c) + b2v * cm1.c) + b3v * cm0.c
        |  END, 6) AS vc
-       |FROM ei
-       |LEFT JOIN bm mi ON mi.user_id = ei.user_id AND mi.j = ei.i0
-       |LEFT JOIN bm mi1 ON mi1.user_id = ei.user_id AND mi1.j = ei.i0 + 1
-       |ORDER BY ei.user_id, ei.event_id""".stripMargin
+       |FROM eb
+       |LEFT JOIN coef cm3 ON cm3.user_id = eb.user_id AND cm3.i = eb.j0 - 3
+       |LEFT JOIN coef cm2 ON cm2.user_id = eb.user_id AND cm2.i = eb.j0 - 2
+       |LEFT JOIN coef cm1 ON cm1.user_id = eb.user_id AND cm1.i = eb.j0 - 1
+       |LEFT JOIN coef cm0 ON cm0.user_id = eb.user_id AND cm0.i = eb.j0
+       |ORDER BY eb.user_id, eb.event_id""".stripMargin
+  }
 }

@@ -177,9 +177,11 @@ object SignalKernels {
   }
 
   /** Cubic-spline interpolation of missing samples (`method='cubic'`,
-    * dialogs.py:49): a natural cubic spline through the non-NaN knots
-    * fills NaN rows; outside the knot range values clamp to the edge
-    * knots. Series with fewer than 2 valid samples pass through.
+    * dialogs.py:49): scipy's not-a-knot cubic B-spline
+    * ([[Dsp.notAKnotCubicSpline]], `make_interp_spline(k=3)` — what
+    * pandas dispatches to) through the non-NaN knots fills NaN rows;
+    * outside the knot range values clamp to the edge knots. Series
+    * with fewer than 2 valid samples pass through.
     */
   def interpolateCubic(spark: SparkSession, df: DataFrame, s: Series, src: String,
       out: String): DataFrame =
@@ -187,7 +189,7 @@ object SignalKernels {
       val valid = ts.indices.filter(i => !xs(i).isNaN)
       if (valid.length < 2) xs
       else {
-        val f = Dsp.naturalCubicSpline(valid.map(ts).toArray, valid.map(xs).toArray)
+        val f = Dsp.notAKnotCubicSpline(valid.map(ts).toArray, valid.map(xs).toArray)
         Array.tabulate(xs.length)(i => if (xs(i).isNaN) f(ts(i)) else xs(i))
       }
     }

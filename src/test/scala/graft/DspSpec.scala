@@ -110,4 +110,24 @@ class DspSpec extends AnyFunSuite {
       assert(approx(f3(q), g, 1e-12), s"at $q diff ${f3(q) - g}")
     }
   }
+
+  test("cubic B-spline matches the numpy make_interp_spline(k=3) golden") {
+    // 17 non-uniform knots with a jump: the not-a-knot global solve
+    // must match scipy's — a natural spline (S''=0 ends) diverges on
+    // this data at every site
+    val f = Dsp.notAKnotCubicSpline(DspGolden.qcKnotsT, DspGolden.qcKnotsY)
+    DspGolden.qcEvalAt.zip(DspGolden.qcGolden).foreach { case (q, g) =>
+      assert(approx(f(q), g, 1e-9), s"at $q diff ${f(q) - g}")
+    }
+    // n = 4: no interior knots, one cubic through four points
+    val f4 = Dsp.notAKnotCubicSpline(DspGolden.qc4KnotsT, DspGolden.qc4KnotsY)
+    DspGolden.qc4EvalAt.zip(DspGolden.qc4Golden).foreach { case (q, g) =>
+      assert(approx(f4(q), g, 1e-11), s"n=4 at $q diff ${f4(q) - g}")
+    }
+    // n = 5: a single interior knot
+    val f5 = Dsp.notAKnotCubicSpline(DspGolden.qc5KnotsT, DspGolden.qc5KnotsY)
+    DspGolden.qc5EvalAt.zip(DspGolden.qc5Golden).foreach { case (q, g) =>
+      assert(approx(f5(q), g, 1e-11), s"n=5 at $q diff ${f5(q) - g}")
+    }
+  }
 }
