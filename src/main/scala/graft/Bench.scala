@@ -71,6 +71,15 @@ object Bench {
       // accumulated MEMORY_AND_DISK relations would otherwise evict
       // unpredictably at larger SF
       spark.catalog.clearCache()
+      // clearCache only drops catalog-tracked relations; RDD-level
+      // blocks (iterative ops' localCheckpoints, layered-frontier
+      // persists) stay pinned until GC and stack up across a
+      // 146-query sweep — drop them explicitly
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // memory-sink tables from streaming queries hold their full
+      // result in driver heap behind a temp view — drop them too
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       spark.experimental.extraOptimizations = Nil // scope rules per query
       q.name -> dt
     }

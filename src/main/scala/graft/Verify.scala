@@ -28,6 +28,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // scope caches per query
+      // RDD-level blocks (localCheckpoints) outlive clearCache
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect() // memory-sink temp views too
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       spark.experimental.extraOptimizations = Nil // scope rules per query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -66,12 +66,20 @@ object Vectors {
     */
   def nearDupPairs(df: DataFrame, minCos: Double = 0.999): DataFrame = {
     val bk = hyperplaneBuckets(df).select("bucket", "vec_id", "embedding").persist()
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(cosine("x.embedding", "y.embedding"), 6).as("cos_sim"))
+    // each side rename-projects BEFORE the join: dataset-alias self
+    // joins (`bk.as("x")`) resolve both `x.vec_id` and `y.vec_id` to
+    // the same attribute under some cached/reused plans, silently
+    // turning `x < y` into `v < v` = empty (observed flipping with
+    // driver heap size via plan-reuse differences)
+    val left = bk.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val right = bk.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine("emb_a", "emb_b"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
-    pairs
   }
 
   /** Assign each row its nearest coarse centroid(s): argmin L2 over a

@@ -35,6 +35,11 @@ case class NearestCentroids(child: Expression, ids: Seq[Long],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // NEVER read past the input array: getFloat beyond numElements on
+    // an UnsafeArrayData is a silent out-of-bounds read of heap
+    // garbage (observed as heap-size-dependent results). Vectors
+    // shorter than the codebook dim are treated as zero-padded.
+    val n = v.numElements()
     val k = centArr.length
     val dists = new Array[Double](k)
     var c = 0
@@ -43,7 +48,8 @@ case class NearestCentroids(child: Expression, ids: Seq[Long],
       var s = 0.0
       var j = 0
       while (j < ce.length) {
-        val d = v.getFloat(j).toDouble - ce(j).toDouble
+        val vj = if (j < n) v.getFloat(j).toDouble else 0.0
+        val d = vj - ce(j).toDouble
         s = s + d * d
         j += 1
       }
@@ -89,13 +95,18 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // bound by the input length too: reading past numElements on an
+    // UnsafeArrayData silently returns heap garbage (short vectors are
+    // zero-padded — the extra terms contribute nothing to the sign)
+    val n = v.numElements()
     var bucket = 0L
     var p = 0
     while (p < planeArr.length) {
       val w = planeArr(p)
+      val m = math.min(w.length, n)
       var s = 0.0
       var j = 0
-      while (j < w.length) {
+      while (j < m) {
         s = s + v.getFloat(j).toDouble * w(j)
         j += 1
       }

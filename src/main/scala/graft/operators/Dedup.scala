@@ -121,23 +121,34 @@ object Dedup {
       .filter(col("__n") > hotThreshold)
       .select("band", "key")
     val cold = bandKeysDf.join(broadcast(hotKeys), Seq("band", "key"), "left_anti")
-    val coldPairs = cold.as("x").join(cold.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // rename-projected sides, not dataset aliases: `cold.as("x")`
+    // self joins can resolve both sides to one attribute under plan
+    // reuse (see api.Vectors.nearDupPairs) — rename first, always
+    val coldPairs = cold.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(cold.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
     val hot = bandKeysDf.join(broadcast(hotKeys), Seq("band", "key"), "left_semi")
       .withColumn("s", pmod(hash(col("doc_id")), lit(shards)))
     // doc in shard s joins as LEFT of blocks (s, s..S-1) and RIGHT of
     // blocks (0..s, s): every cross-shard pair meets in exactly one
     // block, same-shard pairs in two (collapsed by the final distinct)
     val left = hot.withColumn("j", explode(expr(s"sequence(s, ${shards - 1})")))
+      .select(col("band"), col("key"), col("doc_id").as("did_a"),
+        col("s").as("s_a"), col("j").as("j_a"))
     val right = hot.withColumn("i", explode(expr("sequence(0, s)")))
-    val hotPairs = left.as("x").join(right.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.s") === col("y.i") && col("x.j") === col("y.s") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .select(col("band").as("band_b"), col("key").as("key_b"),
+        col("doc_id").as("did_b"), col("s").as("s_b"), col("i").as("i_b"))
+    // all four equalities stay in the join condition so the hash join
+    // keys on (band, key, shard-block) — pushing the shard match to a
+    // post-join filter would undo the blocking
+    val hotPairs = left.join(right,
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("s_a") === col("i_b") && col("j_a") === col("s_b") &&
+          col("did_a") =!= col("did_b"))
+      .select(least(col("did_a"), col("did_b")).as("doc_a"),
+        greatest(col("did_a"), col("did_b")).as("doc_b"))
     coldPairs.union(hotPairs).distinct()
   }
 
@@ -410,11 +421,15 @@ object Dedup {
       .select(col("doc_id"), simhashCol.as("simhash"))
       .withColumn("bkt", expr("simhash >> 20"))
       .persist() // self-joined
-    b.as("x").join(b.as("y"),
-        col("x.bkt") === col("y.bkt") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+    // rename-projected sides, not dataset aliases (see
+    // api.Vectors.nearDupPairs for the plan-reuse resolution trap)
+    b.select(col("bkt"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(b.select(col("bkt"), col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= 8)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 

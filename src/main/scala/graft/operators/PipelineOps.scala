@@ -592,10 +592,19 @@ object PipelineOps {
       .withColumn("__ws", split(col("text"), " "))
       .select(col("doc_id"),
         explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
-      .groupBy(md5(col("span")).as("h"))
+      // shuffle fixed-width digests, never the span strings: at 100 TB
+      // the exploded spans are ~10x the corpus bytes, and even at sf0.1
+      // shuffling them through the aggregate GC-thrashed (measured
+      // 2.5-14 s run-to-run; digests: stable ~1.5 s). `exact` keeps its
+      // collision-check meaning via a second, independent digest —
+      // min=max of md5('#'+span) within an md5(span) bucket certifies
+      // all occurrences are the same span up to a double-md5 collision.
+      .select(col("doc_id"), md5(col("span")).as("h"),
+        md5(concat(lit("#"), col("span"))).as("h2"))
+      .groupBy("h")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occur"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        (min("span") === max("span")).as("exact"))
+        (min("h2") === max("h2")).as("exact"))
       .filter(col("n_docs") >= 2)
 
   val q100RepeatedSpans: QueryDef = QueryDef.sql(
@@ -606,7 +615,7 @@ object PipelineOps {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |g AS (SELECT md5(span) AS h, count(DISTINCT doc_id) AS n_docs,
        |    count(*) AS n_occur, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-       |    (min(span) = max(span)) AS exact
+       |    (min(md5('#' || span)) = max(md5('#' || span))) AS exact
        |  FROM sp GROUP BY md5(span))
        |SELECT h, n_docs, n_occur, first_doc, last_doc, exact
        |FROM g WHERE n_docs >= 2 ORDER BY h""".stripMargin) { (spark, dir) =>

@@ -157,11 +157,18 @@ object Similarity {
       val bk = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
         .persist()
-      bk.as("x").join(bk.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("keep_id"), col("y.vec_id").as("dup_id"),
-          round(expr(dotSql("x.embedding", "y.embedding")) /
-            (sqrt(expr(normSql("x.embedding"))) * sqrt(expr(normSql("y.embedding")))), 6)
+      // rename-projected sides, not dataset aliases: a `bk.as("x")`
+      // self join can resolve both sides to one attribute under plan
+      // reuse (see api.Vectors.nearDupPairs) — rename first, always
+      val lhs = bk.select(col("bucket"), col("vec_id").as("keep_id"),
+        col("embedding").as("emb_a"))
+      val rhs = bk.select(col("bucket"), col("vec_id").as("dup_id"),
+        col("embedding").as("emb_b"))
+      lhs.join(rhs, Seq("bucket"))
+        .filter(col("keep_id") < col("dup_id"))
+        .select(col("keep_id"), col("dup_id"),
+          round(expr(dotSql("emb_a", "emb_b")) /
+            (sqrt(expr(normSql("emb_a"))) * sqrt(expr(normSql("emb_b")))), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
         .orderBy("keep_id", "dup_id")

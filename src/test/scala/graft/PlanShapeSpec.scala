@@ -112,6 +112,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("repeated-span census is one aggregate, no self-join") {
     val p = plan("q100_repeated_spans")
     assert(!p.contains("Join"), s"q100 must not join:\n$p")
+    // the shuffle must carry fixed-width digests, never the exploded
+    // span strings (~10x corpus bytes at scale)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("span#")),
+      s"q100 exchange must not carry span strings:\n${exchanges.mkString("\n")}")
   }
 
   test("nested-loop joins appear ONLY as intended tiny-side crossJoins") {

@@ -134,6 +134,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("B-splines interpolate their knots and reproduce same-degree polynomials") {
+    val knotsGen = for {
+      n <- Gen.chooseNum(4, 30)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(0.05, 2.0))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-50.0, 50.0))
+    } yield (gaps.scanLeft(0.0)(_ + _).tail.toArray, ys.toArray)
+    forSamples(knotsGen, 40) { case (ts, xs) =>
+      // interpolation property: both global solves hit every knot
+      val fc = Dsp.notAKnotCubicSpline(ts, xs)
+      val fq = Dsp.quadraticSpline(ts, xs)
+      ts.indices.foreach { i =>
+        assert(math.abs(fc(ts(i)) - xs(i)) < 1e-7, s"cubic knot $i")
+        assert(math.abs(fq(ts(i)) - xs(i)) < 1e-7, s"quad knot $i")
+      }
+      // polynomial reproduction: the spline space contains all
+      // polynomials of its degree, and the collocation solution is
+      // unique — so exactly-cubic (resp. quadratic) data comes back
+      // as that polynomial at every off-knot site (a natural spline
+      // FAILS this for cubics; not-a-knot must not)
+      val cub = ts.map(t => ((0.03 * t - 0.4) * t + 2.0) * t - 7.0)
+      val qud = ts.map(t => (0.5 * t - 3.0) * t + 11.0)
+      val fc2 = Dsp.notAKnotCubicSpline(ts, cub)
+      val fq2 = Dsp.quadraticSpline(ts, qud)
+      val mids = ts.init.zip(ts.tail).map { case (a, b) => (a + b) / 2 }
+      mids.foreach { m =>
+        val ec = ((0.03 * m - 0.4) * m + 2.0) * m - 7.0
+        val eq = (0.5 * m - 3.0) * m + 11.0
+        assert(math.abs(fc2(m) - ec) < 1e-6 * (1 + math.abs(ec)), s"cubic repro at $m")
+        assert(math.abs(fq2(m) - eq) < 1e-6 * (1 + math.abs(eq)), s"quad repro at $m")
+      }
+    }
+  }
+
   test("rotation matrices are orthonormal (det +1)") {
     val gen = for {
       w <- Gen.chooseNum(-1.0, 1.0); x <- Gen.chooseNum(-1.0, 1.0)
