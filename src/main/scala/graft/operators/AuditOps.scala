@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus- and stream-audit operators: the diagnostics a training-data
+  * pipeline runs BEFORE committing to a mixture — collocation mining,
+  * dedup saturation (how much of the next ingest tranche is new?),
+  * per-document novelty, cross-source span contamination, and
+  * monotonic-trend detection on event cadence.
+  *
+  * Determinism policy matches [[PipelineOps]]: every hashed output is
+  * an exact integer computation (counts, integer `div` fixed-point
+  * ppm) or a round of an order-insensitive integer sum, so the DuckDB
+  * oracle hash cannot drift on parallel reduction order.
+  */
+object AuditOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+
+  // ------------------------------------------------------------------
+  // q150: collocation mining (PMI-style lift)
+  // ------------------------------------------------------------------
+
+  /** Bigram collocation lift: `lift = P(w1 w2) / (P(w1)·P(w2))` in
+    * exact integer ppm — `c_xy · N · 10^6 div (c_x · c_y)` where N is
+    * the corpus bigram-token total. The phrase-mining signal behind
+    * tokenizer merges and stop-phrase lists.
+    *
+    * Scale shape: one explode → hash aggregate per relation (bigram
+    * counts, unigram counts) with map-side combine, both keyed on
+    * vocabulary terms (bounded by the language, not the corpus); the
+    * two enrichment joins are vocab-keyed hash joins; N rides in as a
+    * broadcast 1-row cross join. Top-100 is TakeOrderedAndProject.
+    * No self-joins, no pair explosion.
+    */
+  val q150CollocationLift: QueryDef = QueryDef.sql(
+    "q150_collocation_lift",
+    """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1])) AS b FROM ws),
+      |bc AS (SELECT b, count(*) AS n_pair FROM bg GROUP BY b),
+      |uc AS (SELECT wd, count(*) AS n
+      |  FROM (SELECT unnest(w) AS wd FROM ws) GROUP BY wd),
+      |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM bc)
+      |SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+      |  n_pair, u1.n AS n_w1, u2.n AS n_w2,
+      |  (n_pair * 1000000 * n_total) // (u1.n * u2.n) AS lift_ppm
+      |FROM bc, tot
+      |JOIN uc u1 ON split_part(b, ' ', 1) = u1.wd
+      |JOIN uc u2 ON split_part(b, ' ', 2) = u2.wd
+      |WHERE n_pair >= 5
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin) { (spark, dir) =>
+    val ws = docs(spark, dir).select(split(col("text"), " ").as("w"))
+    val bigrams = ws
+      .select(explode(TextHash.shinglesFromWords(col("w"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+    val unigrams = ws.select(explode(col("w")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("n"))
+    // N must count ALL bigrams, not just the n_pair>=5 survivors: the
+    // filter above is pushed below the total on the Spark side too by
+    // summing over a separate unfiltered aggregate.
+    val total = ws
+      .select(explode(TextHash.shinglesFromWords(col("w"), 2)).as("b"))
+      .agg(count(lit(1)).as("n_total"))
+    bigrams
+      .join(unigrams.withColumnRenamed("wd", "w1").withColumnRenamed("n", "n_w1"), Seq("w1"))
+      .join(unigrams.withColumnRenamed("wd", "w2").withColumnRenamed("n", "n_w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr("n_pair * 1000000L * n_total div (n_w1 * n_w2)"))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  // ------------------------------------------------------------------
+  // q151: dedup saturation curve
+  // ------------------------------------------------------------------
+
+  /** Dedup saturation: split the corpus into 10 deterministic ingest
+    * tranches (md5 bucket of doc_id) and report, per cumulative
+    * prefix, how many content hashes are NEW — the yield curve that
+    * answers "is the next crawl tranche still worth deduping in?".
+    *
+    * Scale shape: each content hash contributes one row to a
+    * `min(bucket)` hash aggregate (its first-seen tranche), bucket
+    * row totals are a second map-side-combined aggregate, and the
+    * cumulative prefix sums run on the 10-row bucket table — the
+    * whole curve costs two aggregates regardless of corpus size.
+    */
+  val q151DedupSaturation: QueryDef = QueryDef.sql(
+    "q151_dedup_saturation",
+    s"""WITH d AS (SELECT ${TextHash.duckMd5Bucket("doc_id", 10)} AS bucket,
+       |    md5(text) AS h FROM documents),
+       |rows_b AS (SELECT bucket, count(*) AS n_rows FROM d GROUP BY bucket),
+       |first_b AS (SELECT min(bucket) AS fb FROM d GROUP BY h),
+       |new_b AS (SELECT fb AS bucket, count(*) AS n_new FROM first_b GROUP BY fb),
+       |curve AS (SELECT r.bucket, r.n_rows, coalesce(n.n_new, 0) AS n_new
+       |  FROM rows_b r LEFT JOIN new_b n ON r.bucket = n.bucket)
+       |SELECT bucket,
+       |  CAST(sum(n_rows) OVER w AS BIGINT) AS rows_cum,
+       |  CAST(sum(n_new) OVER w AS BIGINT) AS distinct_cum,
+       |  CAST(((sum(n_rows) OVER w - sum(n_new) OVER w) * 1000000)
+       |    // (sum(n_rows) OVER w) AS BIGINT) AS dup_ppm
+       |FROM curve
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir).select(
+      TextHash.md5Bucket(col("doc_id"), 10).as("bucket"), md5(col("text")).as("h"))
+    val rowsB = d.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val newB = d.groupBy("h").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rowsB.join(newB, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("rows_cum", sum("n_rows").over(w))
+      .withColumn("distinct_cum", sum("n_new").over(w))
+      .withColumn("dup_ppm",
+        expr("(rows_cum - distinct_cum) * 1000000L div rows_cum"))
+      .select("bucket", "rows_cum", "distinct_cum", "dup_ppm")
+      .orderBy("bucket")
+  }
+
+  // ------------------------------------------------------------------
+  // q152: per-document n-gram novelty
+  // ------------------------------------------------------------------
+
+  /** Per-document novelty: the ppm fraction of a document's DISTINCT
+    * 3-word shingles that occur in no other document — high scores
+    * mark genuinely novel text, low scores mark boilerplate stitched
+    * from corpus-common phrasing. Complements q82 (self-repetition)
+    * and q93 (chunk doc-frequency census) with a per-doc uniqueness
+    * signal on the shingle level.
+    *
+    * Scale shape: distinct (doc, shingle-hash) pairs → one hash
+    * aggregate for the doc-frequency table → one digest-keyed join
+    * back → per-doc count aggregate. The novelty tag needs only
+    * `df = 1`, so the join payload is a single boolean-bearing count.
+    */
+  val q152NgramNovelty: QueryDef = QueryDef.sql(
+    "q152_ngram_novelty",
+    s"""WITH ${TextHash.duckShingleCte(3)},
+       |pairs AS (SELECT DISTINCT doc_id, h FROM sh),
+       |df AS (SELECT h, count(*) AS n_docs FROM pairs GROUP BY h)
+       |SELECT p.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST((sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS novelty_ppm
+       |FROM pairs p JOIN df ON p.h = df.h
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
+    val pairs = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(TextHash.shingleHashesFromWords(col("ws"), 3)).as("h"))
+      .distinct()
+    val df = pairs.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    pairs.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000L div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // q153: cross-source span-overlap matrix
+  // ------------------------------------------------------------------
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct 8-word span digests occurring in BOTH, plus
+    * containment ppm relative to the smaller side — the audit that
+    * catches one crawl re-hosting another's content before both are
+    * "independently" weighted in a mixture (q145 is the train/test
+    * special case; this is the all-pairs source-level census).
+    *
+    * Scale shape: distinct (source, digest) is one hash aggregate;
+    * the pair generation is a digest-keyed equi self-join whose
+    * fan-out per key is bounded by |sources| (≤ a handful), never by
+    * corpus size; the matrix itself is |sources|² rows. Per-source
+    * totals ride in on a broadcast. Sides are rename-projected, not
+    * dataset-aliased (alias resolution on a shared plan is fragile
+    * under reuse).
+    */
+  val q153SourceOverlap: QueryDef = QueryDef.sql(
+    "q153_source_overlap",
+    s"""WITH sp AS (SELECT DISTINCT d.source, md5(array_to_string(ws[i:i+7], ' ')) AS h
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) d,
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) g),
+       |tot AS (SELECT source, count(*) AS n FROM sp GROUP BY source),
+       |shared AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       |  (n_shared * 1000000) // least(ta.n, tb.n) AS containment_ppm
+       |FROM shared JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source
+       |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+    val sp = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        explode(TextHash.shinglesFromWords(col("ws"), 8)).as("span"))
+      .select(col("source"), md5(col("span")).as("h"))
+      .distinct()
+    val tot = sp.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sp.select(col("h"), col("source").as("src_a"))
+      .join(sp.select(col("h"), col("source").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .withColumn("containment_ppm", expr("n_shared * 1000000L div least(n_a, n_b)"))
+      .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  // ------------------------------------------------------------------
+  // q154: Mann-Kendall monotonic trend on event cadence
+  // ------------------------------------------------------------------
+
+  /** Mann-Kendall S statistic per event type over the DAILY event
+    * count series: `S = Σ_{i<j} sign(c_j − c_i)` — the standard
+    * nonparametric "is this metric drifting?" test, integer-exact
+    * (no ties correction needed for the report: S's sign and
+    * magnitude are the signal).
+    *
+    * Scale shape: the raw stream first collapses to a (type, day)
+    * count grid via one hash aggregate — the grid is CALENDAR-bounded
+    * (days × types), not data-bounded, so the i<j pair join that
+    * looks quadratic runs over a relation whose size is fixed by the
+    * time range. At 100 TB the aggregate is the only corpus-sized
+    * pass.
+    */
+  val q154MkTrend: QueryDef = QueryDef.sql(
+    "q154_mk_trend",
+    """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    count(*) AS c FROM events GROUP BY event_type, d),
+      |pairs AS (SELECT a.event_type, CAST(sum(CASE WHEN b.c > a.c THEN 1
+      |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.d < b.d
+      |  GROUP BY a.event_type),
+      |nd AS (SELECT event_type, count(DISTINCT d) AS n_days FROM g GROUP BY event_type)
+      |SELECT nd.event_type, nd.n_days, coalesce(p.s_stat, 0) AS s_stat,
+      |  CASE WHEN coalesce(p.s_stat, 0) > 0 THEN 'up'
+      |    WHEN coalesce(p.s_stat, 0) < 0 THEN 'down' ELSE 'flat' END AS trend
+      |FROM nd LEFT JOIN pairs p ON nd.event_type = p.event_type
+      |ORDER BY nd.event_type""".stripMargin) { (spark, dir) =>
+    val g = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+    val pairs = g.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+      .join(g.select(col("event_type"), col("d").as("db"), col("c").as("cb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(sum(when(col("cb") > col("ca"), 1L)
+        .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+    g.groupBy("event_type").agg(countDistinct("d").as("n_days"))
+      .join(pairs, Seq("event_type"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("trend", when(col("s_stat") > 0, "up")
+        .when(col("s_stat") < 0, "down").otherwise("flat"))
+      .select("event_type", "n_days", "s_stat", "trend")
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
+    q153SourceOverlap, q154MkTrend)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.AuditOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture invariants of the audit operators (q150-q154) that
+  * the oracle hash can't express: known lift values, saturation-curve
+  * accounting identities, novelty extremes, planted cross-source
+  * overlap, and closed-form Mann-Kendall statistics.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q150 collocation lift: planted bigram corpus has the closed-form lift") {
+    // 5 x "new york" + 5 x "aa bb": N = 10 bigrams, each pair count 5,
+    // each word count 5 -> lift = 5 * 10 / (5 * 5) = 2.0 = 2_000_000 ppm
+    val dir = docsDir((1L to 5L).map(i => (i, "new york", "en", "web")) ++
+      (6L to 10L).map(i => (i, "aa bb", "en", "web")))
+    val got = AuditOps.q150CollocationLift.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5))).toSet
+    assert(got == Set(("aa", "bb", 5L, 2000000L), ("new", "york", 5L, 2000000L)))
+  }
+
+  test("q150 lift on real data: cutoff respected, lift consistent with its factors") {
+    val out = AuditOps.q150CollocationLift.fn(spark, "/root/testdata/sf0.001")
+    assert(out.filter(col("n_pair") < 5).isEmpty)
+    assert(out.count() > 0)
+    // each row's lift reproduces from its own count columns and the
+    // corpus bigram total (recomputed independently here)
+    val n = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.functions.TextHash.shingles(col("text"), 2)).as("b"))
+      .count()
+    assert(out.filter(
+      expr(s"lift_ppm != n_pair * 1000000L * ${n}L div (n_w1 * n_w2)")).isEmpty)
+  }
+
+  test("q151 dedup saturation: accounting identities on a planted mix") {
+    // ids spread over all 10 md5 buckets; 20 rows, 11 distinct texts
+    val rows = (1L to 10L).map(i => (i, "shared duplicate body text", "en", "web")) ++
+      (11L to 20L).map(i => (i, s"unique body number $i", "en", "web"))
+    val dir = docsDir(rows)
+    val got = AuditOps.q151DedupSaturation.fn(spark, dir)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (_, rowsCum, distinctCum, dupPpm) = got.last
+    assert(rowsCum == 20L)
+    assert(distinctCum == 11L)
+    assert(dupPpm == (20L - 11L) * 1000000L / 20L)
+    // cumulative counts are monotone and distinct never exceeds rows
+    got.sliding(2).foreach {
+      case Array((_, r1, d1, _), (_, r2, d2, _)) =>
+        assert(r2 >= r1 && d2 >= d1)
+      case _ =>
+    }
+    got.foreach { case (_, r, d, _) => assert(d <= r) }
+  }
+
+  test("q152 novelty: all-unique doc scores 1e6 ppm, clone pair scores 0") {
+    val dir = docsDir(Seq(
+      (1L, "wholly original five word sentence", "en", "web"),
+      (2L, "the very same cloned body", "en", "web"),
+      (3L, "the very same cloned body", "en", "web")))
+    val got = AuditOps.q152NgramNovelty.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(1L)._2 == 1000000L)
+    assert(got(2L)._2 == 0L && got(3L)._2 == 0L)
+    // 5 words -> 3 trigrams
+    assert(got(1L)._1 == 3L)
+  }
+
+  test("q153 source overlap: planted shared span is counted, disjoint pair is absent") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val dir = docsDir(Seq(
+      (1L, s"web opening $span web closing words", "en", "web"),
+      (2L, s"book preface $span book epilogue text", "en", "book"),
+      (3L, "entirely disjoint wiki content with no spans shared anywhere across sources at all", "en", "wiki")))
+    val got = AuditOps.q153SourceOverlap.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.contains(("book", "web")), got.toString)
+    assert(got(("book", "web")) == 1L) // exactly the planted span digest
+    assert(!got.keySet.exists { case (a, b) => a == "wiki" || b == "wiki" })
+  }
+
+  test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
+    val day = 86400L * 1000000000L
+    // type "click": 1,2,3,4 events on days 0..3 -> S = 6, up
+    val up = for (d <- 0 until 4; k <- 0 to d)
+      yield (d.toLong * 10 + k, d * day + k * 1000000000L, 1L, 1.0, "click")
+    // type "view": 2 events each day -> S = 0, flat
+    val flat = for (d <- 0 until 4; k <- 0 until 2)
+      yield (100L + d * 10 + k, d * day + k * 1000000000L, 1L, 1.0, "view")
+    (up ++ flat).toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q154MkTrend.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got("click") == ((4L, 6L, "up")))
+    assert(got("view") == ((4L, 0L, "flat")))
+  }
+}
