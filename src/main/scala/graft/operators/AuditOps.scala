@@ -270,7 +270,107 @@ object AuditOps {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------------
+  // q157: seasonal decomposition of event cadence
+  // ------------------------------------------------------------------
+
+  /** Classical additive seasonal decomposition of the hourly event
+    * count series, per event type: trend = centered 24-hour moving
+    * average, seasonal = hour-of-day mean of the detrended series —
+    * the diagnostic that separates "traffic is growing" from "it's
+    * just evening" before any cadence alert fires.
+    *
+    * Exactness: the trend is an integer micro-mean
+    * (`sum·10^6 div n` — counts are nonnegative so div == floor
+    * division on both engines), detrended values are integer micros,
+    * and the seasonal profile is one IEEE division of an exact
+    * integer sum (< 2^53), rounded identically on both engines.
+    *
+    * Scale shape: the only corpus-sized pass is the (type, hour)
+    * count aggregate; the trend window and seasonal aggregate run on
+    * the CALENDAR-bounded grid (hours × types — q131's axis
+    * argument), so per-type window partitions cannot skew with data
+    * volume.
+    */
+  val q157SeasonalDecompose: QueryDef = QueryDef.sql(
+    "q157_seasonal_decompose",
+    """WITH g AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |    count(*) AS c FROM events GROUP BY event_type, h),
+      |t AS (SELECT event_type, h, c,
+      |    CAST(sum(c) OVER w * 1000000 AS BIGINT)
+      |      // CAST(count(*) OVER w AS BIGINT) AS trend_micro
+      |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+      |d AS (SELECT event_type, h % 24 AS hod,
+      |    c * 1000000 - trend_micro AS detr_micro FROM t)
+      |SELECT event_type, hod, count(*) AS n_hours,
+      |  CAST(sum(detr_micro) AS BIGINT) AS seasonal_sum_micro,
+      |  round(CAST(sum(detr_micro) AS BIGINT)::DOUBLE / count(*), 6) AS seasonal_mean
+      |FROM d GROUP BY event_type, hod
+      |ORDER BY event_type, hod""".stripMargin) { (spark, dir) =>
+    val g = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-11, 12)
+    g.withColumn("sum_w", sum("c").over(w))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("trend_micro", expr("sum_w * 1000000L div n_w"))
+      .withColumn("detr_micro", col("c") * 1000000L - col("trend_micro"))
+      .withColumn("hod", col("h") % 24)
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_hours"), sum("detr_micro").as("seasonal_sum_micro"))
+      .withColumn("seasonal_mean",
+        round(col("seasonal_sum_micro").cast("double") / col("n_hours"), 6))
+      .select("event_type", "hod", "n_hours", "seasonal_sum_micro", "seasonal_mean")
+      .orderBy("event_type", "hod")
+  }
+
+  // ------------------------------------------------------------------
+  // q158: quality band × duplication rate
+  // ------------------------------------------------------------------
+
+  /** Cross-signal audit: exact-duplicate rate per quality band — the
+    * sanity check behind "filter by quality THEN dedup" ordering
+    * decisions (boilerplate is both low-quality and highly
+    * duplicated; if dup rate does NOT fall with quality, the quality
+    * score is missing the boilerplate).
+    *
+    * Scale shape: bands come from the VALUE DOMAIN
+    * (`quality_ppm div 100000` — no sort, no ntile, no
+    * single-reducer rank), the dup flag from the q40 content-hash
+    * aggregate; one join on doc_id, one 11-row output aggregate.
+    */
+  val q158QualityVsDup: QueryDef = QueryDef.sql(
+    "q158_quality_vs_dup",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |dup AS (SELECT doc_id, (cnt > 1) AS is_dup FROM (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS cnt
+       |  FROM documents)),
+       |j AS (SELECT q.quality_ppm // 100000 AS band, d.is_dup
+       |  FROM qq q JOIN dup d ON q.doc_id = d.doc_id)
+       |SELECT band, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS dup_ppm
+       |FROM j GROUP BY band ORDER BY band""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val dupCounts = d.select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    val dup = d.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(dupCounts, Seq("h"))
+      .select(col("doc_id"), (col("cnt") > 1).as("is_dup"))
+    graft.operators.TextOps.withQuality(d)
+      .select(col("doc_id"), expr("quality_ppm div 100000").as("band"))
+      .join(dup, Seq("doc_id"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000L div n_docs"))
+      .select("band", "n_docs", "n_dup", "dup_ppm")
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
-    q153SourceOverlap, q154MkTrend)
+    q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup)
 }

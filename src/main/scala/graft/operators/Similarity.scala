@@ -181,14 +181,14 @@ object Similarity {
   // in k-means centroids changes only this CTE/table). Assignment =
   // argmin L2; search probes the query's nearest `nprobe` lists.
 
-  private val NumCentroids = 16
+  private[graft] val NumCentroids = 16
   private val NProbe = 2
 
-  private def duckL2(a: String, b: String): String =
+  private[graft] def duckL2(a: String, b: String): String =
     s"""list_reduce(list_transform($a, (x, i) -> (x::DOUBLE - $b[i]::DOUBLE)
        |  * (x::DOUBLE - $b[i]::DOUBLE)), (s, x) -> s + x)""".stripMargin
 
-  private val duckCentroids =
+  private[graft] val duckCentroids =
     s"cent AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $NumCentroids)"
 
   /** Collect the coarse-quantizer codebook to the driver (IVF
@@ -199,9 +199,17 @@ object Similarity {
     * over N single-vector partitions) with one narrow projection —
     * the assignment stage at 100 TB is a full-scan map, no shuffle.
     */
-  private def nearestCol(spark: SparkSession, dir: String, nprobe: Int,
+  private[graft] def nearestCol(spark: SparkSession, dir: String, nprobe: Int,
+      embCol: Column): Column =
+    nearestColFrom(Tables.embeddings(spark, dir), nprobe, embCol)
+
+  /** [[nearestCol]] over an explicit embedding relation (streaming
+    * callers read their codebook through a file glob, not the
+    * canonical table path).
+    */
+  private[graft] def nearestColFrom(emb: DataFrame, nprobe: Int,
       embCol: Column): Column = {
-    val rows = Tables.embeddings(spark, dir)
+    val rows = emb
       .filter(col("vec_id") < NumCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -431,7 +439,67 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with the coarse
+    * quantizer, then prune near-duplicate pairs WITHIN each cluster
+    * only — the cluster bound is what makes semantic dedup tractable
+    * (pairs are confined to same-cluster members instead of the full
+    * n² space). A vector is pruned when a LOWER-id same-cluster
+    * member sits above the cosine threshold; the lowest id of each
+    * near-dup group survives as canonical.
+    *
+    * Scale shape: assignment is the q67 zero-shuffle codebook map;
+    * the pair scan is an equi self-join on list_id (rename-projected
+    * sides), so its cost is Σ|cluster|², controlled by K — at
+    * production scale K grows with the corpus (SemDeDup uses ~100k
+    * clusters) so clusters stay bounded; the final per-vector verdict
+    * is one aggregate + a left join back.
+    */
+  val q155SemdedupPrune: QueryDef = {
+    val threshold = 0.3
+    QueryDef.sql(
+      "q155_semdedup_prune",
+      s"""WITH $duckCentroids,
+         |asg AS (SELECT vec_id, c_id AS list_id, embedding FROM (
+         |  SELECT e.vec_id, c.c_id, e.embedding,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |close AS (SELECT y.vec_id, count(*) AS n_close
+         |  FROM asg x JOIN asg y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |  WHERE round(${duckDot("x.embedding", "y.embedding")} /
+         |      (sqrt(${duckNorm("x.embedding")}) * sqrt(${duckNorm("y.embedding")})), 6)
+         |    >= $threshold
+         |  GROUP BY y.vec_id)
+         |SELECT a.vec_id, a.list_id, coalesce(c.n_close, 0) AS n_close,
+         |  (c.n_close IS NULL) AS kept
+         |FROM asg a LEFT JOIN close c ON a.vec_id = c.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
+      val asg = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+          col("embedding"))
+        .persist()
+      val lhs = asg.select(col("list_id"), col("vec_id").as("lo_id"),
+        col("embedding").as("emb_a"))
+      val rhs = asg.select(col("list_id"), col("vec_id").as("vec_id"),
+        col("embedding").as("emb_b"))
+      val close = lhs.join(rhs, Seq("list_id"))
+        .filter(col("lo_id") < col("vec_id"))
+        .filter(round(expr(dotSql("emb_a", "emb_b")) /
+          (sqrt(expr(normSql("emb_a"))) * sqrt(expr(normSql("emb_b")))), 6)
+          >= threshold)
+        .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+      asg.select("vec_id", "list_id")
+        .join(close, Seq("vec_id"), "left")
+        .withColumn("kept", col("n_close").isNull)
+        .withColumn("n_close", coalesce(col("n_close"), lit(0L)))
+        .select("vec_id", "list_id", "n_close", "kept")
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
-    q105KmeansTrain)
+    q105KmeansTrain, q155SemdedupPrune)
 }

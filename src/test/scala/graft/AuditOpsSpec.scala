@@ -91,6 +91,59 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == "wiki" || b == "wiki" })
   }
 
+  test("q155 semdedup: planted clone is pruned, low-cosine member survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    // centroids = vec_id < 16 = the one-hot basis e_0..e_15;
+    // vec 16 = e_3 (cos 1 with centroid-member 3 -> pruned);
+    // vec 17 = 0.3*e_9 + 0.29 elsewhere: L2-nearest list is 9, but
+    // cos(v17, e_9) = 0.3/sqrt(1.3515) ~= 0.258 < 0.3 -> kept
+    val basis = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(16)(j => if (j == i) 1.0f else 0.0f).toSeq, 0))
+    val clone = Seq((16L, Array.tabulate(16)(j => if (j == 3) 1.0f else 0.0f).toSeq, 0))
+    val spread = Seq((17L, Array.tabulate(16)(j => if (j == 9) 0.3f else 0.29f).toSeq, 0))
+    (basis ++ clone ++ spread).toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q155SemdedupPrune.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(16L) == ((3L, 1L, false)), got.toString) // pruned by vec 3
+    assert(got(17L) == ((9L, 0L, true)), got.toString)  // survives in list 9
+    // orthogonal basis members never prune each other
+    (0 until 16).foreach(i => assert(got(i.toLong)._3, s"centroid $i pruned"))
+  }
+
+  test("q157 seasonal decompose: constant hourly series has zero seasonal mass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seasonal").toString
+    val hour = 3600L * 1000000000L
+    // 48 hours x exactly 3 events per hour -> trend == count everywhere
+    val rows = for (h <- 0 until 48; k <- 0 until 3)
+      yield ((h * 3 + k).toLong, h * hour + k * 1000000000L, 1L, 1.0, "click")
+    rows.toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q157SeasonalDecompose.fn(spark, dir).collect()
+    assert(got.length == 24)
+    got.foreach { r =>
+      assert(r.getLong(2) == 2L, r.toString)     // 48h -> 2 samples per hod
+      assert(r.getLong(3) == 0L, r.toString)     // zero detrended mass
+      assert(r.getDouble(4) == 0.0, r.toString)
+    }
+  }
+
+  test("q158 quality-vs-dup: totals reconcile with an independent dup census") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = AuditOps.q158QualityVsDup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.map(_._2).sum == d.count())
+    val dupDocs = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    assert(out.map(_._3).sum == dupDocs)
+    out.foreach { case (_, n, nd, ppm) =>
+      assert(nd <= n && ppm == nd * 1000000L / n)
+    }
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L

@@ -293,4 +293,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.size == single.size)
     upserted.foreach { case (k, r) => assert(r == single(k), s"source $k diverged") }
   }
+
+  test("stream IVF monitor: distortion state folds across batches to the batch sums") {
+    import graft.streaming.StreamingVectors
+    import graft.streaming.StreamingVectors.ListRow
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-batches").toString
+    // the codebook (vec_id < 16) must be present for BOTH the static
+    // centroid read and the assignment literal, so it rides in file 1
+    emb.filter(col("vec_id") < 250).coalesce(1).write.parquet(s"$tmp/b=1")
+    emb.filter(col("vec_id") >= 250).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/embeddings_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/embeddings_b.parquet"))
+    val upserted = mutable.LinkedHashMap[Long, ListRow]()
+    var batches = 0
+    val q = StreamingVectors
+      .distortionStream(spark, tmp, glob = "embeddings_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ListRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted(r.list_id) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    val single = StreamingVectors
+      .distortionStream(spark, tmp, glob = "embeddings_*.parquet")
+      .writeStream.format("memory").queryName("ivf_spec_single").outputMode("append").start()
+    single.processAllAvailable()
+    single.stop()
+    val one = spark.table("ivf_spec_single").as[ListRow].collect()
+      .map(r => r.list_id -> r).toMap
+    assert(upserted.size == one.size)
+    upserted.foreach { case (k, r) => assert(r == one(k), s"list $k diverged") }
+  }
 }
