@@ -370,7 +370,137 @@ object AuditOps {
       .orderBy("band")
   }
 
+  // ------------------------------------------------------------------
+  // q159: BPE merge-candidate mining
+  // ------------------------------------------------------------------
+
+  /** The scoring pass of a BPE tokenizer-training step: adjacent
+    * character-pair frequencies weighted by word frequency — the
+    * top-scoring pair IS the next merge a byte-pair encoder would
+    * learn. Run over the corpus this is the first (and by far the
+    * most expensive) iteration of tokenizer training.
+    *
+    * Scale shape: the corpus collapses to a (word, count) vocabulary
+    * first — one map-side-combined aggregate bounded by the
+    * vocabulary, not the corpus — and the pair explosion runs over
+    * that bounded relation (chars-per-word × vocab rows). Top-20 is
+    * TakeOrderedAndProject. (Both engines index substrings by
+    * character; the corpus is ASCII so UTF-16 vs UTF-8 offsets
+    * cannot diverge.)
+    */
+  val q159BpeMerges: QueryDef = QueryDef.sql(
+    "q159_bpe_merges",
+    """WITH wt AS (SELECT w, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |pr AS (SELECT n, unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> w[i:i+1])) AS pair FROM wt WHERE len(w) >= 2)
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occur
+      |FROM pr GROUP BY pair
+      |ORDER BY n_occur DESC, pair LIMIT 20""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("n").as("n_occur"))
+      .orderBy(col("n_occur").desc, col("pair"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------------
+  // q160: retention cohort matrix
+  // ------------------------------------------------------------------
+
+  /** Weekly retention cohorts: users grouped by first-seen week, the
+    * matrix cell (cohort, offset) counting how many came back
+    * `offset` weeks later — THE standard growth-analytics report.
+    *
+    * Scale shape: one shuffle by user for the first-seen minimum, a
+    * distinct (user, week) aggregate on the same axis, a user-keyed
+    * join, and a final aggregate whose output is calendar-bounded
+    * (weeks × offsets). Cohort sizes ride back on a broadcast of the
+    * offset-0 diagonal, never a re-scan.
+    */
+  val q160RetentionCohorts: QueryDef = QueryDef.sql(
+    "q160_retention_cohorts",
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cw FROM a GROUP BY user_id),
+      |m AS (SELECT f.cw, a.wk - f.cw AS offs, count(DISTINCT a.user_id) AS n_users
+      |  FROM a JOIN f ON a.user_id = f.user_id GROUP BY f.cw, a.wk - f.cw),
+      |sz AS (SELECT cw, n_users AS cohort_n FROM m WHERE offs = 0)
+      |SELECT m.cw AS cohort_week, m.offs AS week_offset, m.n_users, sz.cohort_n,
+      |  CAST(m.n_users * 1000000 // sz.cohort_n AS BIGINT) AS retention_ppm
+      |FROM m JOIN sz ON m.cw = sz.cw
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+    val a = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min("wk").as("cw"))
+    val m = a.join(f, Seq("user_id"))
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("offs"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val sz = m.filter(col("offs") === 0)
+      .select(col("cw"), col("n_users").as("cohort_n"))
+    m.join(broadcast(sz), Seq("cw"))
+      .withColumn("retention_ppm", expr("n_users * 1000000L div cohort_n"))
+      .select(col("cw").as("cohort_week"), col("offs").as("week_offset"),
+        col("n_users"), col("cohort_n"), col("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // ------------------------------------------------------------------
+  // q162: Theil–Sen robust slope
+  // ------------------------------------------------------------------
+
+  /** Theil–Sen estimator per event type: the MEDIAN of all pairwise
+    * slopes of the daily count series — the robust companion to
+    * q154's Mann-Kendall S (outlier days shift a least-squares fit
+    * arbitrarily; they move the median slope by one rank at most).
+    *
+    * Median selection is deterministic on both engines: each slope
+    * is ONE IEEE division of exact integers, the ordering
+    * tie-breaks on (day_a, day_b), and the lower middle is taken at
+    * rank `(n+1)/2`. The pair relation is calendar-bounded (days²
+    * per type), reached from one corpus-sized count aggregate.
+    */
+  val q162TheilSen: QueryDef = QueryDef.sql(
+    "q162_theil_sen",
+    """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    count(*) AS c FROM events GROUP BY event_type, d),
+      |p AS (SELECT a.event_type,
+      |    (b.c - a.c)::DOUBLE / (b.d - a.d)::DOUBLE AS slope, a.d AS da, b.d AS db
+      |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.d < b.d),
+      |r AS (SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope, da, db) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM p)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      |  round(slope, 6) AS ts_slope
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val g = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+    val p = g.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+      .join(g.select(col("event_type"), col("d").as("db"), col("c").as("cb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("db") - col("da")).cast("double")).as("slope"),
+        col("da"), col("db"))
+    val w = Window.partitionBy("event_type").orderBy("slope", "da", "db")
+    p.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        round(col("slope"), 6).as("ts_slope"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
-    q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup)
+    q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
+    q159BpeMerges, q160RetentionCohorts, q162TheilSen)
 }

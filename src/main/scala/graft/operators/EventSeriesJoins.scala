@@ -698,9 +698,77 @@ object EventSeriesJoins {
     }
   }
 
+  /** Last-touch attribution: every purchase is credited to the
+    * latest preceding non-purchase touch within a 1-hour window —
+    * the conversion-accounting query behind channel reports, and a
+    * second production use of the custom [[graft.plans.AsOfJoinExec]]
+    * streaming-merge operator (one sorted pass per user partition —
+    * never a per-purchase range scan).
+    *
+    * Semantics: at-or-before (a touch AT the purchase instant
+    * counts); sample-time ties resolve to the highest event_id —
+    * identical to q125's contract, and the oracle encodes the same
+    * order. Purchases with no touch, or a touch older than the
+    * window, report channel 'none'. The gap rolls up in exact
+    * quantized milliseconds; the mean is one IEEE division.
+    */
+  val q161Attribution: QueryDef = {
+    val windowSec = 3600.0
+    QueryDef.sql(
+      "q161_attribution",
+      s"""$S, u AS (
+         |  SELECT user_id, tn, NULL AS s_type, NULL::DOUBLE AS s_tn, event_id, 1 AS gg
+         |    FROM s WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, tn, event_type, tn, event_id, 0 FROM s
+         |    WHERE event_type <> 'purchase'),
+         |w AS (SELECT *, last_value(CASE WHEN gg = 0
+         |      THEN struct_pack(st := s_type, stn := s_tn) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY tn, gg, coalesce(event_id, -1)
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+         |  FROM u),
+         |p AS (SELECT user_id, tn, (lt).st AS s_type, (lt).stn AS s_tn
+         |  FROM w WHERE gg = 1),
+         |c AS (SELECT
+         |    CASE WHEN s_tn IS NOT NULL AND tn - s_tn <= $windowSec
+         |      THEN s_type ELSE 'none' END AS channel,
+         |    CASE WHEN s_tn IS NOT NULL AND tn - s_tn <= $windowSec
+         |      THEN CAST(round((tn - s_tn) * 1000.0) AS BIGINT) END AS gap_ms
+         |  FROM p)
+         |SELECT channel, count(*) AS n_purchases,
+         |  CAST(coalesce(sum(gap_ms), 0) AS BIGINT) AS sum_gap_ms,
+         |  CASE WHEN channel <> 'none' THEN
+         |    round(CAST(coalesce(sum(gap_ms), 0) AS BIGINT)::DOUBLE / count(*), 6)
+         |  END AS mean_gap_ms
+         |FROM c GROUP BY channel ORDER BY channel""".stripMargin) { (spark, dir) =>
+      val series = Tables.seriesNorm(spark, dir)
+      val probes = series.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tn"), col("event_id"))
+      val samples = series.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("s_uid"), col("tn").as("s_tn"),
+          col("event_type").as("s_type"), col("event_id").as("s_eid"))
+      val attributed = graft.plans.AsOfJoin.backward(probes, samples,
+        Seq("user_id"), Seq("s_uid"), "tn", "s_tn", Seq("s_eid"))
+      attributed
+        .withColumn("channel",
+          when(col("s_tn").isNotNull && col("tn") - col("s_tn") <= windowSec,
+            col("s_type")).otherwise(lit("none")))
+        .withColumn("gap_ms", when(col("channel") =!= "none",
+          expr("cast(round((tn - s_tn) * 1000.0) as bigint)")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          coalesce(sum("gap_ms"), lit(0L)).as("sum_gap_ms"))
+        .withColumn("mean_gap_ms", when(col("channel") =!= "none",
+          round(col("sum_gap_ms").cast("double") / col("n_purchases"), 6)))
+        .select("channel", "n_purchases", "sum_gap_ms", "mean_gap_ms")
+        .orderBy("channel")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q28Interpolate, q29Resample, q30Sessionize, q31SpikeIslands,
     q32IntervalJoin, q33NearestRow, q34AsofJoin, q35Ffill, q125AsofExec,
+    q161Attribution,
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
     q147InterpolateQuadratic, q148InterpolateZero,

@@ -144,6 +144,68 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 BPE merges: weighted pair counts on a planted vocabulary") {
+    // "banana banana" (x1 doc) + "ana": banana n=2 -> ba:2 an:4 na:4;
+    // ana n=1 -> an:1 na:1. totals an:5 na:5 ba:2 (tie breaks to 'an')
+    val dir = docsDir(Seq(
+      (1L, "banana banana", "en", "web"),
+      (2L, "ana", "en", "web")))
+    val got = AuditOps.q159BpeMerges.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("an", 5L), ("na", 5L), ("ba", 2L)))
+  }
+
+  test("q160 retention cohorts: planted weekly activity gives the known matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    val week = 7L * 86400L * 1000000000L
+    // user 1: weeks 0,1,2; user 2: weeks 0,2; user 3: week 1
+    val rows = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 2L), (3L, 1L))
+      .zipWithIndex.map { case ((u, w), i) =>
+        (i.toLong, w * week + u * 1000000000L, u, 1.0, "click")
+      }
+    rows.toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q160RetentionCohorts.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 1000000L)))
+    assert(got((0L, 1L)) == ((1L, 2L, 500000L)))
+    assert(got((0L, 2L)) == ((2L, 2L, 1000000L)))
+    assert(got((1L, 0L)) == ((1L, 1L, 1000000L)))
+    assert(got.size == 4)
+  }
+
+  test("q161 attribution: in-window touch credits its channel, stale/no touch -> none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    val rows = Seq(
+      (0L, 0L, 1L, "view"), (1L, 100L, 1L, "purchase"),      // 100 s gap -> view
+      (2L, 0L, 2L, "click"), (3L, 7200L, 2L, "purchase"),    // 2 h gap -> none
+      (4L, 0L, 3L, "purchase"))                              // no touch -> none
+      .map { case (id, sec, u, et) => (id, sec * 1000000000L, u, 1.0, et) }
+    rows.toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventSeriesJoins.q161Attribution.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got("view")._1 == 1L && got("view")._2 == 100000L && got("view")._3 == 100000.0)
+    assert(got("none")._1 == 2L && got("none")._2 == 0L && got("none")._3.isNaN)
+    assert(got.size == 2)
+  }
+
+  test("q162 Theil-Sen: linear counts give slope 1, constant gives 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val day = 86400L * 1000000000L
+    val up = for (d <- 0 until 4; k <- 0 to d)
+      yield (d.toLong * 10 + k, d * day + k * 1000000000L, 1L, 1.0, "click")
+    val flat = for (d <- 0 until 4; k <- 0 until 2)
+      yield (100L + d * 10 + k, d * day + k * 1000000000L, 1L, 1.0, "view")
+    (up ++ flat).toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q162TheilSen.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("click") == ((6L, 1.0)))
+    assert(got("view") == ((6L, 0.0)))
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L
