@@ -499,8 +499,136 @@ object AuditOps {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------------
+  // q163: cross-source unigram cross-entropy (domain similarity)
+  // ------------------------------------------------------------------
+
+  /** Domain-similarity matrix: each source's tokens scored under
+    * every source's unigram LM, in exact integer bits — the CCNet-
+    * style "how surprised is model B by data A" signal that decides
+    * which crawl slices resemble the target domain. Diagonal cells
+    * are each source's own entropy; a LOW off-diagonal cell means the
+    * two sources speak the same language (candidates for merging or
+    * for contamination review).
+    *
+    * Bits are `floor(log2(N_b / c_b(w)))` as the bit length of the
+    * integer quotient (q95's no-floating-log trick); an OOV token
+    * costs `floor(log2(N_b)) + 1` — one bit beyond the rarest
+    * possible in-vocab token, a deterministic escape penalty.
+    *
+    * Scale shape: the corpus is touched ONCE (the (source, word)
+    * count aggregate); everything after runs on vocabulary-bounded
+    * relations — a ×|sources| explode of the vocab and a vocab-keyed
+    * left join. The output is the |sources|² matrix.
+    */
+  val q163DomainXent: QueryDef = QueryDef.sql(
+    "q163_domain_xent",
+    """WITH v AS (SELECT source, w, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY source, w),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM v GROUP BY source),
+      |x AS (SELECT a.source AS data_source, m.source AS model_source, a.w, a.c AS c_a,
+      |    vm.c AS c_m, m.n AS n_m
+      |  FROM v a CROSS JOIN tot m
+      |  LEFT JOIN v vm ON vm.source = m.source AND vm.w = a.w),
+      |b AS (SELECT data_source, model_source, c_a,
+      |    CASE WHEN c_m IS NULL THEN length(printf('%b', n_m))
+      |         ELSE length(printf('%b', n_m // c_m)) - 1 END AS bits
+      |  FROM x)
+      |SELECT data_source, model_source,
+      |  CAST(sum(c_a) AS BIGINT) AS n_tokens,
+      |  CAST(sum(c_a * bits) AS BIGINT) AS total_bits,
+      |  CAST(sum(c_a * bits) * 1000 // sum(c_a) AS BIGINT) AS bits_per_token_milli
+      |FROM b GROUP BY data_source, model_source
+      |ORDER BY data_source, model_source""".stripMargin) { (spark, dir) =>
+    val v = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = v.groupBy("source").agg(sum("c").as("n"))
+    val x = v.select(col("source").as("data_source"), col("w"), col("c").as("c_a"))
+      .crossJoin(broadcast(tot.select(col("source").as("model_source"), col("n").as("n_m"))))
+      .join(v.select(col("source").as("model_source"), col("w"), col("c").as("c_m")),
+        Seq("model_source", "w"), "left")
+    x.withColumn("bits",
+        when(col("c_m").isNull, length(bin(col("n_m"))))
+          .otherwise(length(bin(expr("n_m div c_m"))) - 1).cast("long"))
+      .groupBy("data_source", "model_source")
+      .agg(sum("c_a").as("n_tokens"), sum(expr("c_a * bits")).as("total_bits"))
+      .withColumn("bits_per_token_milli", expr("total_bits * 1000L div n_tokens"))
+      .select("data_source", "model_source", "n_tokens", "total_bits",
+        "bits_per_token_milli")
+      .orderBy("data_source", "model_source")
+  }
+
+  // ------------------------------------------------------------------
+  // q164: trailing-7-day distinct users via mergeable HLL registers
+  // ------------------------------------------------------------------
+
+  /** Weekly-active-users per day from MERGEABLE sketches: each day's
+    * 4096 HLL registers are built once, and every day's trailing-7-
+    * day estimate is a register-max merge — the data is NEVER
+    * rescanned per window, which is the whole point of sketch-based
+    * WAU at 100 TB (a naive `count(DISTINCT)` per sliding window
+    * rescans every row 7 times and holds per-window exact sets).
+    *
+    * The merge is expressed as a bounded explode: each (day, bucket,
+    * reg) row serves at most 7 future evaluation days, so the
+    * register relation fans out ×7 (calendar-bounded rows), then one
+    * max-aggregate per (eval day, bucket) and one harmonic rollup
+    * per day. No range join, no window over raw rows. Estimates use
+    * q135's exact-dyadic harmonic sum, emitted unrounded.
+    */
+  val q164SlidingWau: QueryDef = {
+    val m = 4096
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
+    val aLit = graft.functions.KernelOracles.lit(alphaM2)
+    QueryDef.sql(
+      "q164_sliding_wau",
+      s"""WITH t AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h FROM events),
+         |b AS (SELECT d, h >> 20 AS bucket,
+         |    CASE WHEN (h & 1048575) = 0 THEN 21
+         |         ELSE 21 - length(printf('%b', h & 1048575)) END AS rho
+         |  FROM t),
+         |r AS (SELECT d, bucket, max(rho) AS reg FROM b GROUP BY d, bucket),
+         |days AS (SELECT DISTINCT d FROM r),
+         |serve AS (SELECT unnest(generate_series(r.d, r.d + 6)) AS ed, bucket, reg FROM r),
+         |mg AS (SELECT s.ed, s.bucket, max(s.reg) AS reg
+         |  FROM serve s JOIN days dd ON s.ed = dd.d GROUP BY s.ed, s.bucket),
+         |e AS (SELECT ed, count(*) AS n_reg,
+         |    sum(1e0 / (1::BIGINT << reg)) AS sp FROM mg GROUP BY ed)
+         |SELECT ed AS day, CAST(n_reg AS BIGINT) AS n_registers,
+         |  CAST($m - n_reg AS BIGINT) AS n_zero,
+         |  $aLit / (sp + ($m - n_reg)) AS raw_est
+         |FROM e ORDER BY day""".stripMargin) { (spark, dir) =>
+      val t = graft.sources.Tables.events(spark, dir)
+        .select(expr("(ts div 1000) div 86400000000").as("d"),
+          TextHash.base32(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val rest = col("h").bitwiseAND(lit(1048575L))
+      val r = t.select(col("d"), shiftright(col("h"), 20).as("bucket"),
+          when(rest === 0, lit(21)).otherwise(lit(21) - length(bin(rest))).as("rho"))
+        .groupBy("d", "bucket").agg(max("rho").as("reg"))
+        .persist()
+      val days = r.select(col("d")).distinct()
+      val serve = r.select(explode(expr("sequence(d, d + 6)")).as("ed"),
+        col("bucket"), col("reg"))
+      serve.join(broadcast(days.withColumnRenamed("d", "ed")), Seq("ed"))
+        .groupBy("ed", "bucket").agg(max("reg").as("reg"))
+        .groupBy("ed")
+        .agg(count(lit(1)).as("n_reg"),
+          sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sp"))
+        .select(col("ed").as("day"), col("n_reg").as("n_registers"),
+          (lit(m.toLong) - col("n_reg")).as("n_zero"),
+          (lit(alphaM2) / (col("sp") + (lit(m.toLong) - col("n_reg")))).as("raw_est"))
+        .orderBy("day")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
-    q159BpeMerges, q160RetentionCohorts, q162TheilSen)
+    q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
+    q164SlidingWau)
 }

@@ -499,7 +499,53 @@ object Similarity {
     }
   }
 
+  /** ANN index-quality audit: recall@3 of the LSH-bucketed search
+    * (q47) against the exact brute-force top-3 (q45) per query — the
+    * evaluation loop every approximate index ships with. A recall
+    * collapse after a data shift is the signal to re-tune planes or
+    * switch to IVF.
+    *
+    * Scale shape: both inputs are top-k relations (queries × k
+    * rows); the audit join and per-query rollup are negligible next
+    * to the searches themselves, and the searches keep their own
+    * scale shapes (broadcast exact scan; bucket equi-join).
+    */
+  val q165AnnRecall: QueryDef = QueryDef.sql(
+    "q165_ann_recall",
+    s"""WITH $duckBuckets,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bk WHERE vec_id < 10),
+       |ec AS (SELECT q.q_id, e.vec_id,
+       |    round(${duckDot("qe", "e.embedding")} /
+       |      (sqrt(${duckNorm("qe")}) * sqrt(${duckNorm("e.embedding")})), 6) AS cos_sim
+       |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+       |er AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ec),
+       |ex AS (SELECT q_id, vec_id FROM er WHERE rank <= 3),
+       |ac AS (SELECT q.q_id, bk.vec_id,
+       |    round(${duckDot("qe", "bk.embedding")} /
+       |      (sqrt(${duckNorm("qe")}) * sqrt(${duckNorm("bk.embedding")})), 6) AS cos_sim
+       |  FROM q JOIN bk ON bk.bucket = q.bucket AND bk.vec_id <> q.q_id),
+       |ar AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM ac),
+       |ap AS (SELECT q_id, vec_id FROM ar WHERE rank <= 3)
+       |SELECT ex.q_id, count(*) AS n_exact, count(ap.vec_id) AS hits,
+       |  CAST(count(ap.vec_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (spark, dir) =>
+    val exact = q45CosineTopK.fn(spark, dir)
+      .filter(col("rank") <= 3).select(col("q_id"), col("vec_id"))
+    val approx = q47AnnTopK.fn(spark, dir)
+      .select(col("q_id"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        exact("q_id") === approx("q_id") && col("vec_id") === col("a_vid"), "left")
+      .select(exact("q_id").as("q_id"), col("vec_id"), col("a_vid"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
-    q105KmeansTrain, q155SemdedupPrune)
+    q105KmeansTrain, q155SemdedupPrune, q165AnnRecall)
 }

@@ -206,6 +206,57 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got("view") == ((6L, 0.0)))
   }
 
+  test("q163 domain cross-entropy: disjoint vocabularies pay the OOV escape") {
+    // A = "aa aa", B = "bb bb": diagonal bits floor(log2(2/2)) = 0;
+    // cross cells are all-OOV at length(bin(2)) = 2 bits per token
+    val dir = docsDir(Seq(
+      (1L, "aa aa", "en", "srcA"),
+      (2L, "bb bb", "en", "srcB")))
+    val got = AuditOps.q163DomainXent.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("srcA", "srcA")) == ((2L, 0L)))
+    assert(got(("srcB", "srcB")) == ((2L, 0L)))
+    assert(got(("srcA", "srcB")) == ((2L, 4L)))
+    assert(got(("srcB", "srcA")) == ((2L, 4L)))
+  }
+
+  test("q164 sliding WAU: merged registers equal a direct window recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = AuditOps.q164SlidingWau.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute each day's trailing-7-day distinct register count
+    // directly from the raw (day, user-hash) relation
+    val t = graft.sources.Tables.events(spark, sfDir)
+      .select(expr("(ts div 1000) div 86400000000").as("d"),
+        graft.functions.TextHash.base32(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .select(col("d"), shiftright(col("h"), 20).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = t.map(_._1).distinct
+    days.foreach { d =>
+      val expect = t.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length
+      assert(out(d) == expect.toLong, s"day $d")
+    }
+    assert(out.size == days.length)
+  }
+
+  test("q165 ANN recall: hits bounded by k and reconciles with the two searches") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.operators.Similarity.q165AnnRecall.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 10)
+    val exact = graft.operators.Similarity.q45CosineTopK.fn(spark, sfDir)
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.Similarity.q47AnnTopK.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (q, (n, hits, ppm)) =>
+      assert(n == exact.count(_._1 == q))
+      assert(hits == (exact.filter(_._1 == q) & approx).size)
+      assert(ppm == hits * 1000000L / n)
+    }
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L
