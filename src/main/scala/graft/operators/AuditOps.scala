@@ -626,9 +626,105 @@ object AuditOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // q166: RFM segmentation
+  // ------------------------------------------------------------------
+
+  /** RFM (recency / frequency / monetary) segmentation of purchasing
+    * users — the classic CRM scoring: days since last purchase,
+    * purchase count, and milli-quantized spend, folded into a
+    * deterministic 3-digit class by fixed value-domain thresholds
+    * (recency <7d/<30d/else, frequency ≥10/≥3/else, monetary
+    * ≥100/≥20/else — threshold bands, NOT quantile ranks, so no
+    * global sort exists anywhere in the plan).
+    *
+    * Scale shape: one user-keyed aggregate over purchases plus a
+    * broadcast 1-row "now" scalar. Monetary sums are quantized to
+    * integer millis BEFORE aggregation, so parallel reduction order
+    * cannot move the hash.
+    */
+  val q166RfmSegments: QueryDef = QueryDef.sql(
+    "q166_rfm_segments",
+    """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(round(value * 1000.0) AS BIGINT) AS v_milli
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(d) AS now_d FROM p),
+      |u AS (SELECT user_id, mx.now_d - max(d) AS r_days, count(*) AS f,
+      |    CAST(sum(v_milli) AS BIGINT) AS m_milli
+      |  FROM p, mx GROUP BY user_id, mx.now_d)
+      |SELECT user_id, r_days, f, m_milli,
+      |  (CASE WHEN r_days < 7 THEN '1' WHEN r_days < 30 THEN '2' ELSE '3' END ||
+      |   CASE WHEN f >= 10 THEN '1' WHEN f >= 3 THEN '2' ELSE '3' END ||
+      |   CASE WHEN m_milli >= 100000 THEN '1' WHEN m_milli >= 20000 THEN '2'
+      |     ELSE '3' END) AS rfm_class
+      |FROM u ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val p = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("d"),
+        expr("cast(round(value * 1000.0) as bigint)").as("v_milli"))
+    val mx = p.agg(max("d").as("now_d"))
+    val u = p.crossJoin(broadcast(mx))
+      .groupBy("user_id", "now_d")
+      .agg(max("d").as("last_d"), count(lit(1)).as("f"), sum("v_milli").as("m_milli"))
+      .withColumn("r_days", col("now_d") - col("last_d"))
+    u.withColumn("rfm_class", concat(
+        when(col("r_days") < 7, "1").when(col("r_days") < 30, "2").otherwise("3"),
+        when(col("f") >= 10, "1").when(col("f") >= 3, "2").otherwise("3"),
+        when(col("m_milli") >= 100000, "1").when(col("m_milli") >= 20000, "2")
+          .otherwise("3")))
+      .select("user_id", "r_days", "f", "m_milli", "rfm_class")
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------------
+  // q167: burst detection (trailing-baseline anomaly)
+  // ------------------------------------------------------------------
+
+  /** Burst detection on the hourly event grid: an hour is a burst
+    * when its count exceeds the trailing-24h baseline by 3σ. The
+    * comparison is cross-multiplied into pure integer arithmetic —
+    * `(c·n − S)² > 9·(n·S2 − S²)` with `c > S/n` — so no sqrt, no
+    * float, no tolerance anywhere (same no-float discipline as q103's
+    * CUSUM). Baselines need ≥12 trailing hours to arm.
+    *
+    * Scale shape: the corpus-sized pass is the (type, hour) count
+    * aggregate; the trailing RANGE window runs on the
+    * calendar-bounded grid. Integer headroom: the cross-multiplied
+    * terms stay inside int64 while n·c² < 2^63 — hourly counts up to
+    * ~6×10^8 per type, beyond bench scale by 5 orders; past that,
+    * re-derive on DECIMAL(38).
+    */
+  val q167BurstDetect: QueryDef = QueryDef.sql(
+    "q167_burst_detect",
+    """WITH g AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |    count(*) AS c FROM events GROUP BY event_type, h),
+      |w AS (SELECT event_type, h, c,
+      |    count(*) OVER tw AS n, CAST(sum(c) OVER tw AS BIGINT) AS s,
+      |    CAST(sum(c * c) OVER tw AS BIGINT) AS s2
+      |  FROM g WINDOW tw AS (PARTITION BY event_type ORDER BY h
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, h, c, CAST(n AS BIGINT) AS n_base, s AS base_sum
+      |FROM w
+      |WHERE n >= 12 AND c * n > s
+      |  AND (c * n - s) * (c * n - s) > 9 * (n * s2 - s * s)
+      |ORDER BY event_type, h""".stripMargin) { (spark, dir) =>
+    val g = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val tw = Window.partitionBy("event_type").orderBy("h").rangeBetween(-24, -1)
+    g.withColumn("n", count(lit(1)).over(tw))
+      .withColumn("s", sum("c").over(tw))
+      .withColumn("s2", sum(expr("c * c")).over(tw))
+      .filter(col("n") >= 12 && expr("c * n > s") &&
+        expr("(c * n - s) * (c * n - s) > 9 * (n * s2 - s * s)"))
+      .select(col("event_type"), col("h"), col("c"), col("n").as("n_base"),
+        col("s").as("base_sum"))
+      .orderBy("event_type", "h")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
-    q164SlidingWau)
+    q164SlidingWau, q166RfmSegments, q167BurstDetect)
 }

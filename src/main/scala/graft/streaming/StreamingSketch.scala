@@ -97,5 +97,99 @@ object StreamingSketch {
     run(spark, dir).orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q134StreamKmv)
+  // ------------------------------------------------------------------
+  // q168: streaming per-day distinct users via HLL register state
+  // ------------------------------------------------------------------
+
+  final case class DauRow(day: Long, n_registers: Long, n_zero: Long, raw_est: Double)
+  final case class DauState(regs: Map[Long, Int])
+
+  private val HllM = 4096
+  private val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble
+
+  /** Fold a batch of (day, hash) rows into the day's registers and
+    * re-emit the day's current estimate. Register max is idempotent
+    * and order-insensitive, and the harmonic sum is a sum of exact
+    * dyadics (common denominator 2^21, ≤4096 terms — every partial
+    * sum exactly representable), so batch boundaries and fold order
+    * cannot move the result: streaming ≡ batch, shared oracle.
+    */
+  private def dauUpdate(day: Long, rows: Iterator[Row],
+      state: GroupState[DauState]): Iterator[DauRow] = {
+    var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Long, Int])
+    var any = false
+    rows.foreach { r =>
+      any = true
+      val h = r.getLong(1)
+      val bucket = h >>> 20
+      val rest = h & 1048575L
+      val rho =
+        if (rest == 0L) 21
+        else 21 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (regs.getOrElse(bucket, Int.MinValue) < rho) regs = regs.updated(bucket, rho)
+    }
+    if (!any && regs.isEmpty) return Iterator.empty
+    state.update(DauState(regs))
+    val nReg = regs.size.toLong
+    val sp = regs.valuesIterator.map(r => 1.0 / (1L << r)).sum
+    Iterator.single(DauRow(day, nReg, HllM.toLong - nReg,
+      HllAlphaM2 / (sp + (HllM.toLong - nReg))))
+  }
+
+  /** Per-day distinct-user HLL stream over a directory of event-
+    * parquet files. No stream-side DISTINCT is needed: register max
+    * absorbs duplicates, so the batch oracle's `SELECT DISTINCT`
+    * pre-step changes nothing.
+    */
+  def dauStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[DauRow] = {
+    import spark.implicits._
+    val schema = graft.sources.Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .select(expr("(ts div 1000) div 86400000000").as("d"),
+        TextHash.base32(col("user_id").cast("string")).as("h"))
+      .groupByKey(_.getLong(0))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(dauUpdate)
+  }
+
+  def runDau(spark: SparkSession, dir: String,
+      sinkName: String = "stream_dau"): DataFrame = {
+    val q = dauStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Declared streaming query: per-day distinct-user estimates from
+    * keyed register state (the streaming face of q164's daily-sketch
+    * layer; q164 does the trailing-window merges batch-side over the
+    * same registers). Oracle = the q135-style per-day rollup.
+    */
+  val q168StreamDau: QueryDef = {
+    val aLit = graft.functions.KernelOracles.lit(HllAlphaM2)
+    QueryDef.sql(
+      "q168_stream_dau",
+      s"""WITH t AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h FROM events),
+         |b AS (SELECT d, h >> 20 AS bucket,
+         |    CASE WHEN (h & 1048575) = 0 THEN 21
+         |         ELSE 21 - length(printf('%b', h & 1048575)) END AS rho
+         |  FROM t),
+         |r AS (SELECT d, bucket, max(rho) AS reg FROM b GROUP BY d, bucket),
+         |e AS (SELECT d, count(*) AS n_reg,
+         |    sum(1e0 / (1::BIGINT << reg)) AS sp FROM r GROUP BY d)
+         |SELECT d AS day, CAST(n_reg AS BIGINT) AS n_registers,
+         |  CAST($HllM - n_reg AS BIGINT) AS n_zero,
+         |  $aLit / (sp + ($HllM - n_reg)) AS raw_est
+         |FROM e ORDER BY day""".stripMargin) { (spark, dir) =>
+      runDau(spark, dir).orderBy("day")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q134StreamKmv, q168StreamDau)
 }

@@ -257,6 +257,40 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 RFM: planted purchase history gets the closed-form class") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    val day = 86400L * 1000000000L
+    // user 1: 12 purchases of 10.0 ending on day 40 (r=0,f=12,m=120000 -> 111)
+    // user 2: 1 purchase of 5.0 on day 20 (r=20,f=1,m=5000 -> 233)
+    val rows = (0 until 12).map(i =>
+        (i.toLong, (29L + i) * day, 1L, 10.0, "purchase")) ++
+      Seq((100L, 20L * day, 2L, 5.0, "purchase"),
+        (101L, 40L * day, 3L, 1.0, "view")) // non-purchase: excluded
+    rows.toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q166RfmSegments.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((0L, 12L, 120000L, "111")))
+    assert(got(2L) == ((20L, 1L, 5000L, "233")))
+    assert(!got.contains(3L))
+  }
+
+  test("q167 burst detect: a planted 10x hour fires, the flat tail stays silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    val hour = 3600L * 1000000000L
+    // hours 0..29 at 2 events; hour 30 at 20 events (baseline n=24, all 2s
+    // -> variance 0, spike passes trivially); hours 31..35 back to 2
+    val rows = ((0 until 30) ++ (31 until 36)).flatMap(h =>
+        (0 until 2).map(k => (h * 10L + k, h * hour + k * 1000000000L))) ++
+      (0 until 20).map(k => (900L + k, 30 * hour + k * 1000000000L))
+    rows.zipWithIndex.map { case ((_, ts), i) => (i.toLong, ts, 1L, 1.0, "click") }
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q167BurstDetect.fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toList == List((30L, 20L)), got.mkString(","))
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L

@@ -335,4 +335,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.size == one.size)
     upserted.foreach { case (k, r) => assert(r == one(k), s"list $k diverged") }
   }
+
+  test("stream DAU: HLL register state folds across batches to the batch rollup") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.DauRow
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dau-batches").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val upserted = mutable.LinkedHashMap[Long, DauRow]()
+    var batches = 0
+    val q = StreamingSketch
+      .dauStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DauRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted(r.day) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    val single = StreamingSketch.runDau(spark, dir, "dau_spec_single")
+      .as[DauRow].collect().map(r => r.day -> r).toMap
+    assert(upserted.size == single.size)
+    upserted.foreach { case (k, r) => assert(r == single(k), s"day $k diverged") }
+  }
 }
