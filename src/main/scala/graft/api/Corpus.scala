@@ -144,4 +144,32 @@ object Corpus {
     */
   def repeatedSpans(corpus: DataFrame, spanWords: Int = 8): DataFrame =
     PipelineOps.repeatedSpansDf(corpus, spanWords)
+
+  /** Bigram collocation lift in exact ppm (q150): pairs seen at
+    * least `minPair` times with their unigram factors.
+    */
+  def collocationLift(corpus: DataFrame, minPair: Long = 5): DataFrame =
+    graft.operators.AuditOps.collocationLiftDf(corpus, minPair)
+
+  /** Dedup saturation curve over `buckets` deterministic ingest
+    * tranches (q151): cumulative rows, distinct hashes, dup ppm.
+    */
+  def dedupSaturation(corpus: DataFrame, buckets: Long = 10): DataFrame =
+    graft.operators.AuditOps.dedupSaturationDf(corpus, buckets)
+
+  /** Per-document `k`-gram novelty in exact ppm (q152). */
+  def ngramNovelty(corpus: DataFrame, k: Int = 3): DataFrame =
+    graft.operators.AuditOps.ngramNoveltyDf(corpus, k)
+
+  /** Cross-source span-overlap matrix with containment ppm vs the
+    * smaller side (q153).
+    */
+  def sourceOverlap(corpus: DataFrame, spanWords: Int = 8): DataFrame =
+    graft.operators.AuditOps.sourceOverlapDf(corpus, spanWords)
+
+  /** Cross-source unigram cross-entropy matrix in exact integer
+    * bits (q163).
+    */
+  def domainXent(corpus: DataFrame): DataFrame =
+    graft.operators.AuditOps.domainXentDf(corpus)
 }

@@ -55,18 +55,27 @@ object AuditOps {
       |JOIN uc u2 ON split_part(b, ' ', 2) = u2.wd
       |WHERE n_pair >= 5
       |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin) { (spark, dir) =>
-    val ws = docs(spark, dir).select(split(col("text"), " ").as("w"))
+    collocationLiftDf(docs(spark, dir))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** The q150 collocation stage as a reusable corpus transform (also
+    * the `Corpus.collocationLift` facade).
+    */
+  def collocationLiftDf(corpus: DataFrame, minPair: Long = 5): DataFrame = {
+    val ws = corpus.select(split(col("text"), " ").as("w"))
     val bigrams = ws
       .select(explode(TextHash.shinglesFromWords(col("w"), 2)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= 5)
+      .filter(col("n_pair") >= minPair)
       .withColumn("w1", substring_index(col("b"), " ", 1))
       .withColumn("w2", substring_index(col("b"), " ", -1))
     val unigrams = ws.select(explode(col("w")).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("n"))
-    // N must count ALL bigrams, not just the n_pair>=5 survivors: the
-    // filter above is pushed below the total on the Spark side too by
-    // summing over a separate unfiltered aggregate.
+    // N must count ALL bigrams, not just the n_pair>=minPair
+    // survivors: the filter above is pushed below the total on the
+    // Spark side too by summing over a separate unfiltered aggregate.
     val total = ws
       .select(explode(TextHash.shinglesFromWords(col("w"), 2)).as("b"))
       .agg(count(lit(1)).as("n_total"))
@@ -76,8 +85,6 @@ object AuditOps {
       .crossJoin(broadcast(total))
       .withColumn("lift_ppm", expr("n_pair * 1000000L * n_total div (n_w1 * n_w2)"))
       .select("w1", "w2", "n_pair", "n_w1", "n_w2", "lift_ppm")
-      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
-      .limit(100)
   }
 
   // ------------------------------------------------------------------
@@ -112,8 +119,15 @@ object AuditOps {
        |FROM curve
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-    val d = docs(spark, dir).select(
-      TextHash.md5Bucket(col("doc_id"), 10).as("bucket"), md5(col("text")).as("h"))
+    dedupSaturationDf(docs(spark, dir)).orderBy("bucket")
+  }
+
+  /** The q151 saturation curve as a reusable corpus transform (also
+    * the `Corpus.dedupSaturation` facade).
+    */
+  def dedupSaturationDf(corpus: DataFrame, buckets: Long = 10): DataFrame = {
+    val d = corpus.select(
+      TextHash.md5Bucket(col("doc_id"), buckets).as("bucket"), md5(col("text")).as("h"))
     val rowsB = d.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
     val newB = d.groupBy("h").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new"))
@@ -125,7 +139,6 @@ object AuditOps {
       .withColumn("dup_ppm",
         expr("(rows_cum - distinct_cum) * 1000000L div rows_cum"))
       .select("bucket", "rows_cum", "distinct_cum", "dup_ppm")
-      .orderBy("bucket")
   }
 
   // ------------------------------------------------------------------
@@ -155,10 +168,17 @@ object AuditOps {
        |    // count(*) AS BIGINT) AS novelty_ppm
        |FROM pairs p JOIN df ON p.h = df.h
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
-    val pairs = docs(spark, dir)
+    ngramNoveltyDf(docs(spark, dir)).orderBy("doc_id")
+  }
+
+  /** The q152 novelty stage as a reusable corpus transform (also the
+    * `Corpus.ngramNovelty` facade).
+    */
+  def ngramNoveltyDf(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = corpus
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        explode(TextHash.shingleHashesFromWords(col("ws"), 3)).as("h"))
+        explode(TextHash.shingleHashesFromWords(col("ws"), k)).as("h"))
       .distinct()
     val df = pairs.groupBy("h").agg(count(lit(1)).as("n_docs"))
     pairs.join(df, Seq("h"))
@@ -166,7 +186,6 @@ object AuditOps {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique"))
       .withColumn("novelty_ppm", expr("n_unique * 1000000L div n_shingles"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------------
@@ -201,10 +220,17 @@ object AuditOps {
        |  (n_shared * 1000000) // least(ta.n, tb.n) AS containment_ppm
        |FROM shared JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
-    val sp = docs(spark, dir)
+    sourceOverlapDf(docs(spark, dir)).orderBy("src_a", "src_b")
+  }
+
+  /** The q153 overlap matrix as a reusable corpus transform (also
+    * the `Corpus.sourceOverlap` facade).
+    */
+  def sourceOverlapDf(corpus: DataFrame, spanWords: Int = 8): DataFrame = {
+    val sp = corpus
       .select(col("source"), split(col("text"), " ").as("ws"))
       .select(col("source"),
-        explode(TextHash.shinglesFromWords(col("ws"), 8)).as("span"))
+        explode(TextHash.shinglesFromWords(col("ws"), spanWords)).as("span"))
       .select(col("source"), md5(col("span")).as("h"))
       .distinct()
     val tot = sp.groupBy("source").agg(count(lit(1)).as("n"))
@@ -217,7 +243,6 @@ object AuditOps {
       .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
       .withColumn("containment_ppm", expr("n_shared * 1000000L div least(n_a, n_b)"))
       .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment_ppm")
-      .orderBy("src_a", "src_b")
   }
 
   // ------------------------------------------------------------------
@@ -541,7 +566,14 @@ object AuditOps {
       |  CAST(sum(c_a * bits) * 1000 // sum(c_a) AS BIGINT) AS bits_per_token_milli
       |FROM b GROUP BY data_source, model_source
       |ORDER BY data_source, model_source""".stripMargin) { (spark, dir) =>
-    val v = docs(spark, dir)
+    domainXentDf(docs(spark, dir)).orderBy("data_source", "model_source")
+  }
+
+  /** The q163 matrix as a reusable corpus transform (also the
+    * `Corpus.domainXent` facade).
+    */
+  def domainXentDf(corpus: DataFrame): DataFrame = {
+    val v = corpus
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
       .persist()
@@ -558,7 +590,6 @@ object AuditOps {
       .withColumn("bits_per_token_milli", expr("total_bits * 1000L div n_tokens"))
       .select("data_source", "model_source", "n_tokens", "total_bits",
         "bits_per_token_milli")
-      .orderBy("data_source", "model_source")
   }
 
   // ------------------------------------------------------------------

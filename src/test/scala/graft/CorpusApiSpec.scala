@@ -120,4 +120,26 @@ class CorpusApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("audit facades match their declared query results") {
+    def pin(facade: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
+        query: graft.QueryDef): Unit = {
+      val viaFacade = facade.orderBy(sortCols.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+      val viaQuery = query.fn(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(viaFacade == viaQuery, query.name)
+    }
+    import graft.operators.AuditOps
+    pin(Corpus.dedupSaturation(docs), Seq("bucket"), AuditOps.q151DedupSaturation)
+    pin(Corpus.ngramNovelty(docs), Seq("doc_id"), AuditOps.q152NgramNovelty)
+    pin(Corpus.sourceOverlap(docs), Seq("src_a", "src_b"), AuditOps.q153SourceOverlap)
+    pin(Corpus.domainXent(docs), Seq("data_source", "model_source"), AuditOps.q163DomainXent)
+    // q150 keeps only top-100; pin the facade's full relation restricted the same way
+    val viaFacade = Corpus.collocationLift(docs)
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(100)
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = AuditOps.q150CollocationLift.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
 }

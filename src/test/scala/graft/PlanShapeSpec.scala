@@ -128,7 +128,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q116_unk_mask", // 1-row max-count broadcast onto the vocab
       "q126_zorder_layout", // 1-row global (min,max) bounds broadcast
       "q137_kmv_set_algebra", // n_sources-row sketch-pair theta self-join
-      "q143_split_drift") // 1-row split-totals broadcast
+      "q143_split_drift", // 1-row split-totals broadcast
+      "q150_collocation_lift", // 1-row bigram-total broadcast onto the vocab
+      "q163_domain_xent", // |sources|-row model-totals broadcast onto the vocab
+      "q165_ann_recall", // composes q45's 10-row broadcast theta join
+      "q166_rfm_segments") // 1-row "now" scalar broadcast
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
