@@ -499,6 +499,87 @@ object Similarity {
     }
   }
 
+  /** Distributed PCA by POWER ITERATION over the embedding corpus:
+    * two matrix-vector products `v ← scale(Xᵀ(Xv))` yield the
+    * dominant principal direction — the "which way does this
+    * embedding space actually point" diagnostic behind anisotropy
+    * reports and PCA-whitening decisions.
+    *
+    * Exactness: embeddings are micro-quantized once (q105's
+    * convention); every iteration step is integer arithmetic — the
+    * per-row score `s_i = (qe·v) fdiv 10^6`, the per-dimension
+    * accumulation `S_j = Σ (qe_ij·s_i) fdiv 10^6`, and max-abs
+    * rescaling `v_j = S_j·10^6 fdiv max|S|` (power iteration is
+    * scale-invariant, and max-abs keeps every quantity in int64
+    * without a float norm). All divisions TRUNCATE toward zero on
+    * both engines (Spark `div` ≡ DuckDB `//` for signed operands —
+    * verified, both give -7/2 → -3), so the two are bit-identical
+    * on the signed intermediates. Integer
+    * headroom: Σ|contribution| < 2^63 holds to ~10^11 rows; past
+    * that, widen the accumulators to DECIMAL(38).
+    *
+    * Scale shape: each iteration is one broadcast of the 64-value
+    * vector, one narrow map over the corpus, and one 64-group hash
+    * aggregate — the classic allreduce shape; nothing materializes
+    * beyond 64 rows between iterations.
+    */
+  val q170PowerIteration: QueryDef = {
+    val dims = 64
+    def duckIter(vPrev: String, s: String, u: String, m: String, vNext: String): String =
+      s"""$s AS (SELECT vec_id, qe,
+         |    CAST(list_sum(list_transform(generate_series(1, len(qe)),
+         |      i -> qe[i] * v[i])) AS BIGINT) // 1000000 AS s
+         |  FROM q CROSS JOIN $vPrev),
+         |$u AS (SELECT i - 1 AS dim,
+         |    CAST(sum((qe[i] * s) // 1000000) AS BIGINT) AS sj
+         |  FROM $s, unnest(generate_series(1, len(qe))) AS t(i) GROUP BY i),
+         |$m AS (SELECT max(abs(sj)) AS ma FROM $u),
+         |$vNext AS (SELECT list(sj * 1000000 // ma ORDER BY dim) AS v
+         |  FROM $u, $m)""".stripMargin
+    QueryDef.sql(
+      "q170_power_iteration",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+         |v0 AS (SELECT list_transform(generate_series(1, $dims),
+         |    i -> CASE WHEN i = 1 THEN 1000000::BIGINT ELSE 0::BIGINT END) AS v),
+         |${duckIter("v0", "s1", "u1", "m1", "v1")},
+         |${duckIter("v1", "s2", "u2", "m2", "v2")}
+         |SELECT u2.dim, u2.sj * 1000000 // m2.ma AS v_micro,
+         |  round((u2.sj * 1000000 // m2.ma) / 1e6, 6) AS v
+         |FROM u2, m2 ORDER BY u2.dim""".stripMargin) { (spark, dir) =>
+      val q = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
+        .persist()
+      // DuckDB's // truncates toward zero for signed operands —
+      // exactly Spark's `div` — so the two engines agree verbatim
+      def fdiv(a: String, b: String): String = s"(($a)) div ($b)"
+      def iter(v: DataFrame): DataFrame = {
+        val s = q.crossJoin(broadcast(v))
+          .withColumn("s", expr(fdiv(
+            "aggregate(zip_with(qe, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)",
+            "1000000L")))
+        val u = s.select(col("s"), posexplode(col("qe")).as(Seq("dim", "x")))
+          .groupBy("dim").agg(sum(expr(fdiv("x * s", "1000000L"))).as("sj"))
+        val ma = u.agg(max(abs(col("sj"))).as("ma"))
+        u.crossJoin(broadcast(ma))
+          .select(col("dim"), expr(fdiv("sj * 1000000L", "ma")).as("vj"))
+          .groupBy()
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("vj")))),
+            e => e.getField("vj")).as("v"))
+      }
+      val v0 = spark.range(1)
+        .select(expr(s"transform(sequence(0, ${dims - 1}), " +
+          "i -> IF(i = 0, 1000000L, 0L))").as("v"))
+      val u2m = iter(iter(v0))
+      u2m.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
+        .withColumn("dim", col("dim").cast("long"))
+        .withColumn("v", round(col("v_micro").cast("double") / 1e6, 6))
+        .orderBy("dim")
+    }
+  }
+
   /** ANN index-quality audit: recall@3 of the LSH-bucketed search
     * (q47) against the exact brute-force top-3 (q45) per query — the
     * evaluation loop every approximate index ships with. A recall
@@ -547,5 +628,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
-    q105KmeansTrain, q155SemdedupPrune, q165AnnRecall)
+    q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration)
 }

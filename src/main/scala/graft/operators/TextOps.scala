@@ -290,6 +290,70 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Content-aware document similarity through the inverted index:
+    * sparse idf-weighted cosine over DISCRIMINATIVE terms (document
+    * frequency in [2, 30]) — the retrieval-style near-dup signal that
+    * catches paraphrased reuse which exact/shingle dedup misses, at
+    * inverted-index cost instead of all-pairs.
+    *
+    * Weights are q89's fixed-point integer idf (`(N·1000) div df`,
+    * binary tf), so dots and norms are EXACT integer sums; the cosine
+    * is two IEEE sqrts and one division over those exact integers,
+    * rounded identically on both engines. Integer headroom: terms
+    * stay inside int64 while `Σ w² < 2^63` — ~10^3 discriminative
+    * terms/doc at N ≤ 5×10^7 docs; past that, rescale the idf
+    * fixed-point (or DECIMAL(38)).
+    *
+    * Scale shape: the pair relation is keyed on the term, and the
+    * df ≤ 30 cap bounds every posting list — join fan-out per term is
+    * ≤ 30², never corpus-shaped (the standard "drop stop-words from
+    * the index" bound). Top-50 is TakeOrderedAndProject.
+    */
+  val q169TfidfDocsim: QueryDef = QueryDef.sql(
+    "q169_tfidf_docsim",
+    """WITH tf AS (SELECT DISTINCT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |p AS (SELECT tf.doc_id, tf.token, (n.n_total * 1000) // df.df AS w
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |  WHERE df.df BETWEEN 2 AND 30),
+      |nm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM p GROUP BY doc_id),
+      |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+      |  FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, dot, n_shared,
+      |  round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS sim
+      |FROM d JOIN nm na ON doc_a = na.doc_id JOIN nm nb ON doc_b = nb.doc_id
+      |ORDER BY sim DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (spark, dir) =>
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+    val tf = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 30))
+    val n = docsDf.agg(count(lit(1)).as("n_total"))
+    val p = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .select(col("token"), col("doc_id"), expr("(n_total * 1000) div df").as("w"))
+      .persist()
+    val nm = p.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
+    val pairs = p.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(p.select(col("token"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("wa * wb")).as("dot"), count(lit(1)).as("n_shared"))
+    pairs
+      .join(nm.select(col("doc_id").as("doc_a"), col("norm2").as("na")), Seq("doc_a"))
+      .join(nm.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), Seq("doc_b"))
+      .withColumn("sim", round(col("dot") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .select("doc_a", "doc_b", "dot", "n_shared", "sim")
+      .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   /** Positional-inverted-index PHRASE search — the retrieval
     * primitive of a corpus pipeline (find every document containing
     * an exact multi-word phrase, with match counts). The index is the
@@ -334,5 +398,6 @@ object TextOps {
   }
 
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
-    q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch)
+    q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
+    q169TfidfDocsim)
 }

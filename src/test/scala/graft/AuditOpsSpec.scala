@@ -291,6 +291,38 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.toList == List((30L, 20L)), got.mkString(","))
   }
 
+  test("q169 TF-IDF doc similarity: shared rare terms give cosine 1, no cross pairs") {
+    // zebra/quokka df=2 (kept), narwhal/capybara df=1 (dropped):
+    // docs 1-2 share the full filtered set -> sim 1.0; so do 3-4
+    val dir = docsDir(Seq(
+      (1L, "zebra quokka", "en", "web"),
+      (2L, "zebra quokka", "en", "web"),
+      (3L, "axolotl narwhal", "en", "web"),
+      (4L, "axolotl capybara", "en", "web")))
+    val got = graft.operators.TextOps.q169TfidfDocsim.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)), got.toString)
+    assert(got((1L, 2L)) == ((2L, 1.0)))
+    assert(got((3L, 4L)) == ((1L, 1.0)))
+  }
+
+  test("q170 power iteration: rank-1 data recovers the planted direction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_power").toString
+    // every vector is c_i * u with u = 0.1*e0 + 1.0*e5 -> the dominant
+    // principal direction is u; max-abs scaling pins v_micro[5] = 1e6
+    val u = Array.tabulate(64)(j => if (j == 0) 0.1f else if (j == 5) 1.0f else 0.0f)
+    val rows = (1 to 20).map(i => (i.toLong, u.map(_ * i).toSeq, 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.q170PowerIteration.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) == 1000000L, got.toString)
+    assert(math.abs(got(0L) - 100000L) < 2000L, got.toString) // ~0.1 ratio
+    (1 until 64).filter(_ != 5).foreach(j => assert(math.abs(got(j.toLong)) < 2000L))
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L

@@ -132,7 +132,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q150_collocation_lift", // 1-row bigram-total broadcast onto the vocab
       "q163_domain_xent", // |sources|-row model-totals broadcast onto the vocab
       "q165_ann_recall", // composes q45's 10-row broadcast theta join
-      "q166_rfm_segments") // 1-row "now" scalar broadcast
+      "q166_rfm_segments", // 1-row "now" scalar broadcast
+      "q169_tfidf_docsim", // 1-row corpus-total broadcast onto the vocab
+      "q170_power_iteration") // 1-row 64-value vector broadcast per iteration
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
