@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Graphs.all ++ operators.Layout.all ++
       operators.Multimodal.all ++ operators.RecipeQueries.all ++
       streaming.StreamingSessions.all ++ streaming.StreamingAsOf.all ++
-      streaming.StreamingSketch.all ++ streaming.StreamingVectors.all
+      streaming.StreamingSketch.all ++ streaming.StreamingVectors.all ++
+      streaming.StreamingAudit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -753,9 +753,139 @@ object AuditOps {
       .orderBy("event_type", "h")
   }
 
+  // ------------------------------------------------------------------
+  // q172: Wilson lower-bound conversion ranking
+  // ------------------------------------------------------------------
+
+  /** Rank users by the Wilson-score LOWER bound of their purchase
+    * rate — the confidence-adjusted ranking that stops a 1-for-1
+    * user outranking a 40-for-100 one (the standard fix for naive
+    * rate sorting, z = 1.96).
+    *
+    * Determinism: counts are exact integers; the bound is ONE shared
+    * IEEE expression string evaluated with the identical parse tree
+    * on both engines (every div/sqrt correctly rounded), then
+    * rounded. Top-50 is TakeOrderedAndProject over one user-keyed
+    * aggregate.
+    */
+  val q172WilsonRank: QueryDef = {
+    val wilson =
+      "(phat + 3.8416 / (2 * nd) - 1.96 * sqrt((phat * (1 - phat) " +
+        "+ 3.8416 / (4 * nd)) / nd)) / (1 + 3.8416 / nd)"
+    QueryDef.sql(
+      "q172_wilson_rank",
+      s"""WITH u AS (SELECT user_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM events GROUP BY user_id),
+         |e AS (SELECT user_id, n, k, CAST(n AS DOUBLE) AS nd,
+         |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat FROM u)
+         |SELECT user_id, n, k, round($wilson, 6) AS wilson_lb
+         |FROM e ORDER BY wilson_lb DESC, user_id LIMIT 50""".stripMargin) { (spark, dir) =>
+      graft.sources.Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("phat", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("wilson_lb", round(expr(wilson), 6))
+        .select("user_id", "n", "k", "wilson_lb")
+        .orderBy(col("wilson_lb").desc, col("user_id"))
+        .limit(50)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q173: conversion-latency quantiles by signup cohort
+  // ------------------------------------------------------------------
+
+  /** Time-to-convert by signup cohort: for users who completed the
+    * q99 view→click→purchase funnel, the exact p50/p90 of the
+    * view→purchase latency per first-seen DAY — the report that
+    * shows whether newer cohorts convert faster.
+    *
+    * Scale shape: the funnel stays q99's one user shuffle; latencies
+    * milli-quantize and roll up to a VALUE HISTOGRAM per cohort
+    * (q108's trick), so the exact percentiles never buffer a
+    * cohort's raw latencies; cohort count is calendar-bounded.
+    */
+  val q173ConversionLatency: QueryDef = QueryDef.sql(
+    "q173_conversion_latency",
+    s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS dy,
+       |    t - min(t) OVER (PARTITION BY user_id) AS tn
+       |  FROM (SELECT *, epoch_us(ts) / 1000000.0 AS t FROM events)),
+       |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_view FROM s),
+       |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND tn > t_view
+       |    AND tn <= t_view + ${PipelineOps.ClickWindowSec} THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_click FROM v),
+       |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tn > t_click
+       |    AND tn <= t_click + ${PipelineOps.BuyWindowSec} THEN tn END)
+       |    OVER (PARTITION BY user_id) AS t_buy FROM c),
+       |u AS (SELECT user_id, min(dy) AS cw, min(t_view) AS t_view,
+       |    min(t_buy) AS t_buy FROM p GROUP BY user_id),
+       |conv AS (SELECT cw, CAST(round((t_buy - t_view) * 1000.0) AS BIGINT) AS lm
+       |  FROM u WHERE t_buy IS NOT NULL)
+       |SELECT cw AS cohort_day, count(*) AS n_converted,
+       |  round(CAST(sum(lm) AS BIGINT)::DOUBLE / count(*) / 1000.0, 6) AS mean_sec,
+       |  round(quantile_cont(lm, 0.5) / 1000.0, 6) AS p50_sec,
+       |  round(quantile_cont(lm, 0.9) / 1000.0, 6) AS p90_sec
+       |FROM conv GROUP BY cw ORDER BY cohort_day""".stripMargin) { (spark, dir) =>
+    val s = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("dy"),
+        (expr("ts div 1000") / lit(1e6)).as("t"))
+      .withColumn("tn", col("t") - min("t").over(Window.partitionBy("user_id")))
+    val uw = Window.partitionBy("user_id")
+    val p = s
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tn"))).over(uw))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tn") > col("t_view") &&
+          col("tn") <= col("t_view") + PipelineOps.ClickWindowSec, col("tn"))).over(uw))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase" && col("tn") > col("t_click") &&
+          col("tn") <= col("t_click") + PipelineOps.BuyWindowSec, col("tn"))).over(uw))
+    val conv = p.groupBy("user_id")
+      .agg(min("dy").as("cw"), min("t_view").as("t_view"), min("t_buy").as("t_buy"))
+      .filter(col("t_buy").isNotNull)
+      .select(col("cw"),
+        expr("cast(round((t_buy - t_view) * 1000.0) as bigint)").as("lm"))
+    // exact interpolated percentiles off the (cohort, lm) histogram —
+    // q108's shape: never a per-cohort value buffer
+    val hist = conv.groupBy("cw", "lm").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("cw").orderBy("lm")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("cw")))
+    def bracket(pp: Double, tag: String): Seq[org.apache.spark.sql.Column] = {
+      val pos = (col("n") - 1).cast("double") * lit(pp)
+      val lo = floor(pos); val hi = ceil(pos)
+      Seq(
+        min(when(col("cum") - col("cnt") <= lo && lo < col("cum"), col("lm"))).as(s"vlo_$tag"),
+        min(when(col("cum") - col("cnt") <= hi && hi < col("cum"), col("lm"))).as(s"vhi_$tag"))
+    }
+    val aggs = Seq(max("n").as("n_converted"), sum(col("lm") * col("cnt")).as("lm_sum")) ++
+      bracket(0.5, "50") ++ bracket(0.9, "90")
+    val agged = cum.groupBy("cw").agg(aggs.head, aggs.tail: _*)
+    def interp(pp: Double, vlo: org.apache.spark.sql.Column,
+        vhi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val pos = (col("n_converted") - 1).cast("double") * lit(pp)
+      val lo = floor(pos); val hi = ceil(pos)
+      when(lo === hi || vlo === vhi, vlo.cast("double"))
+        .otherwise((hi.cast("double") - pos) * vlo.cast("double") +
+          (pos - lo.cast("double")) * vhi.cast("double"))
+    }
+    agged.select(col("cw").as("cohort_day"), col("n_converted"),
+      round(col("lm_sum").cast("double") / col("n_converted") / 1e3, 6).as("mean_sec"),
+      round(interp(0.5, col("vlo_50"), col("vhi_50")) / 1e3, 6).as("p50_sec"),
+      round(interp(0.9, col("vlo_90"), col("vhi_90")) / 1e3, 6).as("p90_sec"))
+      .orderBy("cohort_day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
-    q164SlidingWau, q166RfmSegments, q167BurstDetect)
+    q164SlidingWau, q166RfmSegments, q167BurstDetect, q172WilsonRank,
+    q173ConversionLatency)
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming burst alerting: q167's trailing-baseline 3σ test
+  * evaluated AT INGEST, with per-event-type keyed state carrying the
+  * hourly count map across micro-batches. Every batch re-emits the
+  * full verdict table for its key; the upsert contract (latest
+  * (type, hour) row wins) makes late data self-correcting — an hour
+  * that stops being a burst once its baseline fills in is
+  * re-emitted with `is_burst = false`.
+  *
+  * The evaluation is q167's pure integer arithmetic on the carried
+  * counts, so a single-batch run is row-identical to the batch
+  * query and SHARES its oracle verbatim. State is one (hour → count)
+  * entry per observed hour per type — calendar-bounded; a production
+  * deployment would evict hours older than watermark − 25 h (kept
+  * whole here so replay parity is exact).
+  */
+object StreamingAudit {
+
+  final case class BurstRow(event_type: String, h: Long, c: Long,
+      n_base: Long, base_sum: Long, is_burst: Boolean)
+  final case class BurstState(counts: Map[Long, Long])
+
+  private def verdicts(eventType: String, counts: Map[Long, Long]): Iterator[BurstRow] =
+    counts.toSeq.sortBy(_._1).iterator.map { case (h, c) =>
+      val base = ((h - 24) until h).flatMap(counts.get)
+      val n = base.length.toLong
+      val s = base.sum
+      val s2 = base.map(x => x * x).sum
+      val burst = n >= 12 && c * n > s &&
+        (c * n - s) * (c * n - s) > 9 * (n * s2 - s * s)
+      BurstRow(eventType, h, c, n, s, burst)
+    }
+
+  private def update(eventType: String, rows: Iterator[Row],
+      state: GroupState[BurstState]): Iterator[BurstRow] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+    }
+    if (counts.isEmpty) return Iterator.empty
+    state.update(BurstState(counts))
+    verdicts(eventType, counts)
+  }
+
+  def burstStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[BurstRow] = {
+    import spark.implicits._
+    val schema = graft.sources.Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
+      .groupByKey(_.getString(0))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  def run(spark: SparkSession, dir: String,
+      sinkName: String = "stream_burst"): DataFrame = {
+    val q = burstStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Declared streaming query — shares q167's oracle verbatim (a
+    * single-batch run carries every hour in state, so the verdict
+    * table equals the batch query's).
+    */
+  val q171StreamBurst: QueryDef = QueryDef.sql(
+    "q171_stream_burst",
+    graft.operators.AuditOps.q167BurstDetect.oracle.get) { (spark, dir) =>
+    run(spark, dir)
+      .filter(col("is_burst"))
+      .select("event_type", "h", "c", "n_base", "base_sum")
+      .orderBy("event_type", "h")
+  }
+
+  val all: Seq[QueryDef] = Seq(q171StreamBurst)
+}

@@ -323,6 +323,44 @@ class AuditOpsSpec extends AnyFunSuite {
     (1 until 64).filter(_ != 5).foreach(j => assert(math.abs(got(j.toLong)) < 2000L))
   }
 
+  test("q172 Wilson: 40/100 outranks 1/1, bound below the naive rate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wilson").toString
+    val rows = Seq((0L, 1L, "purchase")) ++                         // user 1: 1/1
+      (1 to 100).map(i => (i.toLong, 2L,
+        if (i <= 40) "purchase" else "view"))                       // user 2: 40/100
+    rows.zipWithIndex.map { case ((_, u, et), i) =>
+        (i.toLong, i * 1000000000L, u, 1.0, et) }
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q172WilsonRank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (n1, k1, lb1) = got(1L); val (n2, k2, lb2) = got(2L)
+    assert((n1, k1) == ((1L, 1L)) && (n2, k2) == ((100L, 40L)))
+    assert(lb2 > lb1, s"$lb2 !> $lb1") // confidence beats a lucky 1-for-1
+    assert(lb2 < 0.4 && lb2 > 0.3)     // bound sits below the naive 0.4
+  }
+
+  test("q173 conversion latency: planted latencies hit the closed-form quantiles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_convlat").toString
+    // four users, one cohort day: view at t=0, click at +5s,
+    // purchase at +10/20/30/40s -> p50 = 25, p90 = 37, mean = 25
+    val rows = (1 to 4).flatMap { u =>
+      val base = u * 100L // seconds; same day
+      Seq((u * 10L, base, u.toLong, "view"), (u * 10L + 1, base + 5, u.toLong, "click"),
+        (u * 10L + 2, base + u * 10L, u.toLong, "purchase"))
+    }
+    rows.map { case (id, sec, u, et) => (id, sec * 1000000000L, u, 1.0, et) }
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q173ConversionLatency.fn(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 25.0, r.toString) // mean
+    assert(r.getDouble(3) == 25.0, r.toString) // p50
+    assert(r.getDouble(4) == 37.0, r.toString) // p90
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L

@@ -370,4 +370,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.size == single.size)
     upserted.foreach { case (k, r) => assert(r == single(k), s"day $k diverged") }
   }
+
+  test("stream burst: late baseline data revokes a premature alert (upsert view = batch)") {
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.BurstRow
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-burst-batches").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val upserted = mutable.LinkedHashMap[(String, Long), BurstRow]()
+    var batches = 0
+    val q = StreamingAudit
+      .burstStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[BurstRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted((r.event_type, r.h)) = r)
+        ()
+      }
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    val single = StreamingAudit.run(spark, dir, "burst_spec_single")
+      .as[BurstRow].collect().map(r => (r.event_type, r.h) -> r).toMap
+    assert(upserted.size == single.size)
+    upserted.foreach { case (k, r) => assert(r == single(k), s"cell $k diverged") }
+  }
 }
