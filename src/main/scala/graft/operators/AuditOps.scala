@@ -882,10 +882,167 @@ object AuditOps {
       .orderBy("cohort_day")
   }
 
+  // ------------------------------------------------------------------
+  // q174: rendezvous (HRW) shard routing + resharding-churn audit
+  // ------------------------------------------------------------------
+
+  /** Rendezvous (highest-random-weight) hashing for shard routing:
+    * each document goes to the shard with the maximal
+    * `md5(doc_id · shard)` weight — the stateless assignment scheme
+    * whose defining property is MINIMAL CHURN on resharding (growing
+    * 8 → 9 shards moves only ~1/9 of keys, vs ~8/9 for mod-N). The
+    * query computes both assignments and reports per-shard counts
+    * plus the measured moved fraction — the audit a storage layer
+    * runs before committing to a reshard.
+    *
+    * Scale shape: a ×(shards+shards') explode of the key relation,
+    * two argmax aggregates keyed on the document, one 1-row churn
+    * rollup. No joins against data, no shuffle beyond the doc key.
+    */
+  val q174RendezvousShards: QueryDef = {
+    val s0 = 8; val s1 = 9
+    QueryDef.sql(
+      "q174_rendezvous_shards",
+      s"""WITH w AS (SELECT doc_id, s,
+         |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8))::BIGINT * 16 + s AS wt
+         |  FROM documents, range(0, $s1) t(s)),
+         |a AS (SELECT doc_id,
+         |    CAST(arg_max(s, CASE WHEN s < $s0 THEN wt END) AS BIGINT) AS shard8,
+         |    CAST(arg_max(s, wt) AS BIGINT) AS shard9
+         |  FROM w GROUP BY doc_id)
+         |SELECT shard8, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS moved_ppm
+         |FROM a GROUP BY shard8 ORDER BY shard8""".stripMargin) { (spark, dir) =>
+      val weights = docs(spark, dir)
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${s1 - 1})")).as("s"))
+        // the tie-safe weight: 32-bit hash ⊕ shard id in the low bits,
+        // so two shards can never carry the same weight for one key
+        .withColumn("wt",
+          TextHash.base32(concat(col("doc_id").cast("string"), lit(":"),
+            col("s").cast("string"))) * 16 + col("s"))
+      val a = weights.groupBy("doc_id")
+        .agg(expr(s"cast(max_by(s, IF(s < $s0, wt, NULL)) as bigint)").as("shard8"),
+          expr("cast(max_by(s, wt) as bigint)").as("shard9"))
+      a.groupBy("shard8")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_ppm", expr("n_moved * 1000000L div n_docs"))
+        .select("shard8", "n_docs", "n_moved", "moved_ppm")
+        .orderBy("shard8")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q175: HLL calibration audit (estimate vs exact)
+  // ------------------------------------------------------------------
+
+  /** Sketch-calibration audit: q135's HLL register census beside the
+    * exact per-source token count — the companion audit to q165's
+    * ANN recall (every approximate structure in the engine ships
+    * with the query that measures it). The hash-checked columns are
+    * the exact count and the REGISTER state (n_reg, n_zero,
+    * raw harmonic estimate): the raw estimate is deliberately
+    * reported out-of-regime (below 2.5·m it is biased to ≈ α·m —
+    * visible here), and the corrected number comes from the
+    * engine-side [[Sketches.hllCorrected]] linear-counting branch,
+    * whose `ln` is kept OUT of the oracle hash (libm ln is not
+    * correctly rounded, so it cannot be hash-compared across
+    * engines; AuditOpsSpec pins its 5% accuracy instead).
+    *
+    * The exact side is a distinct aggregate (expensive but exact);
+    * at 100 TB this runs on a source sample as a canary, which is
+    * why it stays separate from q135 itself.
+    */
+  val q175HllCalibration: QueryDef = {
+    val m = 4096
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
+    val aLit = graft.functions.KernelOracles.lit(alphaM2)
+    QueryDef.sql(
+      "q175_hll_calibration",
+      s"""WITH t AS (SELECT source, token, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+         |ex AS (SELECT source, count(DISTINCT token) AS n_exact FROM t GROUP BY source),
+         |b AS (SELECT source, h >> 20 AS bucket,
+         |    CASE WHEN (h & 1048575) = 0 THEN 21
+         |         ELSE 21 - length(printf('%b', h & 1048575)) END AS rho
+         |  FROM t),
+         |r AS (SELECT source, bucket, max(rho) AS reg FROM b GROUP BY source, bucket),
+         |e AS (SELECT source, count(*) AS n_reg,
+         |    sum(1e0 / (1::BIGINT << reg)) AS sp FROM r GROUP BY source)
+         |SELECT ex.source, ex.n_exact, CAST(e.n_reg AS BIGINT) AS n_reg,
+         |  CAST($m - e.n_reg AS BIGINT) AS n_zero,
+         |  $aLit / (e.sp + ($m - e.n_reg)) AS raw_est
+         |FROM ex JOIN e ON ex.source = e.source
+         |ORDER BY ex.source""".stripMargin) { (spark, dir) =>
+      val t = docs(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .select(col("source"), col("token"), TextHash.base32(col("token")).as("h"))
+        .persist()
+      val ex = t.groupBy("source").agg(countDistinct("token").as("n_exact"))
+      val rest = col("h").bitwiseAND(lit(1048575L))
+      val e = t
+        .select(col("source"), shiftright(col("h"), 20).as("bucket"),
+          when(rest === 0, lit(21)).otherwise(lit(21) - length(bin(rest))).as("rho"))
+        .groupBy("source", "bucket").agg(max("rho").as("reg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_reg"),
+          sum(lit(1.0) / expr("shiftleft(1L, cast(reg as int))")).as("sp"))
+      ex.join(e, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_reg"),
+          (lit(m.toLong) - col("n_reg")).as("n_zero"),
+          (lit(alphaM2) / (col("sp") + (lit(m.toLong) - col("n_reg")))).as("raw_est"))
+        .orderBy("source")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q176: half-life-decayed lifetime value
+  // ------------------------------------------------------------------
+
+  /** Exponentially-decayed lifetime value with a one-week half-life,
+    * computed WITHOUT floats: each purchase contributes
+    * `v_milli div 2^(weeks_ago)` — halving per elapsed week is
+    * exactly a right shift, so the decayed LTV is a pure integer sum
+    * (the no-float analogue of `v·e^{-λt}` scoring). Top-50 users.
+    *
+    * Scale shape: one user-keyed aggregate + a broadcast 1-row "now"
+    * scalar; TakeOrderedAndProject for the ranking.
+    */
+  val q176DecayedLtv: QueryDef = QueryDef.sql(
+    "q176_decayed_ltv",
+    """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+      |    CAST(round(value * 1000.0) AS BIGINT) AS v_milli
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(wk) AS now_w FROM p),
+      |u AS (SELECT user_id, count(*) AS n_purchases,
+      |    CAST(sum(v_milli) AS BIGINT) AS raw_milli,
+      |    CAST(sum(v_milli // (1::BIGINT << LEAST(mx.now_w - wk, 62))) AS BIGINT)
+      |      AS ltv_milli
+      |  FROM p, mx GROUP BY user_id)
+      |SELECT user_id, n_purchases, raw_milli, ltv_milli
+      |FROM u ORDER BY ltv_milli DESC, user_id LIMIT 50""".stripMargin) { (spark, dir) =>
+    val p = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"),
+        expr("cast(round(value * 1000.0) as bigint)").as("v_milli"))
+    val mx = p.agg(max("wk").as("now_w"))
+    p.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum("v_milli").as("raw_milli"),
+        sum(expr("v_milli div shiftleft(1L, cast(least(now_w - wk, 62) as int))"))
+          .as("ltv_milli"))
+      .select("user_id", "n_purchases", "raw_milli", "ltv_milli")
+      .orderBy(col("ltv_milli").desc, col("user_id"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
     q164SlidingWau, q166RfmSegments, q167BurstDetect, q172WilsonRank,
-    q173ConversionLatency)
+    q173ConversionLatency, q174RendezvousShards, q175HllCalibration,
+    q176DecayedLtv)
 }

@@ -361,6 +361,47 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 37.0, r.toString) // p90
   }
 
+  test("q174 rendezvous: churn only flows TO the new shard, at ~1/9 volume") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = AuditOps.q174RendezvousShards.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = out.map(_._2).sum
+    val moved = out.map(_._3).sum
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+    // HRW guarantee: adding shard 8 moves roughly 1/9 of keys (binomial
+    // tolerance), and every moved key lands ON the new shard
+    assert(moved * 9 > total / 2 && moved * 9 < total * 2, s"moved=$moved total=$total")
+    out.foreach { case (s8, _, _) => assert(s8 >= 0 && s8 < 8) }
+  }
+
+  test("q175 HLL calibration: corrected estimates land within 5% of exact") {
+    val out = AuditOps.q175HllCalibration.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1); val nZero = r.getLong(3); val raw = r.getDouble(4)
+      // raw is out-of-regime at tiny cardinalities (that is the point
+      // of reporting it); the linear-counting branch must calibrate
+      val corrected = graft.operators.Sketches.hllCorrected(nZero, raw)
+      assert(math.abs(corrected - exact) <= math.max(2.0, 0.05 * exact),
+        s"${r.getString(0)}: exact=$exact corrected=$corrected raw=$raw")
+    }
+  }
+
+  test("q176 decayed LTV: a 4-week-old purchase is worth 1/16 of a fresh one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ltv").toString
+    val week = 7L * 86400L * 1000000000L
+    Seq(
+      (0L, 4L * week, 1L, 8.0, "purchase"),   // fresh (week 4 = now)
+      (1L, 0L * week, 1L, 8.0, "purchase"),   // 4 weeks old -> 8000 >> 4 = 500
+      (2L, 4L * week, 2L, 1.0, "view"))       // non-purchase ignored
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AuditOps.q176DecayedLtv.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 16000L, 8500L)), got.toString)
+    assert(!got.contains(2L))
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L

@@ -134,6 +134,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q165_ann_recall", // composes q45's 10-row broadcast theta join
       "q166_rfm_segments", // 1-row "now" scalar broadcast
       "q169_tfidf_docsim", // 1-row corpus-total broadcast onto the vocab
+      "q176_decayed_ltv", // 1-row "now" scalar broadcast
       "q170_power_iteration") // 1-row 64-value vector broadcast per iteration
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
