@@ -499,6 +499,51 @@ object Similarity {
     }
   }
 
+  /** Multi-probe LSH top-3: the standard recall fix for bucketed ANN
+    * (Lv et al., VLDB'07) — each query probes its own bucket PLUS the
+    * 8 Hamming-1 neighbor buckets (one hyperplane sign flipped), so
+    * near neighbors that landed just across one hyperplane are no
+    * longer lost. Candidates stay an equi join on the bucket key —
+    * probe count multiplies the build side by 9, never the corpus —
+    * and AuditOpsSpec pins that its recall@3 dominates q47's
+    * single-probe recall.
+    */
+  val q177MultiprobeTopK: QueryDef = QueryDef.sql(
+    "q177_multiprobe_topk",
+    s"""WITH $duckBuckets,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM bk WHERE vec_id < 10),
+       |pr AS (SELECT q_id, qe, CASE WHEN p = $NumPlanes THEN bucket
+       |    ELSE xor(bucket, 1::BIGINT << p) END AS pb
+       |  FROM q, range(0, ${NumPlanes + 1}) t(p)),
+       |c AS (SELECT pr.q_id, bk.vec_id,
+       |    round(${duckDot("pr.qe", "bk.embedding")} /
+       |      (sqrt(${duckNorm("pr.qe")}) * sqrt(${duckNorm("bk.embedding")})), 6) AS cos_sim
+       |  FROM pr JOIN bk ON bk.bucket = pr.pb AND bk.vec_id <> pr.q_id),
+       |r AS (SELECT q_id, vec_id, cos_sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM c)
+       |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val bk = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      .persist()
+    val probes = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"),
+        explode(expr(s"sequence(0, $NumPlanes)")).as("p"))
+      .select(col("q_id"), col("qe"),
+        when(col("p") === NumPlanes, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, p)")).as("pb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    bk.join(broadcast(probes), col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(
+        expr(dotSql("qe", "embedding")) /
+          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Distributed PCA by POWER ITERATION over the embedding corpus:
     * two matrix-vector products `v ← scale(Xᵀ(Xv))` yield the
     * dominant principal direction — the "which way does this
@@ -628,5 +673,6 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
-    q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration)
+    q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
+    q177MultiprobeTopK)
 }

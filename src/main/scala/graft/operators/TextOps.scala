@@ -354,6 +354,90 @@ object TextOps {
       .limit(50)
   }
 
+  /** Gopher-style rule filter report (Rae et al. 2021, §A1.1.2, the
+    * canonical pretraining quality rule set): per-rule pass counts
+    * and the overall keep rate under
+    *   R1 50 ≤ words ≤ 100 000,
+    *   R2 3 ≤ mean word length ≤ 10,
+    *   R3 ≥ 70% of words contain an alphabetic character,
+    *   R4 ≥ 2 stopword hits.
+    * All rules are integer comparisons (mean word length via
+    * `3·n ≤ chars ≤ 10·n`, ratios via cross-multiplication) — no
+    * float thresholds anywhere. One projection + one 1-row rollup.
+    */
+  val q178GopherRules: QueryDef = QueryDef.sql(
+    "q178_gopher_rules",
+    s"""WITH m AS (SELECT len(ws) AS nw,
+       |    list_reduce(list_transform(ws, x -> len(x)), (s, x) -> s + x) AS chars,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_w,
+       |    len(list_filter(ws, x -> list_contains(${sqlList(stopwords, "[", "]")}, x))) AS stops
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+       |r AS (SELECT (nw BETWEEN 50 AND 100000) AS r1,
+       |    (3 * nw <= chars AND chars <= 10 * nw) AS r2,
+       |    (10 * alpha_w >= 7 * nw) AS r3, (stops >= 2) AS r4 FROM m)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS r1_pass,
+       |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS r2_pass,
+       |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_pass,
+       |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS r4_pass,
+       |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS keep_n,
+       |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS keep_ppm
+       |FROM r""".stripMargin) { (spark, dir) =>
+    val m = graft.sources.Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .select(size(col("ws")).as("nw"),
+        expr("aggregate(ws, 0, (s, x) -> s + length(x))").as("chars"),
+        expr("size(filter(ws, x -> x rlike '[A-Za-z]'))").as("alpha_w"),
+        expr(s"size(filter(ws, x -> array_contains(${sqlList(stopwords, "array(", ")")}, x)))")
+          .as("stops"))
+    m.select(col("nw").between(50, 100000).as("r1"),
+        (lit(3) * col("nw") <= col("chars") && col("chars") <= lit(10) * col("nw")).as("r2"),
+        (lit(10) * col("alpha_w") >= lit(7) * col("nw")).as("r3"),
+        (col("stops") >= 2).as("r4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("r1_pass"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("r2_pass"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("r3_pass"),
+        sum(when(col("r4"), 1L).otherwise(0L)).as("r4_pass"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+          .otherwise(0L)).as("keep_n"))
+      .withColumn("keep_ppm", expr("keep_n * 1000000L div n_docs"))
+  }
+
+  /** Language-ID confusion matrix: the q50 marker-voting classifier
+    * evaluated against the corpus's labeled `lang` column — cell
+    * counts plus per-cell recall ppm against the true-label row
+    * total. The standard classifier-evaluation artifact, and the
+    * audit that says whether the cheap n-gram ID is good enough to
+    * gate a mixture (its diagonal) or where it bleeds (off-diagonal
+    * cells).
+    *
+    * Scale shape: one projection + one (lang, lang_pred) hash
+    * aggregate; row totals ride back on a broadcast of the
+    * |langs|-row diagonal relation.
+    */
+  val q179LangConfusion: QueryDef = QueryDef.sql(
+    "q179_lang_confusion",
+    s"""WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT lang, $duckLangCase AS lang_pred FROM w),
+       |m AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_n FROM m GROUP BY lang)
+       |SELECT m.lang, m.lang_pred, m.n, t.lang_n,
+       |  CAST(m.n * 1000000 // t.lang_n AS BIGINT) AS cell_ppm
+       |FROM m JOIN t ON m.lang = t.lang
+       |ORDER BY m.lang, m.lang_pred""".stripMargin) { (spark, dir) =>
+    val p = graft.sources.Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("lang"), langPred(col("ws")).as("lang_pred"))
+    val m = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val t = m.groupBy("lang").agg(sum("n").as("lang_n"))
+    m.join(broadcast(t), Seq("lang"))
+      .withColumn("cell_ppm", expr("n * 1000000L div lang_n"))
+      .select("lang", "lang_pred", "n", "lang_n", "cell_ppm")
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Positional-inverted-index PHRASE search — the retrieval
     * primitive of a corpus pipeline (find every document containing
     * an exact multi-word phrase, with match counts). The index is the
@@ -399,5 +483,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
-    q169TfidfDocsim)
+    q169TfidfDocsim, q178GopherRules, q179LangConfusion)
 }

@@ -402,6 +402,46 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(!got.contains(2L))
   }
 
+  test("q177 multi-probe LSH: recall@3 dominates single-probe recall") {
+    val sfDir = "/root/testdata/sf0.001"
+    val exact = graft.operators.Similarity.q45CosineTopK.fn(spark, sfDir)
+      .filter(col("rank") <= 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = graft.operators.Similarity.q47AnnTopK.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = graft.operators.Similarity.q177MultiprobeTopK.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (exact & single).size
+    val rMulti = (exact & multi).size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(multi.size == 30) // every query fills its top-3 from 9 buckets
+  }
+
+  test("q178 Gopher rules: planted pass/fail docs hit the right counters") {
+    val stop = graft.operators.TextOps.stopwords.take(3).mkString(" ")
+    val pass = (stop + " ") + Seq.fill(60)("alpha").mkString(" ") // 63 words, alpha, stops
+    val shortDoc = "too few words here now"                       // fails R1 only
+    val dir = docsDir(Seq((1L, pass, "en", "web"), (2L, shortDoc, "en", "web")))
+    val r = graft.operators.TextOps.q178GopherRules.fn(spark, dir).collect().head
+    assert(r.getLong(0) == 2L)                      // n_docs
+    assert(r.getLong(1) == 1L, r.toString)          // r1: only the long doc
+    assert(r.getLong(2) == 2L, r.toString)          // r2: both mean lengths in [3,10]
+    assert(r.getLong(3) == 2L, r.toString)          // r3: all words alphabetic
+    assert(r.getLong(5) == 1L && r.getLong(6) == 500000L, r.toString)
+  }
+
+  test("q179 lang confusion: rows reconcile and diagonal dominates") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextOps.q179LangConfusion.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = out.map(_._3).sum
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+    // per-lang cells sum to the lang total carried on each row
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == cells.head._4)
+    }
+    out.foreach { case (_, _, n, ln, ppm) => assert(ppm == n * 1000000L / ln) }
+  }
+
   test("q154 Mann-Kendall: increasing counts give S=n(n-1)/2, constant gives 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
     val day = 86400L * 1000000000L
