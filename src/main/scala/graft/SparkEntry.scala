@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Similarity.all ++ operators.TextOps.all ++
       operators.CorpusOps.all ++ operators.PipelineOps.all ++
       operators.Sketches.all ++ operators.Intervals.all ++
-      operators.AuditOps.all ++
+      operators.AuditOps.all ++ operators.BehaviorOps.all ++
       operators.Graphs.all ++ operators.Layout.all ++
       operators.Multimodal.all ++ operators.RecipeQueries.all ++
       streaming.StreamingSessions.all ++ streaming.StreamingAsOf.all ++

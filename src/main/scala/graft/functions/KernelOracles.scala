@@ -201,6 +201,34 @@ object KernelOracles {
        |ORDER BY r.user_id, r.event_id""".stripMargin
   }
 
+  /** q180: steady-state-free Kalman local-level filter oracle — the
+    * scalar predict/update recurrence
+    * `P⁻ = P + Q;  K = P⁻/(P⁻+R);  x̂ = x̂ + K·(z−x̂);  P = (1−K)·P⁻`
+    * seeded with `x̂₀ = z₀, P₀ = R`, replayed with
+    * [[graft.operators.SignalKernels.kalmanLevel]]'s exact IEEE op
+    * order. The gain expression `(e.p+Q)/((e.p+Q)+R)` is written out
+    * twice (state and covariance update) — DuckDB evaluates each
+    * occurrence with the same adds/div, so both engines agree
+    * bitwise. Output is UNROUNDED like q110/q132: bit-exact replay
+    * needs no rounding.
+    */
+  def kalmanOracle(seriesSql: String, q: Double, r: Double): String = {
+    val qL = lit(q); val rL = lit(r)
+    s"""WITH RECURSIVE s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM ($seriesSql)),
+       |r AS MATERIALIZED (SELECT user_id, event_id, tn, value AS x,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY tn, event_id) - 1 AS i FROM s),
+       |e AS (SELECT user_id, i, x AS y, $rL AS p FROM r WHERE i = 0
+       |UNION ALL
+       |SELECT r.user_id, r.i,
+       |  e.y + ((e.p + $qL) / ((e.p + $qL) + $rL)) * (r.x - e.y),
+       |  (1e0 - ((e.p + $qL) / ((e.p + $qL) + $rL))) * (e.p + $qL)
+       |  FROM e JOIN r ON r.user_id = e.user_id AND r.i = e.i + 1)
+       |SELECT r.user_id, r.event_id, r.tn, e.y AS level
+       |FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i
+       |ORDER BY r.user_id, r.event_id""".stripMargin
+  }
+
   /** q132: running Goertzel power oracle — the second-order
     * single-bin DFT recurrence `s_i = x_i + c·s_{i-1} − s_{i-2}`
     * (c = 2·cos(2πf) embedded as an exact double literal) replayed

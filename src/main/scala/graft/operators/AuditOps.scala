@@ -1038,11 +1038,209 @@ object AuditOps {
       .limit(50)
   }
 
+  // ------------------------------------------------------------------
+  // q189: chi-square independence audit (source × lang)
+  // ------------------------------------------------------------------
+
+  /** q189: Pearson chi-square independence screen over the
+    * source × lang contingency table — "is language mix independent
+    * of source?", the drift alarm run before trusting per-source
+    * language filters. Every margin is an exact integer window sum
+    * over the |sources|×|langs| grid; `expected` and the per-cell
+    * chi-square term are single fixed-order double expressions of
+    * those integers (mul → cast → div → sub → mul → div → round), so
+    * both engines produce identical bits before the shared round.
+    *
+    * Scale shape: ONE hash aggregate bounded by the label domain,
+    * then windows over that tiny grid — raw rows never shuffle.
+    */
+  val q189ChiSquare: QueryDef = QueryDef.sql(
+    "q189_chi_square",
+    """WITH c AS (SELECT source, lang, count(*) AS n
+      |  FROM documents GROUP BY source, lang),
+      |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS rt,
+      |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS ct,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tot FROM c)
+      |SELECT source, lang, CAST(n AS BIGINT) AS n,
+      |  round(CAST(rt * ct AS DOUBLE) / tot, 6) AS expected,
+      |  round((n - CAST(rt * ct AS DOUBLE) / tot) * (n - CAST(rt * ct AS DOUBLE) / tot)
+      |    / (CAST(rt * ct AS DOUBLE) / tot), 6) AS chi2_term
+      |FROM t ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    chiSquareDf(docs(spark, dir), "source", "lang").orderBy("source", "lang")
+  }
+
+  /** The q189 audit as a reusable stage over any two label columns. */
+  def chiSquareDf(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquareFromCounts(
+      df.groupBy(rowCol, colCol).agg(count(lit(1)).as("n")), rowCol, colCol)
+
+  /** The margin/statistic half of q189 over an already-aggregated
+    * (row, col, n) contingency relation — shared with the streaming
+    * drift monitor, whose keyed state IS that relation.
+    */
+  def chiSquareFromCounts(c: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val e = expr("CAST(rt * ct AS DOUBLE)") / col("tot")
+    c.withColumn("rt", sum("n").over(Window.partitionBy(rowCol)))
+      .withColumn("ct", sum("n").over(Window.partitionBy(colCol)))
+      .withColumn("tot", sum("n").over(Window.partitionBy()))
+      .select(col(rowCol), col(colCol), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_term"))
+  }
+
+  // ------------------------------------------------------------------
+  // q191: per-source OLS fit (quality ~ length)
+  // ------------------------------------------------------------------
+
+  /** q191: closed-form simple linear regression of quality on
+    * document length per source — slope, intercept and R², the
+    * "does our quality score just reward length?" audit (the
+    * regression sibling of q162's Theil-Sen rank slope).
+    *
+    * Determinism: the five moment sums are EXACT int64 aggregates
+    * (order-insensitive); `a = n·Sxy − Sx·Sy`, `b = n·Sxx − Sx²`,
+    * `c = n·Syy − Sy²` are exact int64 products cast to double, and
+    * slope/intercept/R² are fixed-order double expressions of those
+    * three exact values, rounded once. Degenerate margins (constant
+    * x or y) emit NULL identically on both engines.
+    *
+    * Scale shape: one map-side-combined aggregate per source — the
+    * scan never shuffles rows, only five moments per source.
+    */
+  val q191OlsFit: QueryDef = QueryDef.sql(
+    "q191_ols_fit",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT d.source, d.n_chars AS x, CAST(q.quality_ppm AS BIGINT) AS y
+       |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id),
+       |m AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM d GROUP BY source),
+       |e AS (SELECT source, n, sx, sy,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM m)
+       |SELECT source, CAST(n AS BIGINT) AS n,
+       |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
+       |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
+       |  round(CASE WHEN b <> 0 AND c <> 0 THEN a * a / (b * c) END, 6) AS r2
+       |FROM e ORDER BY source""".stripMargin) { (spark, dir) =>
+    val d = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("source"), col("n_chars").cast("long").as("x"),
+        col("quality_ppm").cast("long").as("y"))
+    olsFitDf(d, "source", "x", "y").orderBy("source")
+  }
+
+  /** The q191 regression as a reusable stage over any (key, x, y). */
+  def olsFitDf(df: DataFrame, key: String, x: String, y: String): DataFrame = {
+    val m = df.groupBy(key).agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(col(x) * col(x)).as("sxx"), sum(col(x) * col(y)).as("sxy"),
+      sum(col(y) * col(y)).as("syy"))
+    val e = m.select(col(key), col("n"), col("sx"), col("sy"),
+      expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("a"),
+      expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("b"),
+      expr("CAST(n * syy - sy * sy AS DOUBLE)").as("c"))
+    e.select(col(key), col("n"),
+      round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
+      round(when(col("b") =!= 0,
+        (col("sy") - col("a") / col("b") * col("sx")) / col("n")), 6).as("intercept"),
+      round(when(col("b") =!= 0 && col("c") =!= 0,
+        col("a") * col("a") / (col("b") * col("c"))), 6).as("r2"))
+  }
+
+  // ------------------------------------------------------------------
+  // q193: isotonic calibration of the quality→dup curve (PAVA)
+  // ------------------------------------------------------------------
+
+  /** q193: ANTITONIC (monotone non-increasing — higher quality must
+    * not mean more duplication) calibration of the quality-band →
+    * span-duplication-rate curve (the q184 flag bucketed by q158's
+    * bands): the pool-adjacent-violators fit expressed
+    * in its min-max closed form
+    * `fit(i) = min_{j≤i} max_{k≥i} wavg(dup, [j..k])` (the mirror of
+    * the isotonic `max-min` characterization of weighted-L2 monotone
+    * regression) — turned into joins over the ≤11-row band histogram
+    * so no iterative pooling is needed. Calibrated curves are what
+    * sampling policies consume when the raw per-band rates are noisy
+    * at the tails.
+    *
+    * Determinism: each interval average is ONE integer division of
+    * exact counts (`1e6·dup(j..k) div n(j..k)`), and min/max over
+    * integers are order-free — the whole fit is integer-exact ppm.
+    *
+    * Scale shape: the corpus collapses to the band histogram first
+    * (one bounded hash aggregate, the q158 shape); the O(bands³)
+    * max-min runs on that tiny relation.
+    */
+  val q193IsotonicCal: QueryDef = QueryDef.sql(
+    "q193_isotonic_cal",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |sp AS (SELECT doc_id, md5(unnest(list_transform(
+       |    generate_series(1, len(ws) - ${graft.operators.PipelineOps.SpanWords - 1}),
+       |    i -> array_to_string(ws[i:i+${graft.operators.PipelineOps.SpanWords - 1}], ' ')))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |g AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dd AS (SELECT DISTINCT sp.doc_id FROM sp JOIN g USING (h)),
+       |b AS (SELECT q.quality_ppm // 100000 AS band,
+       |    count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM qq q LEFT JOIN dd ON q.doc_id = dd.doc_id GROUP BY band),
+       |p AS (SELECT band, n_docs, n_dup,
+       |    CAST(sum(n_docs) OVER (ORDER BY band) AS BIGINT) AS cn,
+       |    CAST(sum(n_dup) OVER (ORDER BY band) AS BIGINT) AS cd FROM b),
+       |a AS (SELECT j.band AS jb, k.band AS kb,
+       |    1000000 * (k.cd - (j.cd - j.n_dup)) // (k.cn - (j.cn - j.n_docs)) AS avg_ppm
+       |  FROM p j JOIN p k ON j.band <= k.band),
+       |mn AS (SELECT i.band, a.jb, max(a.avg_ppm) AS m
+       |  FROM p i JOIN a ON a.jb <= i.band AND a.kb >= i.band
+       |  GROUP BY i.band, a.jb)
+       |SELECT p.band, p.n_docs, p.n_dup,
+       |  1000000 * p.n_dup // p.n_docs AS dup_ppm_raw,
+       |  (SELECT CAST(min(m) AS BIGINT) FROM mn WHERE mn.band = p.band) AS dup_ppm_iso
+       |FROM p ORDER BY p.band""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val dd = graft.operators.PipelineOps.boilerplateDf(d)
+      .filter(col("n_dup") > 0).select(col("doc_id"), lit(true).as("is_dup"))
+    val b = graft.operators.TextOps.withQuality(d)
+      .select(col("doc_id"), expr("quality_ppm div 100000").as("band"))
+      .join(dd, Seq("doc_id"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    isotonicDf(b, "band", "n_docs", "n_dup").orderBy("band")
+  }
+
+  /** The q193 PAVA fit as a reusable stage over any ordered
+    * (bucket, weight, hits) histogram: appends `dup_ppm_raw` and the
+    * antitonic `dup_ppm_iso`. All joins are over the bucket histogram
+    * — broadcast-sized by construction.
+    */
+  def isotonicDf(hist: DataFrame, bucket: String, w: String, h: String): DataFrame = {
+    val ow = Window.orderBy(bucket)
+    val p = hist
+      .withColumn("cn", sum(w).over(ow))
+      .withColumn("cd", sum(h).over(ow))
+    val j = p.select(col(bucket).as("jb"), col("cn").as("jcn"), col("cd").as("jcd"),
+      col(w).as("jw"), col(h).as("jh"))
+    val k = p.select(col(bucket).as("kb"), col("cn").as("kcn"), col("cd").as("kcd"))
+    val a = j.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("1000000L * (kcd - (jcd - jh)) div (kcn - (jcn - jw))").as("avg_ppm"))
+    val mn = p.select(col(bucket).as("iband")).join(broadcast(a),
+        col("jb") <= col("iband") && col("kb") >= col("iband"))
+      .groupBy("iband", "jb").agg(max("avg_ppm").as("m"))
+    val fit = mn.groupBy("iband").agg(min("m").as("dup_ppm_iso"))
+    p.join(broadcast(fit), p(bucket) === fit("iband"))
+      .select(col(bucket), col(w), col(h),
+        expr(s"1000000L * $h div $w").as("dup_ppm_raw"), col("dup_ppm_iso"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
     q164SlidingWau, q166RfmSegments, q167BurstDetect, q172WilsonRank,
     q173ConversionLatency, q174RendezvousShards, q175HllCalibration,
-    q176DecayedLtv)
+    q176DecayedLtv, q189ChiSquare, q191OlsFit, q193IsotonicCal)
 }

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral-model operators over the events stream: the long-run
+  * Markov mix of a user population, digit-law audits of a value
+  * column, and censored survival (hazard) tables of inter-event
+  * durations. All three follow the engine's integer-exact determinism
+  * policy — every emitted number is either an integer aggregate or a
+  * single integer division — so the DuckDB oracle hash is stable on
+  * any engine and any reduction order.
+  */
+object BehaviorOps {
+
+  private val S =
+    s"""WITH s AS (SELECT *, t - min(t) OVER (PARTITION BY user_id) AS tn
+       |FROM (${Tables.seriesSql}))""".stripMargin
+
+  private val OW = "PARTITION BY user_id ORDER BY tn, event_id"
+
+  // ---------------------------------------------------------------------
+  // q181: stationary distribution of the empirical event-type chain
+  // ---------------------------------------------------------------------
+
+  /** Power-iteration rounds. Fixed (not run-to-convergence) so the
+    * oracle can replay the identical integer iterations as a CTE
+    * chain — the same contract as q122's PageRank and q170's power
+    * iteration.
+    */
+  val MarkovIters = 12
+
+  /** q181: the long-run event mix — the stationary distribution of
+    * the first-order event-type Markov chain, estimated by
+    * `MarkovIters` integer power-iteration steps from the uniform
+    * vector. Transition probabilities are ppm-quantized ONCE
+    * (`p_ppm = 1e6·n_ij div n_i`), then each step is
+    * `π'(j) = Σ_i (π(i)·p_ppm(i,j)) div 1e6` — all int64, overflow-
+    * safe to n_ij ≈ 1e12 rows per cell, bit-deterministic.
+    *
+    * Scale shape: the transition COUNTS are one hash aggregate with
+    * map-side combine (bounded by |event_type|² cells, not row
+    * count); the ≤K² ppm matrix is collected and iterated on the
+    * driver — the same bounded-by-value-domain collect as the IVF
+    * codebook (Similarity.scala), K² integers regardless of corpus
+    * size. No per-iteration shuffle at all.
+    */
+  val q181MarkovStationary: QueryDef = {
+    val iterCtes = (1 to MarkovIters).map { i =>
+      s"""it$i AS (SELECT t.to_type AS node,
+         |    CAST(sum(p.pi * t.p_ppm // 1000000) AS BIGINT) AS pi
+         |  FROM tr t JOIN it${i - 1} p ON p.node = t.from_type
+         |  GROUP BY t.to_type)""".stripMargin
+    }
+    QueryDef.sql(
+      "q181_markov_stationary",
+      s"""$S, pr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER ($OW) AS to_type FROM s),
+         |cn AS (SELECT from_type, to_type, count(*) AS n FROM pr
+         |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         |tr AS (SELECT from_type, to_type,
+         |    1000000 * n // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+         |  FROM cn),
+         |st AS (SELECT DISTINCT from_type FROM tr),
+         |it0 AS (SELECT from_type AS node,
+         |    CAST(1000000 // (SELECT count(*) FROM st) AS BIGINT) AS pi FROM st),
+         |${iterCtes.mkString(",\n")}
+         |SELECT node AS event_type, pi AS pi_ppm
+         |FROM it$MarkovIters ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      markovStationaryDf(spark, Tables.seriesNorm(spark, dir), MarkovIters)
+        .orderBy("event_type")
+    }
+  }
+
+  /** The q181 computation as a reusable stage: ppm transition matrix
+    * via one bounded aggregate, then the K×K integer iteration on the
+    * collected matrix (K = |event_type| — value-domain-bounded).
+    */
+  def markovStationaryDf(spark: SparkSession, series: DataFrame,
+      iters: Int = MarkovIters): DataFrame = {
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val cn = series
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(ow).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tr = cn.withColumn("p_ppm",
+        expr("1000000L * n div sum(n) over (partition by from_type)"))
+      .select("from_type", "to_type", "p_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fromStates = tr.map(_._1).distinct.sorted
+    var pi: Map[String, Long] =
+      fromStates.map(_ -> 1000000L / fromStates.length).toMap
+    (1 to iters).foreach { _ =>
+      pi = tr.filter(t => pi.contains(t._1))
+        .groupBy(_._2)
+        .map { case (to, ts) =>
+          to -> ts.map(t => pi(t._1) * t._3 / 1000000L).sum
+        }
+    }
+    import spark.implicits._
+    pi.toSeq.toDF("event_type", "pi_ppm")
+  }
+
+  // ---------------------------------------------------------------------
+  // q182: Benford first-digit audit
+  // ---------------------------------------------------------------------
+
+  /** Expected Benford ppm per leading digit: round(1e6·log10(1+1/d)).
+    * Folded on the driver so both engines see the same nine integer
+    * literals — no runtime log10 anywhere.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.round(1e6 * math.log10(1.0 + 1.0 / d))
+  }
+
+  /** q182: first-significant-digit (Benford) audit of `value` per
+    * event type — the classic fabricated-data / instrumentation-bug
+    * screen. The digit is read off the DECIMAL STRING of the
+    * milli-quantized magnitude (integer → string is exact and
+    * identical on both engines; no log10 on doubles, whose libm
+    * rounding differs across engines). Output is the per-digit count,
+    * observed ppm, expected Benford ppm, and the integer deviation —
+    * all exact.
+    *
+    * Scale shape: one hash aggregate bounded by |event_type|×9 cells
+    * with map-side combine; the scan never shuffles raw rows.
+    */
+  val q182BenfordAudit: QueryDef = {
+    val sqlCase = BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    QueryDef.sql(
+      "q182_benford_audit",
+      s"""WITH qv AS (SELECT event_type,
+         |    CAST(round(abs(value) * 1000.0) AS BIGINT) AS q
+         |  FROM (${Tables.seriesSql})),
+         |d AS (SELECT event_type,
+         |    CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM qv WHERE q > 0),
+         |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY event_type, digit),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM c)
+         |SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+         |  1000000 * n // tot AS obs_ppm,
+         |  CAST($sqlCase AS BIGINT) AS exp_ppm,
+         |  1000000 * n // tot - $sqlCase AS dev_ppm
+         |FROM t ORDER BY event_type, digit""".stripMargin) { (spark, dir) =>
+      benfordDf(Tables.series(spark, dir), "value", Seq("event_type"))
+        .orderBy("event_type", "digit")
+    }
+  }
+
+  /** The q182 audit as a reusable stage over any numeric column. */
+  def benfordDf(df: DataFrame, valueCol: String, keys: Seq[String]): DataFrame = {
+    val expCol = BenfordPpm.foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val kcols = keys.map(col)
+    df.select(kcols :+
+        expr(s"CAST(round(abs($valueCol) * 1000.0) AS BIGINT)").as("q"): _*)
+      .filter(col("q") > 0)
+      .withColumn("digit", substring(col("q").cast("string"), 1, 1).cast("long"))
+      .groupBy((kcols :+ col("digit")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum("n").over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("obs_ppm", expr("1000000L * n div tot"))
+      .withColumn("exp_ppm", expCol)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(kcols ++ Seq(col("digit"), col("n"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_ppm")): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q185: censored inter-event survival (hazard) table
+  // ---------------------------------------------------------------------
+
+  /** q185: Kaplan-Meier-style hazard table of inter-event durations
+    * per event type, WITH right censoring: each (user, type)'s gap to
+    * the next same-type event is a complete observation; the tail
+    * from the last same-type event to the user's final event of ANY
+    * type is a censored one (it counts toward the at-risk set but
+    * never as an event — dropping it would bias hazards upward, the
+    * classic churn-analysis mistake). Emitted per observed duration:
+    * the at-risk count, event count, and `hazard_ppm = 1e6·d/n` — one
+    * integer division, exact.
+    *
+    * Scale shape: durations milli-quantize to a VALUE-DOMAIN-bounded
+    * histogram (the q108 trick), so the at-risk suffix sum is a
+    * window over the small histogram, never the raw rows.
+    */
+  val q185HazardTable: QueryDef = QueryDef.sql(
+    "q185_hazard_table",
+    s"""$S, g AS (SELECT user_id, event_type, tn,
+       |    lead(tn) OVER (PARTITION BY user_id, event_type ORDER BY tn, event_id) AS tnext,
+       |    max(tn) OVER (PARTITION BY user_id) AS tend
+       |  FROM s),
+       |d AS (SELECT event_type,
+       |    CAST(round((coalesce(tnext, tend) - tn) * 1000.0) AS BIGINT) AS dtm,
+       |    CASE WHEN tnext IS NULL THEN 0 ELSE 1 END AS ev
+       |  FROM g),
+       |c AS (SELECT event_type, dtm, count(*) AS n_all,
+       |    CAST(sum(ev) AS BIGINT) AS n_events
+       |  FROM d GROUP BY event_type, dtm),
+       |k AS (SELECT event_type, dtm, n_events,
+       |    CAST(sum(n_all) OVER (PARTITION BY event_type ORDER BY dtm DESC) AS BIGINT)
+       |      AS n_at_risk
+       |  FROM c)
+       |SELECT event_type, dtm, n_at_risk, n_events,
+       |  1000000 * n_events // n_at_risk AS hazard_ppm
+       |FROM k WHERE n_events > 0
+       |ORDER BY event_type, dtm""".stripMargin) { (spark, dir) =>
+    hazardTableDf(Tables.seriesNorm(spark, dir)).orderBy("event_type", "dtm")
+  }
+
+  /** The q185 table as a reusable stage. */
+  def hazardTableDf(series: DataFrame): DataFrame = {
+    val typeOw = Window.partitionBy("user_id", "event_type").orderBy("tn", "event_id")
+    val userW = Window.partitionBy("user_id")
+    val d = series
+      .withColumn("tnext", lead(col("tn"), 1).over(typeOw))
+      .withColumn("tend", max("tn").over(userW))
+      .select(col("event_type"),
+        expr("CAST(round((coalesce(tnext, tend) - tn) * 1000.0) AS BIGINT)").as("dtm"),
+        when(col("tnext").isNull, 0L).otherwise(1L).as("ev"))
+    d.groupBy("event_type", "dtm")
+      .agg(count(lit(1)).as("n_all"), sum("ev").as("n_events"))
+      .withColumn("n_at_risk",
+        sum("n_all").over(Window.partitionBy("event_type").orderBy(col("dtm").desc)))
+      .filter(col("n_events") > 0)
+      .select(col("event_type"), col("dtm"), col("n_at_risk"), col("n_events"),
+        expr("1000000L * n_events div n_at_risk").as("hazard_ppm"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q192: behavioral-diversity entropy per user
+  // ---------------------------------------------------------------------
+
+  /** q192: per-user behavioral diversity — an integer-exact Shannon-
+    * entropy proxy of the user's event-type mix. Per type,
+    * `floor(log2(n/c))` bits via binary-string length (the q163
+    * trick — no libm), weighted by the count and normalized to
+    * millibits: `H = 1000·Σ c·bits div n`. Zero for single-minded
+    * users, rising with mix uniformity — the engagement-breadth
+    * feature behind audience segmentation.
+    *
+    * Scale shape: one (user, type) hash aggregate with map-side
+    * combine, one per-user rollup — the same two-level shape as any
+    * distinct-profile count; no windows over raw rows.
+    */
+  val q192UserEntropy: QueryDef = QueryDef.sql(
+    "q192_user_entropy",
+    s"""WITH c AS (SELECT user_id, event_type, count(*) AS c
+       |  FROM events GROUP BY user_id, event_type),
+       |t AS (SELECT *, CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM c)
+       |SELECT user_id, count(*) AS n_types, CAST(max(n) AS BIGINT) AS n_events,
+       |  CAST(1000 * sum(c * (length(printf('%b', n // c)) - 1)) // max(n) AS BIGINT)
+       |    AS entropy_millibits
+       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val c = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    c.withColumn("n", sum("c").over(Window.partitionBy("user_id")))
+      .withColumn("bits", (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"), max("n").as("n_events"),
+        expr("CAST(1000 * sum(c * bits) div max(n) AS BIGINT)").as("entropy_millibits"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
+    q185HazardTable, q192UserEntropy)
+}

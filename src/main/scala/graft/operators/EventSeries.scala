@@ -467,6 +467,70 @@ object EventSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Winsorized series (see [[SeriesOps.winsorize]]): per-user exact
+    * [p05, p95] clipping. Clip membership and clipped values are
+    * exact-integer facts (dyadic-interpolated milli percentiles), so
+    * the output passes through UNROUNDED.
+    */
+  val q190Winsorize: QueryDef = QueryDef.sql(
+    "q190_winsorize",
+    s"""$S, qv AS (SELECT user_id, event_id, tn, value,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q FROM s),
+       |m AS (SELECT *, quantile_cont(q, 0.05) OVER (PARTITION BY user_id) AS lo,
+       |    quantile_cont(q, 0.95) OVER (PARTITION BY user_id) AS hi FROM qv)
+       |SELECT user_id, event_id, tn,
+       |  q < lo OR q > hi AS wins_clipped,
+       |  CASE WHEN q < lo THEN lo / 1000.0
+       |       WHEN q > hi THEN hi / 1000.0 ELSE value END AS wins
+       |FROM m ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    SeriesOps.winsorize(Tables.seriesNorm(spark, dir), s, "value", "wins")
+      .select("user_id", "event_id", "tn", "wins_clipped", "wins")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q196: rolling regression slope ("rolling beta") — the local
+    * trend estimate over the trailing 16 samples, the windowed
+    * sibling of q191's global OLS (and the regression upgrade of
+    * W7's two-point derivative). x is the integer sample index, y
+    * the milli-quantized value, so all five rolling moments are
+    * EXACT integer window sums; the slope is one fixed-order double
+    * division of two exact integers, rounded once. Degenerate
+    * windows (w = 1) emit NULL on both engines.
+    *
+    * Scale shape: one series shuffle, one window pass computing all
+    * four rolling sums — no joins, no second shuffle.
+    */
+  val q196RollingBeta: QueryDef = QueryDef.sql(
+    "q196_rolling_beta",
+    s"""$S, qv AS (SELECT user_id, event_id, tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS y,
+       |    CAST(row_number() OVER ($OW) AS BIGINT) AS i FROM s),
+       |w AS (SELECT *,
+       |    CAST(count(*) OVER win AS BIGINT) AS w,
+       |    CAST(sum(i) OVER win AS BIGINT) AS sx,
+       |    CAST(sum(i * i) OVER win AS BIGINT) AS sxx,
+       |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+       |    CAST(sum(i * y) OVER win AS BIGINT) AS sxy
+       |  FROM qv WINDOW win AS ($OW ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_id, tn,
+       |  round(CASE WHEN w * sxx - sx * sx <> 0
+       |    THEN CAST(w * sxy - sx * sy AS DOUBLE) / (w * sxx - sx * sx) END, 6) AS beta
+       |FROM w ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val win = s.ordered.rowsBetween(-15, 0)
+    Tables.seriesNorm(spark, dir)
+      .withColumn("y", round(col("value") * 1e3).cast("long"))
+      .withColumn("i", row_number().over(s.ordered).cast("long"))
+      .withColumn("w", count(lit(1)).over(win))
+      .withColumn("sx", sum("i").over(win))
+      .withColumn("sxx", sum(col("i") * col("i")).over(win))
+      .withColumn("sy", sum("y").over(win))
+      .withColumn("sxy", sum(col("i") * col("y")).over(win))
+      .select(col("user_id"), col("event_id"), col("tn"),
+        round(when(expr("w * sxx - sx * sx") =!= 0,
+          expr("CAST(w * sxy - sx * sy AS DOUBLE) / (w * sxx - sx * sx)")), 6).as("beta"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** One-sided CUSUM change-point rows: integer-exact closed form
     * `S_t = C_t - min_{s<=t} C_s` over n·1000-scaled deviations
     * (see [[SeriesOps.cusumChangepoints]]).
@@ -525,5 +589,5 @@ object EventSeries {
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
     q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum,
-    q112Hampel, q124PrunedSlice)
+    q112Hampel, q124PrunedSlice, q190Winsorize, q196RollingBeta)
 }

@@ -534,6 +534,26 @@ object EventSeriesJoins {
       .orderBy("user_id", "event_id")
   }
 
+  /** Kalman local-level filtering (predict/update with an annealing
+    * gain) — denoising that, unlike the fixed-α EWMA, weights early
+    * samples correctly while the state covariance converges. Rides
+    * the per-series kernel runner; the oracle replays the identical
+    * scalar recurrence as a recursive CTE
+    * ([[graft.functions.KernelOracles.kalmanOracle]]). Unrounded
+    * output for the same reason as q110/q132: bit-exact replay.
+    */
+  val q180KalmanLevel: QueryDef = {
+    val (qv, rv) = (0.01, 1.0)
+    QueryDef.sql(
+      "q180_kalman_level",
+      graft.functions.KernelOracles.kalmanOracle(Tables.seriesSql, qv, rv)) { (spark, dir) =>
+      SignalKernels.kalmanLevel(spark, Tables.seriesNorm(spark, dir),
+        s, "value", "level", qv, rv)
+        .select(col("user_id"), col("event_id"), col("tn"), col("level"))
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   /** Anti-aliased decimation: zero-phase low-pass at the decimation
     * cutoff (0.8/factor of Nyquist), then every `factor`-th sample —
     * filter-then-pick, the aliasing-safe downsample (vs W11's
@@ -772,6 +792,6 @@ object EventSeriesJoins {
     q36ButterLowpass, q37ButterBandpass, q38SavgolExact, q61EpisodeOverlay,
     q62ResampleFrame, q65InterpolateNearest, q66InterpolateCubic,
     q147InterpolateQuadratic, q148InterpolateZero,
-    q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel,
+    q106PathTransitions, q110Ewma, q111Decimate, q132Goertzel, q180KalmanLevel,
     q136NativeSession, q140OhlcBars)
 }

@@ -313,5 +313,100 @@ object Graphs {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops)
+  /** Iterative k-core peeling over a symmetric edge list: each round
+    * drops every node whose degree in the SURVIVING subgraph is < k,
+    * until `rounds` rounds have run or the subgraph is a fixpoint.
+    * The round structure is the point — a node can start above k and
+    * fall below it when its neighbors are peeled (the cascade a
+    * single degree filter misses).
+    *
+    * Scale shape per round: one hash aggregate on `src` (degree) +
+    * two shuffle joins restricting the edge list — the standard
+    * distributed peel. The edge relation is consumed twice per round
+    * (degree + restrict), so each round is materialized (persist, or
+    * a lineage-cutting localCheckpoint every [[CheckpointEvery]]);
+    * the materializing `count()` doubles as a FREE fixpoint check —
+    * peeling is monotone, so an unchanged edge count means every
+    * later round is identical and the loop exits with the exact
+    * fixed-`rounds` result the oracle replays.
+    *
+    * Determinism: membership and degrees are set/count facts — no
+    * floats anywhere.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges
+    var prevCount = -1L
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+      val m = if (i % CheckpointEvery == 0) next.localCheckpoint()
+        else { val p = next.persist(); p.count(); p }
+      val n = m.count()
+      if (n == prevCount) done = true
+      prevCount = n
+      e = m
+      i += 1
+    }
+    e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
+
+  /** k-core (k = 3, 8 peel rounds) of the q122 incident graph — the
+    * "dense collaboration nucleus" extraction: nodes that survive
+    * cascading removal of weakly-connected users. The oracle replays
+    * the identical 8 rounds as chained CTEs; the Spark side's early
+    * fixpoint exit returns the same relation by monotonicity.
+    */
+  val q183Kcore: QueryDef = {
+    val k = 3; val rounds = 8
+    val peelCtes = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""a$i AS (SELECT src FROM pe${i - 1} GROUP BY src HAVING count(*) >= $k)""",
+        s"""pe$i AS MATERIALIZED (SELECT e.src, e.dst FROM pe${i - 1} e
+           |  JOIN a$i x ON x.src = e.src JOIN a$i y ON y.src = e.dst)""".stripMargin)
+    }
+    def islSql(tpe: String) =
+      s"""SELECT user_id, min(t) AS s0, max(t) AS e0
+         |  FROM f WHERE event_type = '$tpe'
+         |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3""".stripMargin
+    QueryDef.sql(
+      "q183_kcore",
+      s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+         |ei AS (${islSql("error")}),
+         |pi AS (${islSql("purchase")}),
+         |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+         |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+         |    AND e.user_id <> p.user_id),
+         |pe0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+         |${peelCtes.mkString(",\n")}
+         |SELECT src AS user_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM pe$rounds GROUP BY src ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+      def bursts(tpe: String) =
+        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+            col("event_type") === tpe)
+          .filter(col("n_rows") >= 3)
+          .select(col("user_id"), col("seg_start").as("start"),
+            col("seg_end").as("end"))
+      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      kCore(edges, k, rounds)
+        .select(col("node").as("user_id"), col("core_deg"))
+        .orderBy("user_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops, q183Kcore)
 }

@@ -133,5 +133,59 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q55FrameSample, q56FrameBytes, q57DecodeFeatures, q58Resize)
+  final case class AHash(doc_id: Long, ahash: Long)
+
+  /** q197: perceptual-hash (average-hash) media dedup — the
+    * image-pipeline cousin of SimHash: decode, sample ≤63 frames at
+    * [[FrameStride]], threshold each against the clip's mean level
+    * (one bit per frame), pack to a 63-bit signature, and group
+    * equal signatures into duplicate-media clusters. A real aHash
+    * thresholds 8×8 downsampled luma; the stub thresholds the fake
+    * decode's byte frames — the kernel/bucketing plumbing is
+    * identical. 63 bits (not 64) so the packed signature stays a
+    * non-negative int64 on engines whose integer sums promote
+    * differently at the sign bit.
+    *
+    * Scale shape: the signature is a narrow per-partition kernel (no
+    * shuffle), clustering is ONE hash aggregate on the 8-byte
+    * signature — never a pairwise comparison; a Hamming-tolerant
+    * variant would add q44's ball-probe join on this same column.
+    */
+  val q197MediaAhash: QueryDef = QueryDef.sql(
+    "q197_media_ahash",
+    s"""WITH ks AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, least((len(text) - 1) // $FrameStride, 62))) AS k
+       |  FROM documents),
+       |f AS (SELECT doc_id, k, ord(substr(text, k * $FrameStride + 1, 1)) AS b FROM ks),
+       |m AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sb, count(*) AS nf
+       |  FROM f GROUP BY doc_id),
+       |h AS (SELECT f.doc_id,
+       |    CAST(sum(CASE WHEN f.b > CAST(m.sb AS DOUBLE) / m.nf
+       |      THEN 1::BIGINT << f.k ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM f JOIN m USING (doc_id) GROUP BY f.doc_id),
+       |g AS (SELECT ahash, count(*) AS n_group, min(doc_id) AS canonical
+       |  FROM h GROUP BY ahash HAVING count(*) >= 2)
+       |SELECT h.doc_id, h.ahash, g.n_group, g.canonical
+       |FROM h JOIN g USING (ahash) ORDER BY h.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sigs = media(spark, dir).mapPartitions(_.map { m =>
+      val bytes = decodeStub(m)
+      val nf = math.min((bytes.length - 1) / FrameStride + 1, 63)
+      val fs = Array.tabulate(nf)(k => bytes(k * FrameStride) & 0xff)
+      val mean = fs.map(_.toLong).sum.toDouble / nf
+      var h = 0L
+      var k = 0
+      while (k < nf) { if (fs(k) > mean) h |= 1L << k; k += 1 }
+      AHash(m.doc_id, h)
+    }).toDF()
+    val groups = sigs.groupBy("ahash")
+      .agg(count(lit(1)).as("n_group"), min("doc_id").as("canonical"))
+      .filter(col("n_group") >= 2)
+    sigs.join(groups, Seq("ahash"))
+      .select("doc_id", "ahash", "n_group", "canonical")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q55FrameSample, q56FrameBytes, q57DecodeFeatures,
+    q58Resize, q197MediaAhash)
 }

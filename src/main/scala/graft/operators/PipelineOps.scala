@@ -664,6 +664,52 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q188: reciprocal-rank fusion of two document rankings (quality
+    * score vs length) — the standard ensemble step when multiple
+    * retrieval/filter signals must agree (Cormack et al., SIGIR'09):
+    * `rrf = Σ 1/(60 + rank_i)`, emitted as exact integer ppm
+    * (`1e6 div (60+r)` per signal).
+    *
+    * Scale shape: both ranks are read off VALUE-HISTOGRAM prefix sums
+    * (the q107 trick — rank = 1 + docs with a strictly better
+    * integer score, computed on the bounded (value, count) histogram
+    * and broadcast-joined back), so the global `rank()` never sorts
+    * doc rows on one reducer; the histogram window is bounded by the
+    * score DOMAIN, not the corpus.
+    */
+  val q188RrfFusion: QueryDef = QueryDef.sql(
+    "q188_rrf_fusion",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT q.doc_id, CAST(q.quality_ppm AS BIGINT) AS quality_ppm,
+       |    d.n_chars FROM qq q JOIN documents d ON q.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, quality_ppm, n_chars,
+       |    rank() OVER (ORDER BY quality_ppm DESC) AS rq,
+       |    rank() OVER (ORDER BY n_chars DESC) AS rl
+       |  FROM d)
+       |SELECT doc_id, CAST(rq AS BIGINT) AS rq, CAST(rl AS BIGINT) AS rl,
+       |  1000000 // (60 + rq) + 1000000 // (60 + rl) AS rrf_ppm
+       |FROM r ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val scored = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("quality_ppm"), col("n_chars"))
+    // histogram rank: 1 + count of docs with a strictly greater score;
+    // the unpartitioned window runs over the BOUNDED histogram only
+    def histRank(scoreCol: String): DataFrame = {
+      val w = Window.orderBy(col(scoreCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored.groupBy(scoreCol).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", coalesce(sum("cnt").over(w), lit(0L)) + 1L)
+        .select(col(scoreCol), col("r"))
+    }
+    scored
+      .join(broadcast(histRank("quality_ppm").withColumnRenamed("r", "rq")),
+        Seq("quality_ppm"))
+      .join(broadcast(histRank("n_chars").withColumnRenamed("r", "rl")),
+        Seq("n_chars"))
+      .select(col("doc_id"), col("rq"), col("rl"),
+        (expr("1000000L div (60 + rq)") + expr("1000000L div (60 + rl)")).as("rrf_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Inter-arrival statistics per event type: milli-quantized gaps
     * between a user's consecutive same-type events, rolled up to
     * exact-integer mean and exact (interpolated) p50/p90 per type —
@@ -977,10 +1023,59 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document boilerplate fraction — what share of a document's
+    * 8-word spans also appear in at least one OTHER document (the
+    * q100 census turned into a per-doc quality signal: the CCNet-
+    * style "how much of this page is template/quote" score that
+    * training pipelines filter on). `boilerplate_ppm` is one integer
+    * division of two exact counts.
+    *
+    * Scale shape: spans key by their fixed-width md5 digest (never
+    * shuffling the span strings — q100's measured lesson), one hash
+    * aggregate builds the duplicated-digest set, and the flag comes
+    * back via a shuffle join on the digest — no self-join, no pair
+    * explosion, every stage combinable map-side.
+    */
+  val q184BoilerplatePpm: QueryDef = QueryDef.sql(
+    "q184_boilerplate_ppm",
+    s"""WITH sp AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(ws) - ${SpanWords - 1}),
+       |    i -> array_to_string(ws[i:i+${SpanWords - 1}], ' '))) AS span
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |h AS (SELECT doc_id, md5(span) AS h FROM sp),
+       |g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h),
+       |j AS (SELECT h.doc_id, CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END AS dup
+       |  FROM h JOIN g USING (h))
+       |SELECT doc_id, count(*) AS n_spans, CAST(sum(dup) AS BIGINT) AS n_dup,
+       |  1000000 * CAST(sum(dup) AS BIGINT) // count(*) AS boilerplate_ppm
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    boilerplateDf(docs(spark, dir)).orderBy("doc_id")
+  }
+
+  /** The q184 score as a reusable corpus stage (feeds the same
+    * filter/mixture stages as the quality score).
+    */
+  def boilerplateDf(corpus: DataFrame, spanWords: Int = SpanWords): DataFrame = {
+    val sp = corpus
+      .withColumn("__ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    val dup = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    sp.join(dup.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("dup").as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        expr("1000000L * n_dup div n_spans").as("boilerplate_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
     q94BloomContamination, q95SurprisalBits, q96MixtureSample,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
     q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,
-    q141FeatureHash, q144Profile, q145SplitLeakage, q146FitApply)
+    q141FeatureHash, q144Profile, q145SplitLeakage, q146FitApply,
+    q184BoilerplatePpm, q188RrfFusion)
 }

@@ -273,8 +273,44 @@ object Relational {
       .orderBy("source", "decile")
   }
 
+  /** q195: blocked fuzzy record linkage over part names — the
+    * dirty-catalog match step (same product, typo'd name). Candidate
+    * pairs come from an EQUI join on a blocking key (the name's
+    * first token) — never an all-pairs theta join — then exact
+    * Levenshtein distance keeps pairs within 3 edits. Both engines
+    * implement the standard unit-cost edit-distance DP, so the
+    * integer distances agree exactly.
+    *
+    * Scale shape: the blocked self-join shuffles on the block key
+    * like any equi join; a hot block (a catalog where half the names
+    * share a first word) would get the q42 salting treatment — the
+    * block key is just a join key.
+    */
+  val q195FuzzyMatch: QueryDef = QueryDef.sql(
+    "q195_fuzzy_match",
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] AS blk FROM part)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+      |ORDER BY key_a, key_b""".stripMargin) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"), col("blk"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("key_a", "key_b", "name_a", "name_b", "dist")
+      .orderBy("key_a", "key_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q06SetOps, q07SaltedAgg,
     q01PricingSummary, q02RevenueByNation, q03TopCustomers,
     q04SupplierRank, q05CustomersNoOrders,
-    q118MixtureRollup, q119LangPivot, q120LengthNtile)
+    q118MixtureRollup, q119LangPivot, q120LengthNtile, q195FuzzyMatch)
 }

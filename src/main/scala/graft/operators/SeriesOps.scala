@@ -95,6 +95,31 @@ object SeriesOps {
       .drop("__q", "__med", "__mad")
   }
 
+  /** Winsorization — clip each sample to its series' exact [p05, p95]
+    * percentile band, the robust-preprocessing step that tames heavy
+    * tails without deleting rows (vs Hampel's local repair).
+    *
+    * Determinism: milli-quantized integer inputs make both
+    * percentiles exact interpolations of integers (the q101/q112
+    * policy); clip MEMBERSHIP compares the exact integer against that
+    * value, and clipped outputs are `bound/1000.0` — one division,
+    * identical bits on both engines. One series shuffle, two
+    * whole-partition windows.
+    */
+  def winsorize(df: DataFrame, s: Series, value: String, out: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val q = round(col(value) * 1e3).cast("long")
+    df.withColumn("__q", q)
+      .withColumn("__lo", percentile(col("__q"), lit(pLo)).over(s.whole))
+      .withColumn("__hi", percentile(col("__q"), lit(pHi)).over(s.whole))
+      .withColumn(s"${out}_clipped", col("__q") < col("__lo") || col("__q") > col("__hi"))
+      .withColumn(out,
+        when(col("__q") < col("__lo"), col("__lo") / 1000.0)
+          .when(col("__q") > col("__hi"), col("__hi") / 1000.0)
+          .otherwise(col(value)))
+      .drop("__q", "__lo", "__hi")
+  }
+
   /** Hampel filter — the standard spike repair: replace a sample with
     * the centered rolling median when it sits more than `k` robust
     * sigmas (1.4826·MAD) from that median; otherwise pass it through.

@@ -150,6 +150,34 @@ object SignalKernels {
     }
   }
 
+  /** Scalar Kalman local-level filter — the adaptive-gain
+    * generalization of [[ewma]] (the gain `K` anneals from 1 toward
+    * the steady-state EWMA weight as covariance `P` converges):
+    * `P⁻ = P + Q;  K = P⁻/(P⁻+R);  x̂ᵢ = x̂ᵢ₋₁ + K·(zᵢ−x̂ᵢ₋₁);
+    * P = (1−K)·P⁻`, seeded `x̂₀ = z₀, P₀ = R`. First-order state ⇒
+    * the same per-series sequential-kernel runner as the IIR filters.
+    * IEEE op order is mirrored verbatim by
+    * [[graft.functions.KernelOracles.kalmanOracle]].
+    */
+  def kalmanLevel(spark: SparkSession, df: DataFrame, s: Series, src: String,
+      out: String, q: Double, r: Double): DataFrame =
+    applyKernel(spark, df, s, src, out) { x =>
+      val y = new Array[Double](x.length)
+      if (x.nonEmpty) {
+        y(0) = x(0)
+        var p = r
+        var i = 1
+        while (i < x.length) {
+          val pp = p + q
+          val k = pp / (pp + r)
+          y(i) = y(i - 1) + k * (x(i) - y(i - 1))
+          p = (1.0 - k) * pp
+          i += 1
+        }
+      }
+      y
+    }
+
   /** Running Goertzel power at normalized frequency `freq`
     * (cycles/sample): the single-bin sliding DFT statistic used for
     * tone/oscillation detection without paying a full FFT. Second-

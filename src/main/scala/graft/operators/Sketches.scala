@@ -295,5 +295,49 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
-  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq, q135HllDistinct, q137KmvSetAlgebra)
+  /** Misra-Gries counter budget for q187. 39 counters ⇒ every token
+    * with share > 1/40 (2.5%) of the stream is GUARANTEED a counter
+    * in the merged sketch (deficit ≤ n/(k+1) under any partitioning).
+    */
+  val MgK = 39
+
+  /** q187: exact heavy hitters via a Misra-Gries candidate pass —
+    * the frequent-items sketch the engine was missing beside
+    * KMV/HLL/CM. Pass 1 folds the corpus into one ≤39-counter
+    * summary (map-side-combined, bounded state); the counter KEYS are
+    * a guaranteed superset of every token with share > 1/40, so pass
+    * 2 exact-counts only those candidates and applies the threshold
+    * exactly. Output is therefore deterministic (sketch order-
+    * sensitivity never leaks — same candidates-then-verify shape as
+    * the LSH dedup), and the oracle is the plain exact query.
+    *
+    * Scale shape: pass 1 never shuffles more than k counters per
+    * partition; pass 2's aggregate is over candidate tokens only
+    * (≤ k keys). The ≤39-entry driver collect is the IVF-codebook
+    * kind: bounded by the sketch parameter, not the data.
+    */
+  val q187HeavyHitters: QueryDef = QueryDef.sql(
+    "q187_heavy_hitters",
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |n AS (SELECT count(*) AS n FROM w),
+       |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+       |SELECT c.word, CAST(c.cnt AS BIGINT) AS cnt,
+       |  1000000 * c.cnt // n.n AS share_ppm
+       |FROM c, n WHERE c.cnt * ${MgK + 1} > n.n ORDER BY word""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val st = words.as[String]
+      .select(new graft.functions.MisraGriesAgg(MgK).toColumn).head()
+    val cands = st.counters.keys.toSeq.sorted
+    words.filter(col("word").isin(cands: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (MgK + 1) > st.n)
+      .select(col("word"), col("cnt"),
+        expr(s"1000000L * cnt div ${st.n}L").as("share_ppm"))
+      .orderBy("word")
+  }
+
+  def all: Seq[QueryDef] = Seq(q84KmvDistinct, q86HistQuantile, q90CmFreq,
+    q135HllDistinct, q137KmvSetAlgebra, q187HeavyHitters)
 }

@@ -85,5 +85,67 @@ object StreamingAudit {
       .orderBy("event_type", "h")
   }
 
-  val all: Seq[QueryDef] = Seq(q171StreamBurst)
+  // ---- streaming chi-square drift monitor ----
+
+  final case class LangCount(source: String, lang: String, n: Long)
+  final case class LangState(counts: Map[String, Long])
+
+  /** Per-source keyed state: the lang→count row of the contingency
+    * table, re-emitted in full each batch (upsert contract — latest
+    * (source, lang) row wins), so the sink always holds the CURRENT
+    * table and late/new data self-corrects. State is one entry per
+    * observed lang per source — label-domain-bounded.
+    */
+  private def langUpdate(source: String, rows: Iterator[Row],
+      state: GroupState[LangState]): Iterator[LangCount] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+    rows.foreach { r =>
+      val l = r.getString(1)
+      counts = counts.updated(l, counts.getOrElse(l, 0L) + 1L)
+    }
+    if (counts.isEmpty) return Iterator.empty
+    state.update(LangState(counts))
+    counts.iterator.map { case (l, n) => LangCount(source, l, n) }
+  }
+
+  def langCountStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[LangCount] = {
+    import spark.implicits._
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    withTrigger.parquet(dir)
+      .select(col("source"), col("lang"))
+      .groupByKey(_.getString(0))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(langUpdate)
+  }
+
+  def runChisq(spark: SparkSession, dir: String,
+      sinkName: String = "stream_chisq"): DataFrame = {
+    val q = langCountStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** q194: the q189 independence audit maintained AT INGEST — keyed
+    * state carries the source×lang contingency table across
+    * micro-batches, and the chi-square margins/terms are computed
+    * from that state relation (the table is label-domain-bounded, so
+    * the statistic never rescans history). A single-batch run's state
+    * equals the batch aggregate, so it SHARES q189's oracle verbatim;
+    * StreamingSpec pins the multi-batch upsert fold.
+    */
+  val q194StreamChisq: QueryDef = QueryDef.sql(
+    "q194_stream_chisq",
+    graft.operators.AuditOps.q189ChiSquare.oracle.get) { (spark, dir) =>
+    graft.operators.AuditOps
+      .chiSquareFromCounts(runChisq(spark, dir), "source", "lang")
+      .orderBy("source", "lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q171StreamBurst, q194StreamChisq)
 }

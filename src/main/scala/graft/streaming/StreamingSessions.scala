@@ -591,7 +591,104 @@ object StreamingSessions {
       .orderBy("user_id", "event_id")
   }
 
+  // ---- streaming Kalman: two-double state on a stream ----
+
+  final case class KalmanRow(user_id: Long, event_id: Long, tn: Double,
+      level: Double)
+
+  /** Carried state for the q180 recurrence: tn origin, filtered level
+    * `y`, covariance `p` — the whole Kalman state is two doubles,
+    * which is what makes the filter streamable — plus the late-data
+    * frontier.
+    */
+  final case class KalmanState(t0: Double, y: Double, p: Double,
+      frontier: Double)
+
+  val KalmanQ = 0.01
+  val KalmanR = 1.0
+
+  /** Per-key batch handler: continues the predict/update recurrence
+    * from carried (y, p) with the EXACT op order of the batch kernel
+    * ([[graft.operators.SignalKernels.kalmanLevel]]) so a multi-batch
+    * stream emits bit-identical doubles to the one-shot batch run —
+    * the q180 oracle verifies this query unchanged. Zero-lateness
+    * drop and pure-append sink like [[ewmaStep]].
+    */
+  private def kalmanStep(userId: Long, rows: Iterator[Row],
+      state: GroupState[KalmanState]): Iterator[KalmanRow] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), r.getAs[Long]("event_id"),
+      r.getAs[Double]("value"))).toArray.sortBy(e => (e._1, e._2))
+    if (evs.isEmpty) return Iterator.empty
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
+    var y = prior.map(_.y).getOrElse(Double.NaN)
+    var p = prior.map(_.p).getOrElse(KalmanR)
+    var seeded = prior.isDefined
+    var frontier = prior.map(_.frontier).getOrElse(Double.NegativeInfinity)
+    val out = Vector.newBuilder[KalmanRow]
+    evs.foreach { case (t, eid, v) =>
+      val tn = t - t0
+      if (seeded && tn < frontier) {
+        // late: older than the carried frontier — drop, never rewind
+      } else {
+        if (seeded) {
+          val pp = p + KalmanQ
+          val k = pp / (pp + KalmanR)
+          y = y + k * (v - y)
+          p = (1.0 - k) * pp
+        } else {
+          y = v
+          p = KalmanR
+          seeded = true
+        }
+        frontier = tn
+        out += KalmanRow(userId, eid, tn, y)
+      }
+    }
+    state.update(KalmanState(t0, y, p, frontier))
+    out.result().iterator
+  }
+
+  def kalmanStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[KalmanRow] = {
+    import spark.implicits._
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .selectExpr("user_id", "event_id", "cast(ts div 1000 as double) / 1e6 as t", "value")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(kalmanStep)
+  }
+
+  def runKalman(spark: SparkSession, dir: String,
+      sinkName: String = "stream_kalman"): DataFrame = withStateShuffle(spark, 8) {
+    val q = kalmanStream(spark, dir).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming twin of q180 — verified by the SAME bit-exact
+    * recursive-CTE oracle: streaming state continuation must equal
+    * the batch recurrence double-for-double.
+    */
+  val q186StreamKalman: graft.QueryDef = graft.QueryDef.sql(
+    "q186_stream_kalman",
+    graft.functions.KernelOracles.kalmanOracle(Tables.seriesSql, KalmanQ, KalmanR)) { (spark, dir) =>
+    runKalman(spark, dir)
+      .select("user_id", "event_id", "tn", "level")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
     q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin,
-    q104StreamFunnel, q117StreamEwma)
+    q104StreamFunnel, q117StreamEwma, q186StreamKalman)
 }

@@ -1,0 +1,295 @@
+package graft
+
+import graft.operators.{BehaviorOps, Graphs, PipelineOps, SeriesOps, SignalKernels}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture invariants of the behavioral-model operators
+  * (q180-q185) that the oracle hash can't express: closed-form Kalman
+  * outputs, known stationary distributions, Benford constants,
+  * cascade-sensitive k-core membership, boilerplate extremes, and
+  * censoring accounting.
+  */
+class BehaviorOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val s = SeriesOps.Series(Seq("user_id"), "tn", Seq("event_id"))
+
+  private def seriesDf(rows: Seq[(Long, Long, Double, Double, String)]) =
+    rows.toDF("user_id", "event_id", "tn", "value", "event_type")
+
+  test("q180 kalman: constant series is a fixed point; kernel matches reference loop") {
+    val const = seriesDf((0L until 8L).map(i => (1L, i, i.toDouble, 5.0, "x")))
+    val out = SignalKernels.kalmanLevel(spark, const, s, "value", "level", 0.01, 1.0)
+      .orderBy("event_id").select("level").as[Double].collect()
+    assert(out.forall(_ == 5.0))
+
+    val xs = Array(1.0, 4.0, 2.0, 8.0, 3.0, 3.0, 9.0)
+    val noisy = seriesDf(xs.zipWithIndex.map { case (v, i) =>
+      (2L, i.toLong, i.toDouble, v, "x") }.toSeq)
+    val got = SignalKernels.kalmanLevel(spark, noisy, s, "value", "level", 0.01, 1.0)
+      .orderBy("event_id").select("level").as[Double].collect()
+    // independent replay of the predict/update recurrence
+    val exp = new Array[Double](xs.length)
+    exp(0) = xs(0)
+    var p = 1.0
+    for (i <- 1 until xs.length) {
+      val pp = p + 0.01
+      val k = pp / (pp + 1.0)
+      exp(i) = exp(i - 1) + k * (xs(i) - exp(i - 1))
+      p = (1.0 - k) * pp
+    }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("q180 kalman: gain anneals — early samples weigh more than the EWMA limit") {
+    // steady-state gain for q=0.01, r=1 is ~0.0951; the first update's
+    // gain is (1+0.01)/(2+0.01) ~ 0.502 — the filter must track the
+    // second sample far more than steady-state EWMA would
+    val xs = seriesDf(Seq((1L, 0L, 0.0, 0.0, "x"), (1L, 1L, 1.0, 1.0, "x")))
+    val y1 = SignalKernels.kalmanLevel(spark, xs, s, "value", "level", 0.01, 1.0)
+      .orderBy("event_id").select("level").as[Double].collect().last
+    assert(y1 > 0.4 && y1 < 0.6)
+  }
+
+  test("q181 markov: deterministic 2-cycle has the uniform stationary") {
+    // A -> B -> A -> B ... : P is a permutation; stationary = (1/2, 1/2)
+    val rows = (0L until 20L).map(i =>
+      (1L, i, i.toDouble, 0.0, if (i % 2 == 0) "A" else "B"))
+    val pi = BehaviorOps.markovStationaryDf(spark, seriesDf(rows))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pi == Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("q181 markov: real-data stationary mass stays within integer-rounding loss") {
+    val pi = BehaviorOps.q181MarkovStationary.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(1))
+    val total = pi.sum
+    // each of the 12 iterations can lose < K ppm to integer floors
+    assert(total <= 1000000L && total > 1000000L - 60L * BehaviorOps.MarkovIters)
+    assert(pi.forall(_ > 0L))
+  }
+
+  test("q182 benford: expected-ppm constants and observed accounting") {
+    assert(BehaviorOps.BenfordPpm.head == (1 -> 301030L))
+    assert(BehaviorOps.BenfordPpm.map(_._2).sum == 1000000L) // 9 rounded logs happen to close
+    // planted: values 1.0 x3, 2.0 x1 -> digits 1:3, 2:1
+    val df = seriesDf(Seq((1L, 0L, 0.0, 1.0, "t"), (1L, 1L, 1.0, 1.0, "t"),
+      (1L, 2L, 2.0, 1.0, "t"), (1L, 3L, 3.0, 2.0, "t")))
+    val got = BehaviorOps.benfordDf(df, "value", Seq("event_type"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 3L, 750000L), (2L, 1L, 250000L)))
+  }
+
+  test("q183 kcore: peeling cascades through a pendant chain") {
+    // triangle {1,2,3} + chain 3-4-5: node 4 starts at degree 2 (>= 2)
+    // but falls to 1 once 5 is peeled — a plain degree filter keeps it
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    val core = Graphs.kCore(edges, k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("q183 kcore on real data: members' in-core degree is >= k") {
+    val out = Graphs.q183Kcore.fn(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) >= 3L))
+  }
+
+  test("q184 boilerplate: duplicated doc is all-boilerplate, unique doc is none") {
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val uniq = (1 to 12).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, text), (2L, text), (3L, uniq))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.boilerplateDf(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 0L))
+  }
+
+  test("q185 hazard: censored tails are at risk but never events") {
+    // one user, one type, events at t=0,1,2 and a trailing 'other' event
+    // at t=10: gaps 1000ms x2 complete, censored tail 8000ms
+    val rows = Seq((1L, 0L, 0.0, 1.0, "a"), (1L, 1L, 1.0, 1.0, "a"),
+      (1L, 2L, 2.0, 1.0, "a"), (1L, 3L, 10.0, 1.0, "b"))
+    val got = BehaviorOps.hazardTableDf(seriesDf(rows))
+      .filter(col("event_type") === "a")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only dtm=1000 is an event row; at risk = 2 complete + 1 censored(8000)
+    assert(got.toSeq == Seq((1000L, 3L, 2L, 666666L)))
+  }
+
+  test("q187 misra-gries: merged sketch holds every token above the guarantee bar") {
+    // planted stream: 'hot' 30%, 'warm' 10%, 96 singletons — k=7 counters
+    // (bar 1/8 = 12.5%) must retain 'hot' under ANY partitioning
+    val words = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 120).map(i => s"rare$i")
+    val shuffled = new scala.util.Random(7).shuffle(words)
+    val df = shuffled.toDF("w").repartition(7)
+    val st = df.as[String]
+      .select(new graft.functions.MisraGriesAgg(7).toColumn).head()
+    assert(st.n == words.size)
+    assert(st.counters.size <= 7)
+    assert(st.counters.contains("hot"))
+    // deficit bound: estimate within n/(k+1) of truth
+    assert(st.counters("hot") >= 60L - words.size / 8)
+  }
+
+  test("q187 heavy hitters on real data: output is the exact over-threshold set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Sketches.q187HeavyHitters.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = words.count()
+    val exact = words.groupBy("w").count()
+      .filter(col("count") * (graft.operators.Sketches.MgK + 1) > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == exact && out.nonEmpty)
+  }
+
+  test("q188 rrf: histogram rank equals rank() semantics on ties") {
+    val out = graft.operators.PipelineOps.q188RrfFusion.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // rank 1 exists for both signals; rrf recomputes from its own ranks
+    assert(out.map(_.getLong(1)).min == 1L && out.map(_.getLong(2)).min == 1L)
+    out.foreach { r =>
+      val exp = 1000000L / (60L + r.getLong(1)) + 1000000L / (60L + r.getLong(2))
+      assert(r.getLong(3) == exp)
+    }
+  }
+
+  test("q189 chi-square: perfectly independent table has zero statistic") {
+    // 2x2 with counts proportional to margins: 10,20 / 30,60
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(60)(("b", "y")))
+      .toDF("source", "lang")
+    val got = graft.operators.AuditOps.chiSquareDf(df, "source", "lang")
+      .collect().map(_.getDouble(4))
+    assert(got.forall(_ == 0.0))
+  }
+
+  test("q190 winsorize: clips exactly to the series' own percentile band") {
+    val xs = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0)
+    val df = seriesDf(xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toDouble, v, "x") }.toSeq)
+    val out = SeriesOps.winsorize(df, s, "value", "wins")
+      .orderBy("event_id")
+      .select("wins", "wins_clipped")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    // p05 of milli ints = 450/1000; p95 = 58600/1000 up to the ulp of
+    // the interpolation's inexact 0.95·9 position product
+    assert(out.head == (0.45, true))
+    assert(math.abs(out.last._1 - 58.6) < 1e-9 && out.last._2)
+    assert(out.slice(1, 9).forall(!_._2))
+    assert(out.map(_._1).max <= 58.6 + 1e-9 && out.map(_._1).min >= 0.45)
+  }
+
+  test("q191 ols: a planted exact line fits with r2 = 1") {
+    val df = (1L to 50L).map(i => ("k", i, 3L * i + 7L))
+      .toDF("source", "x", "y")
+    val got = graft.operators.AuditOps.olsFitDf(df, "source", "x", "y").head()
+    assert(got.getDouble(2) == 3.0 && got.getDouble(3) == 7.0 && got.getDouble(4) == 1.0)
+  }
+
+  test("q191 ols: constant x emits null fit, not a crash") {
+    val df = Seq(("k", 5L, 1L), ("k", 5L, 9L)).toDF("source", "x", "y")
+    val got = graft.operators.AuditOps.olsFitDf(df, "source", "x", "y").head()
+    assert(got.isNullAt(2) && got.isNullAt(3) && got.isNullAt(4))
+  }
+
+  test("q192 entropy: single-minded user scores 0, uniform 2-type user 1000 millibits") {
+    val out = graft.operators.BehaviorOps.q192UserEntropy
+    // closed-form check via the same formula on a tiny planted frame
+    val c = Seq((1L, "a", 10L), (2L, "a", 5L), (2L, "b", 5L))
+      .toDF("user_id", "event_type", "c")
+    val got = c.withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .withColumn("bits", (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy("user_id")
+      .agg(expr("CAST(1000 * sum(c * bits) div max(n) AS BIGINT)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1000L))
+    assert(out.fn(spark, "/root/testdata/sf0.001").collect().forall(_.getLong(3) >= 0))
+  }
+
+  test("q193 antitonic: violating curve pools, monotone curve is untouched") {
+    // rates 10%, 30%, 20% (equal weights) violate non-increase at both
+    // steps; the min-max fit pools everything to the global 20% mean
+    val hist = Seq((0L, 100L, 10L), (1L, 100L, 30L), (2L, 100L, 20L))
+      .toDF("band", "n_docs", "n_dup")
+    val got = graft.operators.AuditOps.isotonicDf(hist, "band", "n_docs", "n_dup")
+      .orderBy("band").collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 100000L, 200000L),
+      (1L, 300000L, 200000L), (2L, 200000L, 200000L)))
+    // an already non-increasing curve is a fixed point
+    val mono = Seq((0L, 100L, 30L), (1L, 100L, 20L), (2L, 100L, 10L))
+      .toDF("band", "n_docs", "n_dup")
+    val gotM = graft.operators.AuditOps.isotonicDf(mono, "band", "n_docs", "n_dup")
+      .orderBy("band").collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(gotM.forall { case (raw, iso) => raw == iso })
+  }
+
+  test("q195 fuzzy match: pairs share a block and respect the edit bound") {
+    val out = graft.operators.Relational.q195FuzzyMatch.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, d) = (r.getString(2), r.getString(3), r.getLong(4))
+      assert(a.split(" ").head == b.split(" ").head, s"cross-block pair: $a / $b")
+      assert(d >= 1 && d <= 3)
+      // engine-side distance agrees with an independent DP replay
+      def lev(x: String, y: String): Int = {
+        val dp = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        dp(x.length)(y.length)
+      }
+      assert(lev(a, b).toLong == d, s"distance mismatch for $a / $b")
+    }
+  }
+
+  test("q196 rolling beta: an exact line has constant slope in every window") {
+    // y = 2.5·i + 1 on a uniform index: beta = 2500 milli-units/step
+    val rows = (0L until 40L).map(i => (1L, i, i.toDouble, 2.5 * i + 1.0, "x"))
+    val out = graft.operators.EventSeries.all.find(_.name == "q196_rolling_beta").get
+    val df = seriesDf(rows)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tn", "event_id")
+    val got = df
+      .withColumn("y", round(col("value") * 1e3).cast("long"))
+      .withColumn("i", row_number().over(win).cast("long"))
+      .withColumn("w", count(lit(1)).over(win.rowsBetween(-15, 0)))
+      .withColumn("sx", sum("i").over(win.rowsBetween(-15, 0)))
+      .withColumn("sxx", sum(col("i") * col("i")).over(win.rowsBetween(-15, 0)))
+      .withColumn("sy", sum("y").over(win.rowsBetween(-15, 0)))
+      .withColumn("sxy", sum(col("i") * col("y")).over(win.rowsBetween(-15, 0)))
+      .withColumn("beta", expr("CAST(w * sxy - sx * sy AS DOUBLE) / (w * sxx - sx * sx)"))
+      .filter(col("w") >= 2).select("beta").as[Double].collect()
+    assert(got.forall(_ == 2500.0))
+    assert(out.fn(spark, "/root/testdata/sf0.001").count() > 0)
+  }
+
+  test("q197 ahash: identical payloads land in one duplicate cluster") {
+    val out = graft.operators.Multimodal.q197MediaAhash.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // every member's group agrees with its canonical (min doc) and size >= 2
+    out.groupBy(_.getLong(1)).values.foreach { g =>
+      assert(g.length == g.head.getLong(2))
+      assert(g.map(_.getLong(0)).min == g.head.getLong(3))
+    }
+  }
+
+  test("q185 hazard: at-risk counts are non-increasing in duration per type") {
+    val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
+    val byType = out.groupBy(_.getString(0))
+    byType.values.foreach { rows =>
+      val atRisk = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(atRisk.zip(atRisk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

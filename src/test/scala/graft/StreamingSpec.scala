@@ -184,6 +184,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("kalman stream resumes across micro-batches, bit-equal to batch kernel") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kalman-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val rows = mutable.ArrayBuffer[StreamingSessions.KalmanRow]()
+    var batches = 0
+    val q = StreamingSessions
+      .kalmanStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSessions.KalmanRow], _: Long) =>
+        batches += 1; rows ++= df.collect(); ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    // the carried (y, p) state must make the stream's doubles BIT-equal
+    // to the one-shot batch kernel
+    val batch = graft.operators.EventSeriesJoins.q180KalmanLevel.fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == batch.size,
+      s"stream emitted ${rows.size} rows, batch has ${batch.size}")
+    rows.foreach { r =>
+      val (tn, y) = batch((r.user_id, r.event_id))
+      assert(r.tn == tn && r.level == y,
+        s"kalman diverged at (${r.user_id}, ${r.event_id}): stream (${r.tn}, ${r.level}) vs batch ($tn, $y)")
+    }
+  }
+
+  test("chisq drift stream: two-batch upsert equals the batch contingency table") {
+    val dir = "/root/testdata/sf0.001"
+    val docsTbl = graft.sources.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chisq-batches").toString
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      docsTbl.filter(pred).coalesce(1).write.parquet(s"$tmp/stage_$name")
+      val part = new java.io.File(s"$tmp/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/documents_$name.parquet"))
+    }
+    writeHalf(col("doc_id") % 2 === 0, "a")
+    writeHalf(col("doc_id") % 2 === 1, "b")
+    val upserted = mutable.LinkedHashMap[(String, String), Long]()
+    var batches = 0
+    val q = graft.streaming.StreamingAudit
+      .langCountStream(spark, tmp, glob = "documents_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingAudit.LangCount], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted((r.source, r.lang)) = r.n)
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2)
+    val batch = docsTbl.groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(upserted.toMap == batch)
+  }
+
   test("stream as-of: a two-batch replay equals the single-batch result") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Tables.events(spark, dir)
