@@ -172,4 +172,22 @@ object Corpus {
     */
   def domainXent(corpus: DataFrame): DataFrame =
     graft.operators.AuditOps.domainXentDf(corpus)
+
+  /** Per-document boilerplate fraction — the share of a doc's word
+    * spans duplicated elsewhere in the corpus, integer ppm (q184).
+    */
+  def boilerplate(corpus: DataFrame, spanWords: Int = 8): DataFrame =
+    graft.operators.PipelineOps.boilerplateDf(corpus, spanWords)
+
+  /** Label-independence screen: chi-square contingency audit over
+    * two label columns, e.g. source × lang (q189).
+    */
+  def chiSquare(corpus: DataFrame, rowCol: String = "source",
+      colCol: String = "lang"): DataFrame =
+    graft.operators.AuditOps.chiSquareDf(corpus, rowCol, colCol)
+
+  /** Antitonic (PAVA) calibration of a bucketed rate curve (q193). */
+  def calibrate(hist: DataFrame, bucket: String, weight: String,
+      hits: String): DataFrame =
+    graft.operators.AuditOps.isotonicDf(hist, bucket, weight, hits)
 }

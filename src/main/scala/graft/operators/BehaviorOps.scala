@@ -270,6 +270,71 @@ object BehaviorOps {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q199: Welch's t-test between event-type value distributions
+  // ---------------------------------------------------------------------
+
+  /** q199: Welch's unequal-variance t statistic (and Welch-
+    * Satterthwaite degrees of freedom) for every pair of event
+    * types' value distributions — the A/B-significance workhorse
+    * beside q172's Wilson bound (which handles proportions; this
+    * handles means).
+    *
+    * Determinism: per type, (n, Σy, Σy²) are EXACT int64 aggregates
+    * of milli-quantized values (bound: n·Σy² must stay < 2^63 —
+    * holds to ~10^4 value-magnitude × 10^10 rows; a 100 TB run
+    * switches the moment pass to the same value-histogram trick as
+    * q108). t and df are fixed-order double expressions of those
+    * exact integers, rounded once — identical bits on both engines.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |event_type|
+    * rows, then a tiny pair self-join of that 5-row relation.
+    */
+  val q199WelchTtest: QueryDef = QueryDef.sql(
+    "q199_welch_ttest",
+    s"""WITH qv AS (SELECT event_type,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS y
+       |  FROM (${Tables.seriesSql})),
+       |m AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM qv GROUP BY event_type),
+       |v AS (SELECT event_type, n, CAST(sy AS DOUBLE) / n AS mean_milli,
+       |    (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       |      / (CAST(n AS DOUBLE) * (n - 1)) / n AS vm
+       |  FROM m WHERE n >= 2)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |  round((a.mean_milli - b.mean_milli) / sqrt(a.vm + b.vm), 6) AS t_stat,
+       |  round((a.vm + b.vm) * (a.vm + b.vm)
+       |    / (a.vm * a.vm / (a.n - 1) + b.vm * b.vm / (b.n - 1)), 3) AS df
+       |FROM v a JOIN v b ON a.event_type < b.event_type
+       |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    welchDf(Tables.series(spark, dir), "event_type", "value")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** The q199 test as a reusable stage over any (group, value). */
+  def welchDf(df: DataFrame, group: String, valueCol: String): DataFrame = {
+    val m = df
+      .select(col(group).as("g"), round(col(valueCol) * 1e3).cast("long").as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+      .withColumn("mean_milli", expr("CAST(sy AS DOUBLE) / n"))
+      .withColumn("vm", expr(
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) / n"))
+    val a = m.select(col("g").as("type_a"), col("n").as("n_a"),
+      col("mean_milli").as("ma"), col("vm").as("va"))
+    val b = m.select(col("g").as("type_b"), col("n").as("n_b"),
+      col("mean_milli").as("mb"), col("vm").as("vb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round((col("ma") - col("mb")) / sqrt(col("va") + col("vb")), 6).as("t_stat"),
+        round((col("va") + col("vb")) * (col("va") + col("vb")) /
+          (col("va") * col("va") / (col("n_a") - 1) +
+           col("vb") * col("vb") / (col("n_b") - 1)), 3).as("df"))
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
-    q185HazardTable, q192UserEntropy)
+    q185HazardTable, q192UserEntropy, q199WelchTtest)
 }

