@@ -34,6 +34,12 @@ object Vectors {
        |  (s, x) -> s + cast(x as double) * cast(x as double))""".stripMargin
 
   /** Cosine similarity of two `array<float>` columns (left-fold). */
+  /** Per-vector simplified silhouette of the trained k-means
+    * clustering over a scale-factor dir (q200).
+    */
+  def silhouette(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.q200Silhouette.fn(spark, dir)
+
   def cosine(a: String, b: String): Column =
     expr(dotSql(a, b)) / (sqrt(expr(normSql(a))) * sqrt(expr(normSql(b))))
 

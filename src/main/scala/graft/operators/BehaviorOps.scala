@@ -335,6 +335,59 @@ object BehaviorOps {
            col("vb") * col("vb") / (col("n_b") - 1)), 3).as("df"))
   }
 
+  // ---------------------------------------------------------------------
+  // q202: Gini concentration of value magnitude per event type
+  // ---------------------------------------------------------------------
+
+  /** q202: Gini coefficient of each event type's |value|
+    * distribution — the inequality/concentration audit ("is revenue
+    * all in a few whale events?"). Computed ENTIRELY from the
+    * milli-quantized value histogram: for the `c` copies of value
+    * `v` preceded by `P` smaller samples, the classic sorted-rank
+    * numerator `Σ(2i−n−1)·y₍ᵢ₎` collapses to `v·c·(2P + c − n)` —
+    * so both the numerator and `n·Σ|y|` are EXACT int64 sums over
+    * the bounded histogram, and `gini_ppm` is one integer division.
+    *
+    * Scale shape: the q108 histogram trick — the only window runs
+    * over the (type, milli-value) histogram, bounded by the value
+    * DOMAIN, never the raw rows (the naive formulation sorts each
+    * low-cardinality type's full population on one reducer).
+    */
+  val q202GiniConcentration: QueryDef = QueryDef.sql(
+    "q202_gini_concentration",
+    s"""WITH qv AS (SELECT event_type,
+       |    CAST(round(abs(value) * 1000.0) AS BIGINT) AS v
+       |  FROM (${Tables.seriesSql})),
+       |h AS (SELECT event_type, v, count(*) AS c FROM qv GROUP BY event_type, v),
+       |p AS (SELECT *,
+       |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |  CAST(CASE WHEN sum(v * c) = 0 THEN 0
+       |    ELSE 1000000 * sum(v * c * (2 * pc + c - n)) // (max(n) * sum(v * c))
+       |    END AS BIGINT) AS gini_ppm
+       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    giniDf(Tables.series(spark, dir), "event_type", "value").orderBy("event_type")
+  }
+
+  /** The q202 coefficient as a reusable stage over any (key, value). */
+  def giniDf(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val h = df
+      .select(col(key),
+        expr(s"CAST(round(abs($valueCol) * 1000.0) AS BIGINT)").as("v"))
+      .groupBy(key, "v").agg(count(lit(1)).as("c"))
+    val tw = Window.partitionBy(key)
+    val pw = tw.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("pc", coalesce(sum("c").over(pw), lit(0L)))
+      .withColumn("n", sum("c").over(tw))
+      .groupBy(key)
+      .agg(max("n").as("n"),
+        expr("""CASE WHEN sum(v * c) = 0 THEN 0L
+                ELSE 1000000L * sum(v * c * (2 * pc + c - n)) div (max(n) * sum(v * c))
+                END""").as("gini_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
-    q185HazardTable, q192UserEntropy, q199WelchTtest)
+    q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration)
 }

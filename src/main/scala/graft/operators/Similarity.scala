@@ -379,64 +379,143 @@ object Similarity {
     * two-job Lloyd profile a production trainer runs at 100 TB, with
     * the iteration count fixed and small.
     */
+  /** Spark half of the shared k-means stages (see [[duckKmeansIter]]). */
+  private[operators] def kmeansQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
+      .persist() // scanned once per Lloyd job; harness clears per query
+
+  private[operators] def kmeansSeed(q: DataFrame): DataFrame =
+    q.orderBy("vec_id").limit(KmeansK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"),
+        col("qe").as("cq"))
+
+  private[operators] def kmeansAssign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    q.crossJoin(broadcast(cents))
+      .withColumn("key", dist * KmeansK + col("cid"))
+      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
+  }
+
+  private[operators] def kmeansUpdate(q: DataFrame, asg: DataFrame): DataFrame =
+    q.join(asg, "vec_id")
+      .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
+
+  private[operators] def kmeansRecollect(upd: DataFrame): DataFrame =
+    upd.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
+        s => s.getField("cqv")).as("cq"))
+
+  /** One Lloyd iteration in DuckDB: assignment (argmin over the K
+    * crossed centroids) then truncating-integer-mean update. Shared
+    * by q105 (training) and q200 (silhouette over the trained
+    * labels).
+    */
+  private[operators] def duckKmeansIter(prev: String, asg: String, upd: String,
+      cents: String): String =
+    s"""$asg AS (SELECT vec_id, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, len(qe)),
+       |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i]))) * $KmeansK + c.cid) AS cid
+       |  FROM q CROSS JOIN $prev c GROUP BY vec_id),
+       |$upd AS (SELECT a.cid, i AS dim,
+       |    CAST(CAST(sum(qe[i]) AS BIGINT) // count(*) AS BIGINT) AS cqv,
+       |    count(*) AS n
+       |  FROM q JOIN $asg a USING (vec_id), unnest(generate_series(1, len(qe))) AS t(i)
+       |  GROUP BY a.cid, i),
+       |$cents AS (SELECT cid, list(cqv ORDER BY dim) AS cq FROM $upd GROUP BY cid)""".stripMargin
+
+  /** Shared oracle prefix: quantized vectors `q`, seed centroids
+    * `c0`, and two Lloyd iterations ending in `u2` / `c2`.
+    */
+  private[operators] val duckKmeansPrefix: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS cq
+       |  FROM q ORDER BY vec_id LIMIT $KmeansK),
+       |${duckKmeansIter("c0", "a1", "u1", "c1")},
+       |${duckKmeansIter("c1", "a2", "u2", "c2")}""".stripMargin
+
   val q105KmeansTrain: QueryDef = {
     val K = KmeansK
-    // one Lloyd iteration in DuckDB: assignment (argmin over the K
-    // crossed centroids) then truncating-integer-mean update
-    def duckIter(prev: String, asg: String, upd: String, cents: String): String =
-      s"""$asg AS (SELECT vec_id, arg_min(c.cid,
-         |    list_sum(list_transform(generate_series(1, len(qe)),
-         |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i]))) * $K + c.cid) AS cid
-         |  FROM q CROSS JOIN $prev c GROUP BY vec_id),
-         |$upd AS (SELECT a.cid, i AS dim,
-         |    CAST(CAST(sum(qe[i]) AS BIGINT) // count(*) AS BIGINT) AS cqv,
-         |    count(*) AS n
-         |  FROM q JOIN $asg a USING (vec_id), unnest(generate_series(1, len(qe))) AS t(i)
-         |  GROUP BY a.cid, i),
-         |$cents AS (SELECT cid, list(cqv ORDER BY dim) AS cq FROM $upd GROUP BY cid)""".stripMargin
     QueryDef.sql(
       "q105_kmeans_train",
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS cq
-         |  FROM q ORDER BY vec_id LIMIT $K),
-         |${duckIter("c0", "a1", "u1", "c1")},
-         |${duckIter("c1", "a2", "u2", "c2")}
+      s"""$duckKmeansPrefix
          |SELECT cid, CAST(dim - 1 AS BIGINT) AS dim, n AS n_members,
          |  round(CAST(cqv AS DOUBLE) / 1e6, 6) AS centroid
          |FROM u2 ORDER BY cid, dim""".stripMargin) { (spark, dir) =>
-      val q = Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
-        .persist() // scanned once per Lloyd job; harness clears per query
-      val c0 = q.orderBy("vec_id").limit(K)
-        .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"),
-          col("qe").as("cq"))
-      def assign(cents: DataFrame): DataFrame = {
-        val dist = aggregate(
-          zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        q.crossJoin(broadcast(cents))
-          .withColumn("key", dist * K + col("cid"))
-          .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
-      }
-      def update(asg: DataFrame): DataFrame =
-        q.join(asg, "vec_id")
-          .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "v")))
-          .groupBy("cid", "dim")
-          .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
-      def recollect(upd: DataFrame): DataFrame =
-        upd.groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
-            s => s.getField("cqv")).as("cq"))
-      val u1 = update(assign(c0))
-      val u2 = update(assign(recollect(u1)))
+      val q = kmeansQuantized(spark, dir)
+      val u2 = kmeansUpdate(q, kmeansAssign(q,
+        kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q))))))
       u2.select(col("cid"), col("dim").cast("long").as("dim"),
           col("n").as("n_members"),
           round(col("cqv").cast("double") / 1e6, 6).as("centroid"))
         .orderBy("cid", "dim")
     }
+  }
+
+  /** q200: simplified (centroid-based) silhouette score of the q105
+    * clustering — the standard "are these clusters real?" diagnostic
+    * (Rousseeuw 1987; the centroid form is what large-scale
+    * evaluators actually run, since the pairwise form is O(n²)).
+    * Per vector: a = distance to its own (argmin, q105 tie rule)
+    * centroid, b = distance to the nearest OTHER centroid,
+    * `s = (b − a) / max(a, b)` — emitted as integer ppm so the
+    * per-cluster mean can roll up as an exact integer average.
+    *
+    * Determinism: squared distances are exact int64 sums; `sqrt` is
+    * IEEE-correctly-rounded on both engines, the ppm quantization is
+    * one shared round; the per-vector argmin reuses q105's packed
+    * (dist, cid) key, so labels are bit-identical to training.
+    *
+    * Scale shape: K-row broadcast cross join (the q105/q45 bounded
+    * pattern) + two bounded aggregates; no pairwise vector join.
+    */
+  val q200Silhouette: QueryDef = QueryDef.sql(
+    "q200_silhouette",
+    s"""$duckKmeansPrefix,
+       |d AS (SELECT q.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, len(qe)),
+       |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i]))) AS d2
+       |  FROM q CROSS JOIN c2 c),
+       |o AS (SELECT vec_id, arg_min(cid, d2 * $KmeansK + cid) AS cid,
+       |    CAST(min(d2) AS BIGINT) AS a2 FROM d GROUP BY vec_id),
+       |bb AS (SELECT d.vec_id, CAST(min(d.d2) AS BIGINT) AS b2
+       |  FROM d JOIN o ON o.vec_id = d.vec_id AND d.cid <> o.cid
+       |  GROUP BY d.vec_id)
+       |SELECT o.vec_id, o.cid,
+       |  CAST(round(CASE WHEN greatest(sqrt(CAST(bb.b2 AS DOUBLE)), sqrt(CAST(o.a2 AS DOUBLE))) = 0
+       |    THEN 0 ELSE (sqrt(CAST(bb.b2 AS DOUBLE)) - sqrt(CAST(o.a2 AS DOUBLE)))
+       |      / greatest(sqrt(CAST(bb.b2 AS DOUBLE)), sqrt(CAST(o.a2 AS DOUBLE))) * 1000000
+       |    END) AS BIGINT) AS sil_ppm
+       |FROM o JOIN bb ON bb.vec_id = o.vec_id
+       |ORDER BY o.vec_id""".stripMargin) { (spark, dir) =>
+    val q = kmeansQuantized(spark, dir)
+    val c2 = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
+      kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
+    val dist = aggregate(
+      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val d = q.crossJoin(broadcast(c2)).select(col("vec_id"), col("cid"), dist.as("d2"))
+      .persist()
+    val o = d.withColumn("key", col("d2") * KmeansK + col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), col("key")).as("cid"), min("d2").as("a2"))
+    val bb = d.join(o.select(col("vec_id"), col("cid").as("own")), Seq("vec_id"))
+      .filter(col("cid") =!= col("own"))
+      .groupBy("vec_id").agg(min("d2").as("b2"))
+    val sa = sqrt(col("a2").cast("double")); val sb = sqrt(col("b2").cast("double"))
+    o.join(bb, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"),
+        round(when(greatest(sb, sa) === 0, lit(0.0))
+          .otherwise((sb - sa) / greatest(sb, sa) * 1000000), 0)
+          .cast("long").as("sil_ppm"))
+      .orderBy("vec_id")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
@@ -671,7 +750,7 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK,
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK)

@@ -481,7 +481,44 @@ object TextOps {
     }
   }
 
+  /** q201: Simpson diversity (repeat-probability) of each source's
+    * token distribution — `D = Σ c·(c−1) / (n·(n−1))`, the
+    * probability two tokens drawn without replacement coincide.
+    * Low D = diverse vocabulary, high D = repetitive source — the
+    * concentration complement of q192's entropy (and exactly
+    * computable where entropy needs logs). Both moment sums are
+    * exact int64; D is one fixed-order double division, rounded
+    * once. Inverse Simpson (effective vocabulary size) rides along.
+    *
+    * Scale shape: one (source, token) hash aggregate with map-side
+    * combine, one per-source rollup — the q84 shape.
+    */
+  val q201SimpsonDiversity: QueryDef = QueryDef.sql(
+    "q201_simpson_diversity",
+    """WITH c AS (SELECT source, w, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY source, w),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep, count(*) AS n_vocab
+      |  FROM c GROUP BY source)
+      |SELECT source, n AS n_tokens, CAST(n_vocab AS BIGINT) AS n_vocab,
+      |  round(CAST(rep AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS simpson,
+      |  round((CAST(n AS DOUBLE) * (n - 1)) / rep, 6) AS inv_simpson
+      |FROM t WHERE n >= 2 AND rep > 0 ORDER BY source""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n"), sum(expr("c * (c - 1)")).as("rep"),
+        count(lit(1)).as("n_vocab"))
+      .filter(col("n") >= 2 && col("rep") > 0)
+      .select(col("source"), col("n").as("n_tokens"), col("n_vocab"),
+        round(expr("CAST(rep AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))"), 6).as("simpson"),
+        round(expr("(CAST(n AS DOUBLE) * (n - 1)) / rep"), 6).as("inv_simpson"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
-    q169TfidfDocsim, q178GopherRules, q179LangConfusion)
+    q169TfidfDocsim, q178GopherRules, q179LangConfusion, q201SimpsonDiversity)
 }

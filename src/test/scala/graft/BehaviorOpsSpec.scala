@@ -350,6 +350,44 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 silhouette: ppm scores stay in [-1e6, 1e6] and clusters cohere") {
+    val out = graft.operators.Similarity.q200Silhouette.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L))
+    // k-means labels on clustered embeddings: most points closer to
+    // their own centroid than to any other
+    assert(out.count(_.getLong(2) > 0) > out.length / 2)
+  }
+
+  test("q201 simpson: closed forms on planted vocabularies") {
+    val out = graft.operators.TextOps.q201SimpsonDiversity
+    // all-repeat source: D = 1; half-half source: D = 4/12
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_simpson").toString
+      Seq((1L, "x x x x", "en", "rep", 7L), (2L, "a a b b", "en", "mix", 7L),
+        (3L, "p q r s", "en", "uniq", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val got = out.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("rep") == ((1.0, 1.0)))
+    assert(got("mix") == ((0.333333, 3.0)))
+    assert(!got.contains("uniq")) // rep = 0: no repeat probability to report
+  }
+
+  test("q202 gini: equal values score 0, a single whale concentrates") {
+    val eq = Seq(("t", 5.0), ("t", 5.0), ("t", 5.0), ("t", 5.0)).toDF("k", "v")
+    assert(graft.operators.BehaviorOps.giniDf(eq, "k", "v")
+      .head().getLong(2) == 0L)
+    // values 0,0,0,x: numerator 3x, denominator 4x -> 750000 ppm
+    val whale = Seq(("t", 0.0), ("t", 0.0), ("t", 0.0), ("t", 8.0)).toDF("k", "v")
+    assert(graft.operators.BehaviorOps.giniDf(whale, "k", "v")
+      .head().getLong(2) == 750000L)
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
