@@ -1211,6 +1211,62 @@ object AuditOps {
     isotonicDf(b, "band", "n_docs", "n_dup").orderBy("band")
   }
 
+  // ------------------------------------------------------------------
+  // q204: expected calibration error of the quality score
+  // ------------------------------------------------------------------
+
+  /** q204: Expected Calibration Error of `quality_ppm` read as a
+    * predicted P(clean) — per quality band, the band's mean score
+    * (`confidence`) vs its observed clean rate (no duplicated span,
+    * q193's flag), and the corpus-level
+    * `ECE = Σ n_b·|acc_b − conf_b| / N`. The standard "is the score
+    * a probability or just a ranking?" audit that decides whether
+    * quality thresholds transfer across sources.
+    *
+    * Determinism: conf is a truncating integer mean of ppm scores,
+    * acc one integer division, the gap an integer |difference|, and
+    * the rollup an integer-weighted sum over the ≤11-row band
+    * relation — no floats anywhere.
+    *
+    * Scale shape: the q158/q193 band-histogram shape — one bounded
+    * aggregate; windows only over the band relation.
+    */
+  val q204Ece: QueryDef = QueryDef.sql(
+    "q204_ece",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |sp AS (SELECT doc_id, md5(unnest(list_transform(
+       |    generate_series(1, len(ws) - ${graft.operators.PipelineOps.SpanWords - 1}),
+       |    i -> array_to_string(ws[i:i+${graft.operators.PipelineOps.SpanWords - 1}], ' ')))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |g AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dd AS (SELECT DISTINCT sp.doc_id FROM sp JOIN g USING (h)),
+       |b AS (SELECT q.quality_ppm // 100000 AS band, count(*) AS n,
+       |    CAST(sum(q.quality_ppm) AS BIGINT) AS sq,
+       |    CAST(sum(CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |  FROM qq q LEFT JOIN dd ON q.doc_id = dd.doc_id GROUP BY band),
+       |e AS (SELECT band, n, sq // n AS conf_ppm, 1000000 * n_clean // n AS acc_ppm FROM b)
+       |SELECT band, CAST(n AS BIGINT) AS n_docs, conf_ppm, acc_ppm,
+       |  abs(acc_ppm - conf_ppm) AS gap_ppm,
+       |  CAST(sum(n * abs(acc_ppm - conf_ppm)) OVER () // sum(n) OVER () AS BIGINT) AS ece_ppm
+       |FROM e ORDER BY band""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val dd = graft.operators.PipelineOps.boilerplateDf(d)
+      .filter(col("n_dup") > 0).select(col("doc_id"), lit(true).as("is_dup"))
+    val e = graft.operators.TextOps.withQuality(d)
+      .select(col("doc_id"), col("quality_ppm"))
+      .join(dd, Seq("doc_id"), "left")
+      .groupBy(expr("quality_ppm div 100000").as("band"))
+      .agg(count(lit(1)).as("n"), sum("quality_ppm").as("sq"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("conf_ppm", expr("sq div n"))
+      .withColumn("acc_ppm", expr("1000000L * n_clean div n"))
+    e.select(col("band"), col("n").as("n_docs"), col("conf_ppm"), col("acc_ppm"),
+        abs(col("acc_ppm") - col("conf_ppm")).as("gap_ppm"))
+      .withColumn("ece_ppm",
+        expr("CAST(sum(n_docs * gap_ppm) OVER () div sum(n_docs) OVER () AS BIGINT)"))
+      .orderBy("band")
+  }
+
   /** The q193 PAVA fit as a reusable stage over any ordered
     * (bucket, weight, hits) histogram: appends `dup_ppm_raw` and the
     * antitonic `dup_ppm_iso`. All joins are over the bucket histogram
@@ -1242,5 +1298,5 @@ object AuditOps {
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
     q164SlidingWau, q166RfmSegments, q167BurstDetect, q172WilsonRank,
     q173ConversionLatency, q174RendezvousShards, q175HllCalibration,
-    q176DecayedLtv, q189ChiSquare, q191OlsFit, q193IsotonicCal)
+    q176DecayedLtv, q189ChiSquare, q191OlsFit, q193IsotonicCal, q204Ece)
 }

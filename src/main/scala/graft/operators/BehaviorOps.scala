@@ -388,6 +388,51 @@ object BehaviorOps {
                 END""").as("gini_ppm"))
   }
 
+  // ---------------------------------------------------------------------
+  // q205: association rules over consecutive event pairs
+  // ---------------------------------------------------------------------
+
+  /** q205: association-rule mining over consecutive event pairs —
+    * q106's raw transition counts upgraded to the market-basket
+    * triple: `support = n_ij/N`, `confidence = n_ij/n_i·`,
+    * `lift = n_ij·N/(n_i··n_·j)` in exact integer ppm (lift > 1e6 =
+    * the pair co-occurs beyond independence; q150's text-bigram lift
+    * for behavior). Margins are window sums over the
+    * |event_type|²-bounded pair relation; each metric is one integer
+    * division (`n·N ≤ 2^63` bound documented; a 10^12-pair run
+    * pre-divides by 1000 on both sides).
+    */
+  val q205AssocRules: QueryDef = QueryDef.sql(
+    "q205_assoc_rules",
+    s"""$S, pr AS (SELECT event_type AS from_type,
+       |    lead(event_type) OVER ($OW) AS to_type FROM s),
+       |cn AS (SELECT from_type, to_type, count(*) AS n FROM pr
+       |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+       |m AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS nf,
+       |    CAST(sum(n) OVER (PARTITION BY to_type) AS BIGINT) AS nt,
+       |    CAST(sum(n) OVER () AS BIGINT) AS nn FROM cn)
+       |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       |  1000000 * n // nn AS support_ppm,
+       |  1000000 * n // nf AS confidence_ppm,
+       |  1000000 * n * nn // (nf * nt) AS lift_ppm
+       |FROM m ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val cn = Tables.seriesNorm(spark, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(ow).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    cn.withColumn("nf", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("nt", sum("n").over(Window.partitionBy("to_type")))
+      .withColumn("nn", sum("n").over(Window.partitionBy()))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("1000000L * n div nn").as("support_ppm"),
+        expr("1000000L * n div nf").as("confidence_ppm"),
+        expr("1000000L * n * nn div (nf * nt)").as("lift_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
-    q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration)
+    q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
+    q205AssocRules)
 }

@@ -710,6 +710,79 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q203: quantile normalization of the quality score across
+    * sources — each document's score is replaced by the POOLED
+    * distribution's value at the document's within-source
+    * percentile, the batch-effect correction that makes one quality
+    * bar comparable across differently-scored sources (the
+    * bioinformatics quantile-normalize, applied to corpus curation).
+    *
+    * Determinism: the within-source percentile is PercentRank's
+    * exact `(rank−1)/(n−1)` (computed histogram-side, q107), the
+    * pooled lookup replays q108's bracketing interpolation on the
+    * global value histogram — every input integer-exact, every
+    * double expression fixed-order, one shared round.
+    *
+    * Scale shape: per-source ranks come from the bounded
+    * (source, ppm) histogram (q107 — no per-source row sort); the
+    * pooled histogram is value-domain-bounded and BROADCAST to the
+    * doc scan for the two bracket lookups, so the doc side never
+    * shuffles beyond the rank join.
+    */
+  val q203QuantileNormalize: QueryDef = QueryDef.sql(
+    "q203_quantile_normalize",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT q.doc_id, dd.source, CAST(q.quality_ppm AS BIGINT) AS qp
+       |  FROM qq q JOIN documents dd ON q.doc_id = dd.doc_id),
+       |r AS (SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY qp) AS p FROM d),
+       |g AS (SELECT qp AS v, count(*) AS c FROM d GROUP BY qp),
+       |gc AS (SELECT *, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS ng FROM g),
+       |x AS (SELECT r.*, r.p * ((SELECT max(ng) FROM gc) - 1) AS pos FROM r),
+       |lo AS (SELECT x.doc_id, gc.v AS vlo FROM x JOIN gc
+       |  ON gc.cum - gc.c <= floor(x.pos) AND floor(x.pos) < gc.cum),
+       |hi AS (SELECT x.doc_id, gc.v AS vhi FROM x JOIN gc
+       |  ON gc.cum - gc.c <= ceil(x.pos) AND ceil(x.pos) < gc.cum)
+       |SELECT x.doc_id, x.source, x.qp AS quality_ppm,
+       |  round(CASE WHEN floor(x.pos) = ceil(x.pos) OR lo.vlo = hi.vhi
+       |    THEN CAST(lo.vlo AS DOUBLE)
+       |    ELSE (ceil(x.pos) - x.pos) * lo.vlo + (x.pos - floor(x.pos)) * hi.vhi
+       |    END, 6) AS qnorm
+       |FROM x JOIN lo USING (doc_id) JOIN hi USING (doc_id)
+       |ORDER BY x.doc_id""".stripMargin) { (spark, dir) =>
+    val d = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("source"), col("quality_ppm").cast("long").as("qp"))
+    // within-source percent_rank off the bounded histogram (q107)
+    val sw = Window.partitionBy("source").orderBy("qp")
+    val ranks = d.groupBy("source", "qp").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank0", coalesce(
+        sum("cnt").over(sw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ns", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("p", when(col("ns") > 1,
+        col("rank0").cast("double") / (col("ns") - 1).cast("double")).otherwise(lit(0.0)))
+      .select("source", "qp", "p")
+    // pooled histogram with bracketing rows (q108)
+    val gc = d.groupBy(col("qp").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("v")))
+      .withColumn("ng", sum("c").over(Window.partitionBy()))
+    val x = d.join(broadcast(ranks), Seq("source", "qp"))
+      .crossJoin(broadcast(gc.agg(max("ng").as("ngv"))))
+      .withColumn("pos", col("p") * (col("ngv") - 1))
+    val lo = broadcast(gc.select(col("v").as("vlo"), col("cum"), col("c")))
+    val hi = broadcast(gc.select(col("v").as("vhi"),
+      col("cum").as("cum2"), col("c").as("c2")))
+    x.join(lo, col("cum") - col("c") <= floor(col("pos")) &&
+        floor(col("pos")) < col("cum"))
+      .join(hi, col("cum2") - col("c2") <= ceil(col("pos")) &&
+        ceil(col("pos")) < col("cum2"))
+      .select(col("doc_id"), col("source"), col("qp").as("quality_ppm"),
+        round(when(floor(col("pos")) === ceil(col("pos")) || col("vlo") === col("vhi"),
+            col("vlo").cast("double"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("vlo") +
+            (col("pos") - floor(col("pos"))) * col("vhi")), 6).as("qnorm"))
+      .orderBy("doc_id")
+  }
+
   /** Inter-arrival statistics per event type: milli-quantized gaps
     * between a user's consecutive same-type events, rolled up to
     * exact-integer mean and exact (interpolated) p50/p90 per type —
@@ -1077,5 +1150,5 @@ object PipelineOps {
     q107QualityRank, q108Interarrival, q109LengthHist,
     q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,
     q141FeatureHash, q144Profile, q145SplitLeakage, q146FitApply,
-    q184BoilerplatePpm, q188RrfFusion)
+    q184BoilerplatePpm, q188RrfFusion, q203QuantileNormalize)
 }

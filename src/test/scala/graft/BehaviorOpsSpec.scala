@@ -388,6 +388,51 @@ class BehaviorOpsSpec extends AnyFunSuite {
       .head().getLong(2) == 750000L)
   }
 
+  test("q203 quantile normalize: pooled-range bound and within-source monotonicity") {
+    val out = graft.operators.PipelineOps.q203QuantileNormalize
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val (qmin, qmax) = (out.map(_._2).min.toDouble, out.map(_._2).max.toDouble)
+    assert(out.forall(r => r._3 >= qmin && r._3 <= qmax))
+    out.groupBy(_._1).values.foreach { src =>
+      val sorted = src.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3 <= b._3, s"qnorm not monotone in qp for ${a._1}")
+      }
+    }
+  }
+
+  test("q204 ece: the rollup reproduces from its own band rows") {
+    val rows = graft.operators.AuditOps.q204Ece.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val weighted = rows.map(r => r.getLong(1) * r.getLong(4)).sum
+    rows.foreach { r =>
+      assert(r.getLong(4) == math.abs(r.getLong(3) - r.getLong(2)))
+      assert(r.getLong(5) == weighted / n)
+    }
+  }
+
+  test("q205 assoc rules: margins close and lift reproduces from counts") {
+    val rows = graft.operators.BehaviorOps.q205AssocRules
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 25)
+    val nn = rows.map(_.getLong(2)).sum
+    // support floors lose < 1 ppm per rule
+    val supportSum = rows.map(_.getLong(3)).sum
+    assert(supportSum <= 1000000L && supportSum > 1000000L - rows.length)
+    // per-rule lift recomputed from the margins
+    val nf = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val nt = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { r =>
+      val exp = 1000000L * r.getLong(2) * nn / (nf(r.getString(0)) * nt(r.getString(1)))
+      assert(r.getLong(5) == exp)
+      assert(r.getLong(4) == 1000000L * r.getLong(2) / nf(r.getString(0)))
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))

@@ -138,7 +138,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q170_power_iteration", // 1-row 64-value vector broadcast per iteration
       "q193_isotonic_cal", // ≤11-row band-histogram interval theta joins (PAVA min-max)
       "q199_welch_ttest", // |event_type|-row moment-relation pair self-join
-      "q200_silhouette") // K-row centroid broadcast cross join (q105's pattern)
+      "q200_silhouette", // K-row centroid broadcast cross join (q105's pattern)
+      "q203_quantile_normalize") // bounded pooled-histogram broadcast bracket joins
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
