@@ -432,7 +432,204 @@ object BehaviorOps {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q206: Markov removal-effect attribution
+  // ---------------------------------------------------------------------
+
+  /** Absorption-probability iterations for q206 — fixed like
+    * [[MarkovIters]] so the oracle replays them as a CTE chain.
+    */
+  val AttributionIters = 16
+
+  /** q206: Markov-chain attribution with removal effects (Anderl et
+    * al. 2014) — the multi-touch upgrade of q161's last-touch rule.
+    * Sessions (12 h gap) become state paths `__start__ → e₁ → … `
+    * truncated at the first `purchase` (the converting absorber; a
+    * session ending without one absorbs to null). For the BASE chain
+    * and one REMOVAL chain per channel (transitions touching the
+    * channel dropped — they fall into the null absorber, the
+    * standard no-renormalization form), the conversion probability
+    * from `__start__` is computed by [[AttributionIters]] integer
+    * value-iteration steps `v'(s) = p(s,conv) + Σ p(s,t)·v(t) div
+    * 1e6` in ppm; `removal_ppm = 1e6·(base − removed) div base` is
+    * the channel's share of conversions it alone enables.
+    *
+    * Scale shape: ONE bounded aggregate builds the ≤(K+1)² ppm
+    * matrix; the 5 chains × 16 steps iterate over the collected
+    * matrix on the driver (value-domain-bounded, q181's pattern).
+    */
+  val q206MarkovAttribution: QueryDef = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chainCtes(tag: String, removed: Option[String]): Seq[String] = {
+      val filt = removed.map(c => s"WHERE from_type <> '$c' AND to_type <> '$c'")
+        .getOrElse("")
+      val tr = s"tr_$tag"
+      // every CTE is MATERIALIZED: DuckDB inlines single-reference
+      // CTEs, and inlining a 16-step chain re-evaluates the whole
+      // prefix per step (the KernelOracles lesson)
+      val head =
+        s"""$tr AS MATERIALIZED (SELECT * FROM tr $filt),
+           |v${tag}0 AS MATERIALIZED (SELECT from_type AS s, CAST(0 AS BIGINT) AS v
+           |  FROM $tr GROUP BY from_type)""".stripMargin
+      val steps = (1 to AttributionIters).map { i =>
+        s"""v$tag$i AS MATERIALIZED (SELECT t.from_type AS s, CAST(
+           |    coalesce(sum(CASE WHEN t.to_type = 'purchase' THEN CAST(t.p_ppm AS BIGINT)
+           |      ELSE t.p_ppm * v.v // 1000000 END), 0) AS BIGINT) AS v
+           |  FROM $tr t LEFT JOIN v$tag${i - 1} v ON v.s = t.to_type
+           |  GROUP BY t.from_type)""".stripMargin
+      }
+      head +: steps
+    }
+    val base = chainCtes("b", None)
+    val rem = channels.zipWithIndex.flatMap { case (c, i) => chainCtes(s"r$i", Some(c)) }
+    val remSelects = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT v FROM vb$AttributionIters WHERE s = '__start__') AS base_ppm,
+         |  coalesce((SELECT v FROM vr$i$AttributionIters WHERE s = '__start__'), 0) AS removed_ppm""".stripMargin
+    }
+    QueryDef.sql(
+      "q206_markov_attribution",
+      s"""$S, g AS (SELECT *, CASE WHEN lag(tn) OVER ($OW) IS NULL
+         |    OR tn - lag(tn) OVER ($OW) > 43200.0 THEN 1 ELSE 0 END AS brk FROM s),
+         |x AS (SELECT *, CAST(sum(brk) OVER ($OW ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS BIGINT) AS sid FROM g),
+         |-- truncate each session at its first purchase (inclusive)
+         |fp AS (SELECT user_id, sid, min(tn) AS conv_tn FROM x
+         |  WHERE event_type = 'purchase' GROUP BY user_id, sid),
+         |y AS (SELECT x.* FROM x LEFT JOIN fp ON fp.user_id = x.user_id AND fp.sid = x.sid
+         |  WHERE fp.conv_tn IS NULL OR x.tn <= fp.conv_tn),
+         |p AS (SELECT user_id, sid, event_type,
+         |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY tn, event_id)
+         |      IS NULL THEN '__start__'
+         |      ELSE lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY tn, event_id)
+         |    END AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY tn, event_id) AS nxt
+         |  FROM y),
+         |ed AS (SELECT from_type, event_type AS to_type FROM p
+         |  UNION ALL
+         |  SELECT event_type, '__null__' FROM p
+         |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+         |cn AS (SELECT from_type, to_type, count(*) AS n FROM ed
+         |  WHERE from_type <> 'purchase' GROUP BY from_type, to_type),
+         |tr AS MATERIALIZED (SELECT from_type, to_type,
+         |    1000000 * n // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+         |  FROM cn),
+         |${(base ++ rem).mkString(",\n")}
+         |SELECT channel, CAST(base_ppm AS BIGINT) AS base_ppm,
+         |  CAST(removed_ppm AS BIGINT) AS removed_ppm,
+         |  CAST(CASE WHEN base_ppm = 0 THEN 0
+         |    ELSE 1000000 * (base_ppm - removed_ppm) // base_ppm END AS BIGINT) AS removal_ppm
+         |FROM (${remSelects.mkString("\nUNION ALL\n")})
+         |ORDER BY channel""".stripMargin) { (spark, dir) =>
+      markovAttributionDf(spark, Tables.seriesNorm(spark, dir), channels)
+        .orderBy("channel")
+    }
+  }
+
+  /** The q206 computation: bounded transition aggregate, then 5
+    * chains × [[AttributionIters]] integer value-iteration steps on
+    * the collected ≤(K+2)² matrix.
+    */
+  def markovAttributionDf(spark: SparkSession, series: DataFrame,
+      channels: Seq[String]): DataFrame = {
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val lagT = lag(col("tn"), 1).over(ow)
+    val x = series
+      .withColumn("brk", when(lagT.isNull || col("tn") - lagT > 43200.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(ow.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val fp = x.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "sid").agg(min("tn").as("conv_tn"))
+    val y = x.join(fp, Seq("user_id", "sid"), "left")
+      .filter(col("conv_tn").isNull || col("tn") <= col("conv_tn"))
+    val sw = Window.partitionBy("user_id", "sid").orderBy("tn", "event_id")
+    val p = y.select(col("event_type"),
+      coalesce(lag(col("event_type"), 1).over(sw), lit("__start__")).as("from_type"),
+      lead(col("event_type"), 1).over(sw).as("nxt"))
+    val ed = p.select(col("from_type"), col("event_type").as("to_type"))
+      .union(p.filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("from_type"), lit("__null__").as("to_type")))
+    val tr = ed.filter(col("from_type") =!= "purchase")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("1000000L * n div sum(n) over (partition by from_type)"))
+      .select("from_type", "to_type", "p_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def absorb(removed: Option[String]): Long = {
+      val t = removed.map(c => tr.filter(e => e._1 != c && e._2 != c)).getOrElse(tr)
+      val states = t.map(_._1).distinct
+      var v: Map[String, Long] = states.map(_ -> 0L).toMap
+      (1 to AttributionIters).foreach { _ =>
+        v = t.groupBy(_._1).map { case (s, es) =>
+          s -> es.map { case (_, to, ppm) =>
+            if (to == "purchase") ppm else ppm * v.getOrElse(to, 0L) / 1000000L
+          }.sum
+        }
+      }
+      v.getOrElse("__start__", 0L)
+    }
+    val basePpm = absorb(None)
+    val rows = channels.map { c =>
+      val r = absorb(Some(c))
+      val removal = if (basePpm == 0) 0L else 1000000L * (basePpm - r) / basePpm
+      (c, basePpm, r, removal)
+    }
+    import spark.implicits._
+    rows.toDF("channel", "base_ppm", "removed_ppm", "removal_ppm")
+  }
+
+  // ---------------------------------------------------------------------
+  // q207: SCD type-2 state history
+  // ---------------------------------------------------------------------
+
+  /** q207: slowly-changing-dimension (type 2) history of each user's
+    * event-type "state": consecutive same-type runs collapse into
+    * versioned validity intervals `[valid_from, valid_to)` with the
+    * open current version flagged — the warehouse-standard
+    * point-in-time dimension built straight from the event stream
+    * (the gaps-and-islands change detector, q31's sibling, applied
+    * to dimension maintenance instead of spike runs).
+    *
+    * Determinism: versions are integer prefix sums of change flags;
+    * interval bounds are pass-through `tn` doubles (exact µs-derived
+    * values, never re-aggregated).
+    *
+    * Scale shape: one series shuffle; the second window runs over
+    * the RUN relation (one row per state change), not the raw rows.
+    */
+  val q207Scd2History: QueryDef = QueryDef.sql(
+    "q207_scd2_history",
+    s"""$S, g AS (SELECT *, CASE WHEN lag(event_type) OVER ($OW) IS NULL
+       |    OR lag(event_type) OVER ($OW) <> event_type THEN 1 ELSE 0 END AS chg FROM s),
+       |v AS (SELECT *, CAST(sum(chg) OVER ($OW ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS version FROM g),
+       |r AS (SELECT user_id, version, event_type AS state,
+       |    min(tn) AS valid_from, count(*) AS n_events
+       |  FROM v GROUP BY user_id, version, event_type)
+       |SELECT user_id, version, state, valid_from,
+       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current,
+       |  CAST(n_events AS BIGINT) AS n_events
+       |FROM r ORDER BY user_id, version""".stripMargin) { (spark, dir) =>
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val lagType = lag(col("event_type"), 1).over(ow)
+    val r = Tables.seriesNorm(spark, dir)
+      .withColumn("chg",
+        when(lagType.isNull || lagType =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version",
+        sum("chg").over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+      .agg(min("tn").as("valid_from"), count(lit(1)).as("n_events"))
+    val vw = Window.partitionBy("user_id").orderBy("version")
+    r.select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        lead(col("valid_from"), 1).over(vw).as("valid_to"),
+        lead(col("valid_from"), 1).over(vw).isNull.as("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
-    q205AssocRules)
+    q205AssocRules, q206MarkovAttribution, q207Scd2History)
 }

@@ -433,6 +433,62 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q206 attribution: a mandatory channel owns 100% removal effect") {
+    // every conversion path is __start__ -> click -> purchase, so
+    // removing click kills all conversions
+    val rows = Seq((1L, 0L, 0.0, 1.0, "click"), (1L, 1L, 1.0, 1.0, "purchase"),
+      (2L, 2L, 0.0, 1.0, "click"), (2L, 3L, 1.0, 1.0, "purchase"))
+    val got = graft.operators.BehaviorOps
+      .markovAttributionDf(spark, seriesDf(rows), Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got("click") == ((1000000L, 1000000L)))
+    assert(got("view")._2 == 0L) // absent channel removes nothing
+  }
+
+  test("q206 attribution on real data: effects within [0, 1e6], shared base") {
+    val rows = graft.operators.BehaviorOps.q206MarkovAttribution
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).distinct.length == 1) // one base probability
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(r.getLong(2) <= r.getLong(1)) // removing a channel never helps
+    }
+  }
+
+  test("q207 scd2: versions chain and only the last is open") {
+    val rows = Seq((1L, 0L, 0.0, 1.0, "A"), (1L, 1L, 1.0, 1.0, "A"),
+      (1L, 2L, 2.0, 1.0, "B"), (1L, 3L, 3.0, 1.0, "A"))
+    val dirDf = seriesDf(rows)
+    // replicate through the declared query path on real data; planted
+    // path goes through the same windows inline
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    val lagType = lag(col("event_type"), 1).over(ow)
+    val r = dirDf
+      .withColumn("chg", when(lagType.isNull || lagType =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum("chg").over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+      .agg(min("tn").as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("version")))
+      .orderBy("version")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3),
+        Option(r.get(5)).map(_.asInstanceOf[Double]), r.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "A", 0.0, Some(2.0), 2L),
+      (2L, "B", 2.0, Some(3.0), 1L),
+      (3L, "A", 3.0, None, 1L)))
+    // real data: contiguous versions, exactly one open interval per user
+    val real = graft.operators.BehaviorOps.q207Scd2History
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    real.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.count(_.getBoolean(5)) == 1)
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
