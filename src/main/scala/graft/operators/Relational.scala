@@ -315,8 +315,75 @@ object Relational {
       .orderBy("name_a", "name_b")
   }
 
+  /** q209: entity-resolution clusters — q195's pairwise matches
+    * closed under transitivity ("a~b, b~c ⇒ one entity") by
+    * min-label-propagation connected components over the name graph,
+    * with the instance count each resolved entity stands for. The
+    * canonical-name pick (the cluster's lexicographic minimum) is
+    * what a dedup pass would rewrite records to. The oracle replays
+    * the closure with DuckDB's recursive-UNION walk (the q70
+    * pattern); the Spark loop iterates min-label joins to an exact
+    * fixpoint (labels only decrease, so an unchanged round is
+    * terminal — same contract as q183's monotone peel).
+    *
+    * Scale shape: per round one shuffle join + min aggregate on the
+    * ENTITY relation (names, not instances); rounds = cluster
+    * diameter (tiny for typo clusters).
+    */
+  val q209LinkageClusters: QueryDef = QueryDef.sql(
+    "q209_linkage_clusters",
+    """WITH RECURSIVE n AS (SELECT p_name, count(*) AS n_parts,
+      |    string_split(p_name, ' ')[1] AS blk FROM part GROUP BY p_name),
+      |prs AS (SELECT a.p_name AS na, b.p_name AS nb
+      |  FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |nodes AS (SELECT na AS d FROM prs UNION SELECT nb FROM prs),
+      |edges AS (SELECT na AS a, nb AS b FROM prs UNION ALL SELECT nb, na FROM prs),
+      |walk(d, r) AS (
+      |  SELECT d, d FROM nodes
+      |  UNION
+      |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d),
+      |c AS (SELECT d AS name, min(r) AS canonical FROM walk GROUP BY d)
+      |SELECT c.name, c.canonical, CAST(n.n_parts AS BIGINT) AS n_parts,
+      |  CAST(sum(n.n_parts) OVER (PARTITION BY c.canonical) AS BIGINT) AS cluster_parts
+      |FROM c JOIN n ON n.p_name = c.name
+      |ORDER BY c.canonical, c.name""".stripMargin) { (spark, dir) =>
+    val n = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = n.select(col("p_name").as("na"), col("blk"))
+    val b = n.select(col("p_name").as("nb"), col("blk"))
+    val prs = a.join(b, Seq("blk"))
+      .filter(col("na") < col("nb") &&
+        levenshtein(col("na"), col("nb")) <= 3)
+      .select("na", "nb").persist()
+    val edges = prs.select(col("na").as("a"), col("nb").as("b"))
+      .unionAll(prs.select(col("nb").as("a"), col("na").as("b"))).persist()
+    var labels = prs.select(col("na").as("d")).unionAll(prs.select(col("nb").as("d")))
+      .distinct().withColumn("lab", col("d")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val step = labels
+        .unionAll(edges.join(labels, edges("a") === labels("d"))
+          .select(col("b").as("d"), col("lab")))
+        .groupBy("d").agg(min("lab").as("lab")).persist()
+      changed = step.join(labels.withColumnRenamed("lab", "old"), Seq("d"))
+        .filter(col("lab") =!= col("old")).count()
+      labels = step
+      rounds += 1
+    }
+    labels.select(col("d").as("name"), col("lab").as("canonical"))
+      .join(n.select(col("p_name").as("name"), col("n_parts")), Seq("name"))
+      .withColumn("cluster_parts",
+        sum("n_parts").over(org.apache.spark.sql.expressions.Window.partitionBy("canonical")))
+      .select("name", "canonical", "n_parts", "cluster_parts")
+      .orderBy("canonical", "name")
+  }
+
   val all: Seq[QueryDef] = Seq(q06SetOps, q07SaltedAgg,
     q01PricingSummary, q02RevenueByNation, q03TopCustomers,
     q04SupplierRank, q05CustomersNoOrders,
-    q118MixtureRollup, q119LangPivot, q120LengthNtile, q195FuzzyMatch)
+    q118MixtureRollup, q119LangPivot, q120LengthNtile, q195FuzzyMatch,
+    q209LinkageClusters)
 }

@@ -518,7 +518,54 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q210: Zipf rank-frequency fit — is the vocabulary's rank-
+    * frequency curve the power law a natural corpus shows (slope
+    * ≈ −1 on log-log), or the flat profile of templated/synthetic
+    * text? Both axes are integer floor-log2 (bit-length — the q163
+    * trick, no libm), the rank is 1 + words-with-strictly-greater
+    * count read off the bounded COUNT histogram (q107 — no global
+    * vocab sort), and the fit is q191's exact-moment OLS. One row:
+    * n_words, slope, intercept, R².
+    */
+  val q210ZipfFit: QueryDef = QueryDef.sql(
+    "q210_zipf_fit",
+    """WITH v AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |r AS (SELECT c, rank() OVER (ORDER BY c DESC) AS rk FROM v),
+      |xy AS (SELECT length(printf('%b', rk)) - 1 AS x,
+      |    length(printf('%b', c)) - 1 AS y FROM r),
+      |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM xy),
+      |e AS (SELECT n, sx, sy,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_words,
+      |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
+      |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
+      |  round(CASE WHEN b <> 0 AND c <> 0 THEN a * a / (b * c) END, 6) AS r2
+      |FROM e""".stripMargin) { (spark, dir) =>
+    val v = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // rank off the bounded count histogram: 1 + words with greater c
+    val h = v.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val hw = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = h.withColumn("rk", coalesce(sum("cnt").over(hw), lit(0L)) + 1L)
+      .select("c", "rk")
+    val xy = v.join(broadcast(ranks), Seq("c"))
+      .select((length(bin(col("rk"))) - 1).cast("long").as("x"),
+        (length(bin(col("c"))) - 1).cast("long").as("y"),
+        lit("zipf").as("k"))
+    graft.operators.AuditOps.olsFitDf(xy, "k", "x", "y")
+      .select(col("n").as("n_words"), col("slope"), col("intercept"), col("r2"))
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
-    q169TfidfDocsim, q178GopherRules, q179LangConfusion, q201SimpsonDiversity)
+    q169TfidfDocsim, q178GopherRules, q179LangConfusion, q201SimpsonDiversity,
+    q210ZipfFit)
 }

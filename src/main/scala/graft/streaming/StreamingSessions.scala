@@ -688,7 +688,102 @@ object StreamingSessions {
       .orderBy("user_id", "event_id")
   }
 
+  // ---- streaming SCD type-2: dimension maintenance at ingest ----
+
+  final case class Scd2Row(user_id: Long, version: Long, state: String,
+      valid_from: Double, valid_to: Option[Double], is_current: Boolean,
+      n_events: Long)
+
+  /** Carried state: the tn origin, the OPEN run (version, state,
+    * start, event count) — the only mutable interval — and the
+    * late-data frontier. Closed intervals are immutable once
+    * emitted, so state stays O(1) per user while history grows.
+    */
+  final case class Scd2State(t0: Double, version: Long, state: String,
+      validFrom: Double, nEvents: Long, frontier: Double)
+
+  /** Per-key batch handler for q207's SCD2 semantics at ingest: a
+    * same-state event extends the open run; a state change closes it
+    * (emits the finished interval, valid_to = the new run's start)
+    * and opens the next version. Every batch ALSO re-emits the open
+    * run (valid_to null, is_current) — the upsert contract (latest
+    * (user, version) row wins) replaces it when a later batch closes
+    * it. A single-batch run therefore equals the batch query
+    * row-for-row and shares q207's oracle.
+    */
+  private def scd2Step(userId: Long, rows: Iterator[Row],
+      state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), r.getAs[Long]("event_id"),
+      r.getAs[String]("event_type"))).toArray.sortBy(e => (e._1, e._2))
+    if (evs.isEmpty) return Iterator.empty
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
+    var cur = prior
+    var frontier = prior.map(_.frontier).getOrElse(Double.NegativeInfinity)
+    val out = Vector.newBuilder[Scd2Row]
+    evs.foreach { case (t, _, tpe) =>
+      val tn = t - t0
+      if (cur.isDefined && tn < frontier) {
+        // late: older than the carried frontier — drop, never rewind
+      } else {
+        cur match {
+          case Some(s) if s.state == tpe =>
+            cur = Some(s.copy(nEvents = s.nEvents + 1, frontier = tn))
+          case Some(s) =>
+            out += Scd2Row(userId, s.version, s.state, s.validFrom,
+              Some(tn), is_current = false, s.nEvents)
+            cur = Some(Scd2State(s.t0, s.version + 1, tpe, tn, 1L, tn))
+          case None =>
+            cur = Some(Scd2State(t0, 1L, tpe, tn, 1L, tn))
+        }
+        frontier = tn
+      }
+    }
+    val open = cur.get
+    state.update(open.copy(frontier = frontier))
+    out += Scd2Row(userId, open.version, open.state, open.validFrom,
+      None, is_current = true, open.nEvents)
+    out.result().iterator
+  }
+
+  def scd2Stream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[Scd2Row] = {
+    import spark.implicits._
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .selectExpr("user_id", "event_id",
+        "cast(ts div 1000 as double) / 1e6 as t", "event_type")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(scd2Step)
+  }
+
+  def runScd2(spark: SparkSession, dir: String,
+      sinkName: String = "stream_scd2"): DataFrame = withStateShuffle(spark, 8) {
+    val q = scd2Stream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming twin of q207 — a single-batch run's emissions equal
+    * the batch history exactly, so it shares q207's oracle.
+    */
+  val q208StreamScd2: graft.QueryDef = graft.QueryDef.sql(
+    "q208_stream_scd2",
+    graft.operators.BehaviorOps.q207Scd2History.oracle.get) { (spark, dir) =>
+    runScd2(spark, dir)
+      .select("user_id", "version", "state", "valid_from", "valid_to",
+        "is_current", "n_events")
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[graft.QueryDef] = Seq(q60StreamSessionize, q64StreamWindowed,
     q73StreamDedup, q79StreamMixture, q83StreamContamination, q85StreamJoin,
-    q104StreamFunnel, q117StreamEwma, q186StreamKalman)
+    q104StreamFunnel, q117StreamEwma, q186StreamKalman, q208StreamScd2)
 }

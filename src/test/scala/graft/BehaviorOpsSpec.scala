@@ -489,6 +489,31 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 linkage clusters: transitive closure and canonical accounting") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Relational.q195FuzzyMatch.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val clusters = graft.operators.Relational.q209LinkageClusters.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+    val canon = clusters.map { case (n, (c, _, _)) => n -> c }.toMap
+    // every matched pair resolved to one entity
+    pairs.foreach { case (a, b) => assert(canon(a) == canon(b), s"$a / $b split") }
+    // canonical is the cluster's lexicographic minimum; parts sum up
+    clusters.groupBy(_._2._1).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c)
+      val total = members.map(_._2._2).sum
+      members.foreach { case (_, (_, _, cp)) => assert(cp == total) }
+    }
+  }
+
+  test("q210 zipf: natural-ish corpus fits a negative log-log slope") {
+    val row = graft.operators.TextOps.q210ZipfFit.fn(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(row.getLong(0) > 0)
+    assert(row.getDouble(1) < 0.0) // frequency falls with rank
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))

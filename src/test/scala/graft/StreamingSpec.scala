@@ -257,6 +257,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.toMap == batch)
   }
 
+  test("scd2 stream: two-batch upsert equals the batch history") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val upserted = mutable.LinkedHashMap[(Long, Long), StreamingSessions.Scd2Row]()
+    var batches = 0
+    val q = StreamingSessions
+      .scd2Stream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSessions.Scd2Row], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted((r.user_id, r.version)) = r)
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2)
+    val batch = graft.operators.BehaviorOps.q207Scd2History.fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getBoolean(5), r.getLong(6)))
+      .toMap
+    assert(upserted.size == batch.size,
+      s"stream holds ${upserted.size} intervals, batch has ${batch.size}")
+    upserted.foreach { case (k, r) =>
+      val b = batch(k)
+      assert((r.state, r.valid_from, r.valid_to, r.is_current, r.n_events) == b,
+        s"scd2 diverged at $k: stream $r vs batch $b")
+    }
+  }
+
   test("stream as-of: a two-batch replay equals the single-batch result") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Tables.events(spark, dir)
