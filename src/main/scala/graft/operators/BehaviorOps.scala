@@ -362,12 +362,16 @@ object BehaviorOps {
        |p AS (SELECT *,
        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc,
-       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h)
-       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       |  CAST(CASE WHEN sum(v * c) = 0 THEN 0
-       |    ELSE 1000000 * sum(v * c * (2 * pc + c - n)) // (max(n) * sum(v * c))
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+       |g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    CAST(sum(v * c * (2 * pc + c - n)) AS BIGINT) AS num,
+       |    CAST(sum(v * c) AS BIGINT) AS sv
+       |  FROM p GROUP BY event_type)
+       |SELECT event_type, n,
+       |  CAST(CASE WHEN sv = 0 THEN 0
+       |    ELSE round(1000000.0 * num / (CAST(n AS DOUBLE) * sv))
        |    END AS BIGINT) AS gini_ppm
-       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+       |FROM g ORDER BY event_type""".stripMargin) { (spark, dir) =>
     giniDf(Tables.series(spark, dir), "event_type", "value").orderBy("event_type")
   }
 
@@ -382,10 +386,17 @@ object BehaviorOps {
     h.withColumn("pc", coalesce(sum("c").over(pw), lit(0L)))
       .withColumn("n", sum("c").over(tw))
       .groupBy(key)
-      .agg(max("n").as("n"),
-        expr("""CASE WHEN sum(v * c) = 0 THEN 0L
-                ELSE 1000000L * sum(v * c * (2 * pc + c - n)) div (max(n) * sum(v * c))
-                END""").as("gini_ppm"))
+      .agg(max("n").as("n"), sum(expr("v * c * (2 * pc + c - n)")).as("num"),
+        sum(expr("v * c")).as("sv"))
+      // the ppm scaling happens in ONE double division of the two
+      // exact int64 sums (both < 2^53): `1e6 * num` as int64 already
+      // overflows at sf0.1 (caught by the ANSI stress run; DuckDB
+      // silently promotes to HUGEINT, Spark errors loudly)
+      .select(col(key), col("n"),
+        when(col("sv") === 0, lit(0L))
+          .otherwise(round(lit(1000000.0) * col("num") /
+            (col("n").cast("double") * col("sv"))).cast("long"))
+          .as("gini_ppm"))
   }
 
   // ---------------------------------------------------------------------
