@@ -79,29 +79,46 @@ object TrialSource {
     */
   private[v2] def inferSchema(files: Seq[String]): StructType = {
     if (files.isEmpty) return StructType(Nil) // fresh write target
-    val src = scala.io.Source.fromFile(files.head)
-    try {
-      val it = src.getLines()
-      require(it.hasNext, s"empty csv ${files.head}")
-      val header = it.next().split(",", -1).map(_.trim)
-      val numeric = Array.fill(header.length)(true)
-      val seen = Array.fill(header.length)(false)
-      it.foreach { line =>
-        val cells = line.split(",", -1)
-        var i = 0
-        while (i < header.length) {
-          val c = if (i < cells.length) cells(i).trim else ""
-          if (!isNullToken(c)) {
-            seen(i) = true
-            if (numeric(i) && parseDouble(c).isEmpty) numeric(i) = false
+    // fold the classification over EVERY file: a multi-task write can
+    // legitimately put a header-only part first (a task with no rows),
+    // and classifying from that one file alone typed every column
+    // DOUBLE — string cells then parsed to null and collapsed whole
+    // group-bys (caught by the sf0.1 stress run). Production paths
+    // pass an explicit schema; inference is the convenience path and
+    // must be right, not fast.
+    var header: Array[String] = null
+    var numeric: Array[Boolean] = null
+    var seen: Array[Boolean] = null
+    files.foreach { file =>
+      val src = scala.io.Source.fromFile(file)
+      try {
+        val it = src.getLines()
+        require(it.hasNext, s"empty csv $file")
+        val h = it.next().split(",", -1).map(_.trim)
+        if (header == null) {
+          header = h
+          numeric = Array.fill(header.length)(true)
+          seen = Array.fill(header.length)(false)
+        } else require(h.sameElements(header),
+          s"csv header mismatch: $file has ${h.mkString(",")}, " +
+            s"expected ${header.mkString(",")}")
+        it.foreach { line =>
+          val cells = line.split(",", -1)
+          var i = 0
+          while (i < header.length) {
+            val c = if (i < cells.length) cells(i).trim else ""
+            if (!isNullToken(c)) {
+              seen(i) = true
+              if (numeric(i) && parseDouble(c).isEmpty) numeric(i) = false
+            }
+            i += 1
           }
-          i += 1
         }
-      }
-      StructType(header.zipWithIndex.map { case (n, i) =>
-        StructField(n, if (!seen(i) || numeric(i)) DoubleType else StringType)
-      })
-    } finally src.close()
+      } finally src.close()
+    }
+    StructType(header.zipWithIndex.map { case (n, i) =>
+      StructField(n, if (!seen(i) || numeric(i)) DoubleType else StringType)
+    })
   }
 
   private[v2] def isNullToken(s: String): Boolean =

@@ -39,6 +39,18 @@ class TrialSourceV2Spec extends AnyFunSuite {
       "label" -> "string", "duration [ms]" -> "double"))
   }
 
+  test("schema inference folds over ALL files — a header-only part can't retype columns") {
+    // a multi-task write can put an empty (header-only) part first in
+    // the sorted file list; the string column must still classify as
+    // STRING from the later file (the sf0.1 q149 regression)
+    val dir = Files.createTempDirectory("graft-dsv2-multi")
+    Files.writeString(dir.resolve("part-0.csv"), "x,flag\n")
+    Files.writeString(dir.resolve("part-1.csv"), "x,flag\n1.5,R\n2.5,A\n")
+    val df = spark.read.format(Fmt).load(dir.toString)
+    assert(df.schema("flag").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.select("flag").as[String].collect().sorted.toSeq == Seq("A", "R"))
+  }
+
   test("value parity with TrialReader.loadCsv incl. nan->null normalization") {
     val p = writeCsv(fixture)
     val v2 = spark.read.format(Fmt).load(p)
