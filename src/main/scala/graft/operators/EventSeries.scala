@@ -626,6 +626,54 @@ object EventSeries {
       .orderBy("user_id")
   }
 
+  /** q211: Haar wavelet detail energies — the multi-resolution
+    * energy spectrum of each series (which TIME SCALES carry the
+    * signal's variance: level 1 = sample-to-sample noise, level 5 =
+    * 32-sample trends). Unnormalized Haar: the level-k detail of
+    * block b is `Σ±q` with the sign given by bit k−1 of the row
+    * index — ONE hash aggregate per level expresses the whole
+    * transform, no sequential kernel needed; energies are exact
+    * integer sums of squared integer details (milli-quantized, the
+    * engine's standard policy). Partial tail blocks contribute
+    * their partial detail — identical on both engines.
+    *
+    * Scale shape: the level axis is a 5-way explode (constant
+    * fan-out), then one map-side-combined aggregate keyed
+    * (user, level, block) and a per-(user, level) rollup — no
+    * windows over raw rows beyond the shared row_number.
+    */
+  val q211HaarEnergy: QueryDef = QueryDef.sql(
+    "q211_haar_energy",
+    s"""$S, qv AS (SELECT user_id,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q,
+       |    row_number() OVER ($OW) - 1 AS rn FROM s),
+       |lv AS (SELECT user_id, q, rn, lvl FROM qv,
+       |  unnest(generate_series(1, 5)) AS t(lvl)),
+       |d AS (SELECT user_id, lvl, rn // (1 << lvl) AS b,
+       |    CAST(sum(CASE WHEN (rn // (1 << (lvl - 1))) % 2 = 0 THEN q ELSE -q END)
+       |      AS BIGINT) AS dv
+       |  FROM lv GROUP BY user_id, lvl, b)
+       |SELECT user_id, CAST(lvl AS BIGINT) AS level,
+       |  count(*) AS n_blocks, CAST(sum(dv * dv) AS BIGINT) AS energy
+       |FROM d GROUP BY user_id, lvl
+       |ORDER BY user_id, level""".stripMargin) { (spark, dir) =>
+    val levels = array((1 to 5).map(k =>
+      struct(lit(k.toLong).as("lvl"), lit(1L << k).as("size"),
+        lit(1L << (k - 1)).as("half"))): _*)
+    Tables.seriesNorm(spark, dir)
+      .withColumn("q", round(col("value") * 1e3).cast("long"))
+      .withColumn("rn", (row_number().over(s.ordered) - 1).cast("long"))
+      .select(col("user_id"), col("q"), col("rn"), explode(levels).as("L"))
+      .select(col("user_id"), col("L.lvl").as("lvl"),
+        expr("rn div L.size").as("b"),
+        when(expr("(rn div L.half) % 2") === 0, col("q")).otherwise(-col("q")).as("sq"))
+      .groupBy("user_id", "lvl", "b")
+      .agg(sum("sq").as("dv"))
+      .groupBy(col("user_id"), col("lvl").as("level"))
+      .agg(count(lit(1)).as("n_blocks"), sum(expr("dv * dv")).as("energy"))
+      .orderBy("user_id", "level")
+  }
+
   /** One-sided CUSUM change-point rows: integer-exact closed form
     * `S_t = C_t - min_{s<=t} C_s` over n·1000-scaled deviations
     * (see [[SeriesOps.cusumChangepoints]]).
@@ -684,5 +732,6 @@ object EventSeries {
     q20Integrate, q21MovingRms, q22SpikeThreshold, q23Calibration,
     q24FrameTransform, q25DerivedExpr, q26EpisodeExtents, q27SelectionScoped,
     q71SeasonalFold, q72HeatmapMatrix, q101RobustZscore, q102Peaks, q103Cusum,
-    q112Hampel, q124PrunedSlice, q190Winsorize, q196RollingBeta, q198Breakpoint)
+    q112Hampel, q124PrunedSlice, q190Winsorize, q196RollingBeta, q198Breakpoint,
+    q211HaarEnergy)
 }

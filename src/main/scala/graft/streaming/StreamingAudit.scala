@@ -147,5 +147,77 @@ object StreamingAudit {
       .orderBy("source", "lang")
   }
 
-  val all: Seq[QueryDef] = Seq(q171StreamBurst, q194StreamChisq)
+  // ---- streaming Gini concentration monitor ----
+
+  final case class GiniRow(event_type: String, n: Long, gini_ppm: Long)
+  final case class GiniState(counts: Map[Long, Long])
+
+  /** Per-type keyed state: the milli-|value| histogram (value-domain-
+    * bounded, q202's own scale argument applied to streaming state).
+    * Each batch folds new samples in and re-emits the CURRENT Gini
+    * row (upsert: latest event_type row wins). The statistic replays
+    * q202's exact arithmetic — integer prefix-sums over the sorted
+    * histogram, one double division — so a single-batch run equals
+    * the batch query and shares its oracle.
+    */
+  private def giniUpdate(eventType: String, rows: Iterator[Row],
+      state: GroupState[GiniState]): Iterator[GiniRow] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+    }
+    if (counts.isEmpty) return Iterator.empty
+    state.update(GiniState(counts))
+    val hist = counts.toSeq.sortBy(_._1)
+    val n = hist.map(_._2).sum
+    var pc = 0L
+    var num = 0L
+    var sv = 0L
+    hist.foreach { case (v, c) =>
+      num += v * c * (2 * pc + c - n)
+      sv += v * c
+      pc += c
+    }
+    val gini = if (sv == 0) 0L
+      else math.round(1000000.0 * num / (n.toDouble * sv))
+    Iterator.single(GiniRow(eventType, n, gini))
+  }
+
+  def giniStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[GiniRow] = {
+    import spark.implicits._
+    val schema = graft.sources.Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .select(col("event_type"),
+        expr("CAST(round(abs(value) * 1000.0) AS BIGINT)").as("v"))
+      .groupByKey(_.getString(0))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(giniUpdate)
+  }
+
+  def runGini(spark: SparkSession, dir: String,
+      sinkName: String = "stream_gini"): DataFrame = {
+    val q = giniStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming twin of q202 — shares its oracle (single-batch state
+    * equals the batch histogram).
+    */
+  val q212StreamGini: QueryDef = QueryDef.sql(
+    "q212_stream_gini",
+    graft.operators.BehaviorOps.q202GiniConcentration.oracle.get) { (spark, dir) =>
+    runGini(spark, dir)
+      .select("event_type", "n", "gini_ppm")
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q171StreamBurst, q194StreamChisq, q212StreamGini)
 }

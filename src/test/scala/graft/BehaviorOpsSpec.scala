@@ -514,6 +514,31 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
   }
 
+  test("q211 haar: alternating series is pure level-1 energy; constants are silent") {
+    // +1/-1 alternation: every level-1 block differs by 2 (milli 2000),
+    // every higher-level detail cancels exactly
+    val alt = (0L until 32L).map(i =>
+      (1L, i, i.toDouble, if (i % 2 == 0) 1.0 else -1.0, "x"))
+    val const = (0L until 32L).map(i => (2L, 100 + i, i.toDouble, 7.0, "x"))
+    val q = graft.operators.EventSeries.all.find(_.name == "q211_haar_energy").get
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_haar").toString
+      // route through the real query path: fabricate an events table
+      (alt ++ const).map { case (u, e, tn, v, tp) =>
+        (e, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L + tn.toLong)), u, tp, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val got = q.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // user 1: level 1 = 16 blocks x (2000)^2; levels 2..5 cancel to 0
+    assert(got((1L, 1L)) == ((16L, 16L * 4000000L)))
+    (2 to 5).foreach(l => assert(got((1L, l.toLong))._2 == 0L))
+    // constant series: every detail is 0 at every level
+    (1 to 5).foreach(l => assert(got((2L, l.toLong))._2 == 0L))
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))

@@ -300,6 +300,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gini stream: two-batch upsert equals the batch statistic") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gini-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val upserted = mutable.LinkedHashMap[String, (Long, Long)]()
+    var batches = 0
+    val q = graft.streaming.StreamingAudit
+      .giniStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingAudit.GiniRow], _: Long) =>
+        batches += 1
+        df.collect().foreach(r => upserted(r.event_type) = (r.n, r.gini_ppm))
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2)
+    val batch = graft.operators.BehaviorOps.q202GiniConcentration.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(upserted.toMap == batch)
+  }
+
   test("stream as-of: a two-batch replay equals the single-batch result") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Tables.events(spark, dir)
