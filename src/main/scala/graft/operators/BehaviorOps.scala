@@ -640,7 +640,65 @@ object BehaviorOps {
       .orderBy("user_id", "version")
   }
 
+  // ---------------------------------------------------------------------
+  // q213: hash-deterministic resampling confidence interval
+  // ---------------------------------------------------------------------
+
+  /** Half-sample replicates for q213. */
+  val BootstrapReps = 32
+
+  /** q213: a resampling confidence interval for each event type's
+    * mean value WITHOUT randomness: 32 half-sample replicates whose
+    * membership is decided by the md5 prefix of (event_id, replicate)
+    * — the deterministic stand-in for bootstrap RNG, so the interval
+    * is reproducible bit-for-bit on any engine and any partitioning
+    * (the same derandomization-by-hash move as the q75 sample and
+    * q141's feature hashing). Each replicate's mean is a truncating
+    * integer milli-mean; the p05/p50/p95 of the 32 replicate means
+    * use the engine-shared exact interpolation (q101/q108 precedent).
+    *
+    * Scale shape: a 32-way constant explode feeding ONE map-side-
+    * combined (type, rep) aggregate, then a |types|×32-row rollup —
+    * no windows over raw rows.
+    */
+  val q213BootstrapCi: QueryDef = QueryDef.sql(
+    "q213_bootstrap_ci",
+    s"""WITH qv AS (SELECT event_type, event_id,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q
+       |  FROM (${Tables.seriesSql})),
+       |x AS (SELECT event_type, q, b FROM qv,
+       |  unnest(generate_series(0, ${BootstrapReps - 1})) AS t(b)
+       |  WHERE ('0x' || substr(md5(CAST(event_id * $BootstrapReps + b AS VARCHAR)), 1, 8))::BIGINT % 2 = 0),
+       |m AS (SELECT event_type, b,
+       |    CAST(sum(q) AS BIGINT) // count(*) AS mean_milli
+       |  FROM x GROUP BY event_type, b)
+       |SELECT event_type, count(*) AS n_reps,
+       |  round(quantile_cont(mean_milli, 0.05) / 1000.0, 6) AS lo,
+       |  round(quantile_cont(mean_milli, 0.5) / 1000.0, 6) AS mid,
+       |  round(quantile_cont(mean_milli, 0.95) / 1000.0, 6) AS hi
+       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.GraftExpressionBridge
+    def md5p32(c: org.apache.spark.sql.Column) =
+      GraftExpressionBridge.column(
+        graft.functions.Md5Prefix32(GraftExpressionBridge.expression(c)))
+    val reps = array((0 until BootstrapReps).map(b => lit(b.toLong)): _*)
+    Tables.series(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1e3).cast("long").as("q"))
+      .select(col("event_type"), col("event_id"), col("q"), explode(reps).as("b"))
+      .filter(md5p32(
+        (col("event_id") * BootstrapReps + col("b")).cast("string")) % 2 === 0)
+      .groupBy("event_type", "b")
+      .agg(expr("CAST(sum(q) AS BIGINT) div count(1)").as("mean_milli"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        round(percentile(col("mean_milli"), lit(0.05)) / 1000.0, 6).as("lo"),
+        round(percentile(col("mean_milli"), lit(0.5)) / 1000.0, 6).as("mid"),
+        round(percentile(col("mean_milli"), lit(0.95)) / 1000.0, 6).as("hi"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
-    q205AssocRules, q206MarkovAttribution, q207Scd2History)
+    q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi)
 }

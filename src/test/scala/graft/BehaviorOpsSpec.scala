@@ -539,6 +539,25 @@ class BehaviorOpsSpec extends AnyFunSuite {
     (1 to 5).foreach(l => assert(got((2L, l.toLong))._2 == 0L))
   }
 
+  test("q213 bootstrap: interval brackets the full-sample mean and is ordered") {
+    val out = graft.operators.BehaviorOps.q213BootstrapCi
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    val means = graft.sources.Tables.series(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type")
+      .agg(expr("CAST(sum(CAST(round(value * 1000.0) AS BIGINT)) AS DOUBLE)" +
+        " / count(1) / 1000.0").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (lo, mid, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(1) == graft.operators.BehaviorOps.BootstrapReps)
+      assert(lo <= mid && mid <= hi)
+      // half-sample replicate means hug the full mean at these n
+      val m = means(r.getString(0))
+      assert(lo <= m + 0.5 && hi >= m - 0.5, s"interval [$lo,$hi] far from mean $m")
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
