@@ -698,7 +698,116 @@ object BehaviorOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q214: CUPED pre-period variance reduction
+  // ---------------------------------------------------------------------
+
+  /** q214: CUPED (Deng et al., WSDM'13) — how much experiment
+    * variance a pre-period covariate removes. Each user's timeline
+    * splits at its midpoint; x = the truncating integer milli-mean
+    * of the pre half, y = of the post half; θ = the OLS slope of y
+    * on x over users, and the achievable variance reduction is
+    * exactly the fit's R² (`var(y−θx) = var(y)·(1−ρ²)`). Users
+    * missing either half are excluded on both engines.
+    *
+    * Scale shape: two window passes per user (midpoint + means) on
+    * one series shuffle, then q191's exact-moment one-row fit.
+    */
+  val q214Cuped: QueryDef = QueryDef.sql(
+    "q214_cuped",
+    s"""$S, u AS (SELECT user_id, tn,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS q,
+       |    max(tn) OVER (PARTITION BY user_id) AS tmax FROM s),
+       |xy AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN tn <= tmax / 2 THEN q END) AS BIGINT)
+       |      // count(CASE WHEN tn <= tmax / 2 THEN 1 END) AS x,
+       |    CAST(sum(CASE WHEN tn > tmax / 2 THEN q END) AS BIGINT)
+       |      // count(CASE WHEN tn > tmax / 2 THEN 1 END) AS y
+       |  FROM u GROUP BY user_id
+       |  HAVING count(CASE WHEN tn <= tmax / 2 THEN 1 END) > 0
+       |    AND count(CASE WHEN tn > tmax / 2 THEN 1 END) > 0),
+       |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy),
+       |e AS (SELECT n, sx, sy,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_users,
+       |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS theta,
+       |  round(CASE WHEN b <> 0 AND c <> 0 THEN a * a / (b * c) END, 6)
+       |    AS var_reduction
+       |FROM e""".stripMargin) { (spark, dir) =>
+    val uw = Window.partitionBy("user_id")
+    val xy = Tables.seriesNorm(spark, dir)
+      .withColumn("q", round(col("value") * 1e3).cast("long"))
+      .withColumn("tmax", max("tn").over(uw))
+      .groupBy("user_id")
+      .agg(
+        expr("CAST(sum(CASE WHEN tn <= tmax / 2 THEN q END) AS BIGINT)" +
+          " div count(CASE WHEN tn <= tmax / 2 THEN 1 END)").as("x"),
+        expr("CAST(sum(CASE WHEN tn > tmax / 2 THEN q END) AS BIGINT)" +
+          " div count(CASE WHEN tn > tmax / 2 THEN 1 END)").as("y"),
+        expr("count(CASE WHEN tn <= tmax / 2 THEN 1 END)").as("npre"),
+        expr("count(CASE WHEN tn > tmax / 2 THEN 1 END)").as("npost"))
+      .filter(col("npre") > 0 && col("npost") > 0)
+      .withColumn("k", lit("all"))
+    val fit = graft.operators.AuditOps.olsFitDf(xy, "k", "x", "y")
+    fit.select(col("n").as("n_users"), col("slope").as("theta"),
+      col("r2").as("var_reduction"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q215: exact trimmed mean per event type
+  // ---------------------------------------------------------------------
+
+  /** q215: 5%-trimmed mean of each type's value — the robust center
+    * the plain mean isn't, computed EXACTLY from the milli-value
+    * histogram: with k = n·5 div 100 samples trimmed per tail, a
+    * histogram row (v, count c, prefix p) keeps
+    * `max(0, min(p+c, n−k) − max(p, k))` samples — pure integer
+    * clamps, so the trimmed sum is exact and the mean is one double
+    * division (q202's scale argument: windows over the bounded
+    * histogram only).
+    */
+  val q215TrimmedMean: QueryDef = QueryDef.sql(
+    "q215_trimmed_mean",
+    s"""WITH qv AS (SELECT event_type,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS v
+       |  FROM (${Tables.seriesSql})),
+       |h AS (SELECT event_type, v, count(*) AS c FROM qv GROUP BY event_type, v),
+       |p AS (SELECT *,
+       |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+       |t AS (SELECT event_type, n, n * 5 // 100 AS k,
+       |    CAST(sum(v * greatest(least(pc + c, n - n * 5 // 100)
+       |      - greatest(pc, n * 5 // 100), 0)) AS BIGINT) AS ts
+       |  FROM p GROUP BY event_type, n)
+       |SELECT event_type, n, CAST(k AS BIGINT) AS k_trimmed,
+       |  round(CAST(ts AS DOUBLE) / (n - 2 * k) / 1000.0, 6) AS trimmed_mean
+       |FROM t ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val h = Tables.series(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val tw = Window.partitionBy("event_type")
+    val pw = tw.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("pc", coalesce(sum("c").over(pw), lit(0L)))
+      .withColumn("n", sum("c").over(tw))
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(expr("v * greatest(least(pc + c, n - n * 5 div 100)" +
+        " - greatest(pc, n * 5 div 100), 0L)")).as("ts"))
+      .withColumn("k_trimmed", expr("n * 5 div 100"))
+      .select(col("event_type"), col("n"), col("k_trimmed"),
+        round(col("ts").cast("double") / (col("n") - col("k_trimmed") * 2) / 1000.0, 6)
+          .as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
-    q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi)
+    q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi,
+    q214Cuped, q215TrimmedMean)
 }

@@ -558,6 +558,34 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q214 cuped: one-row fit with reduction in [0,1]") {
+    val r = graft.operators.BehaviorOps.q214Cuped.fn(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(r.getLong(0) > 0 && r.getLong(0) <= 15)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("q215 trimmed mean: matches an independent sort-and-trim replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.BehaviorOps.q215TrimmedMean.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val byType = graft.sources.Tables.series(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+      .collect().groupBy(_.getString(0))
+    byType.foreach { case (tpe, rows) =>
+      val vs = rows.map(_.getLong(1)).sorted
+      val n = vs.length
+      val k = n * 5 / 100
+      val kept = vs.slice(k, n - k)
+      val exp = BigDecimal(kept.sum.toDouble / kept.length / 1000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gk, gm) = got(tpe)
+      assert(gn == n && gk == k)
+      assert(math.abs(gm - exp) < 1e-9, s"$tpe: $gm vs $exp")
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
