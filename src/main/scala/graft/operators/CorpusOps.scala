@@ -451,8 +451,139 @@ object CorpusOps {
       .orderBy("log2_bucket")
   }
 
+  /** q216: contrastive negative-pair generation — for each document,
+    * two DETERMINISTIC pseudo-random negatives drawn by md5 bucket
+    * over the id domain (the derandomized counterpart of negative
+    * sampling for contrastive training; same no-RNG policy as the
+    * q75 sample and q213 bootstrap). A candidate landing on the
+    * anchor itself is skipped rather than re-drawn — both engines
+    * agree, and the per-anchor pair count is still ≥ 1 in practice.
+    *
+    * Scale shape: constant 2-way explode + one equi join back to the
+    * id relation (validating existence without assuming density);
+    * no shuffles beyond that join.
+    */
+  val q216NegativePairs: QueryDef = QueryDef.sql(
+    "q216_negative_pairs",
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |mx AS (SELECT max(doc_id) + 1 AS n FROM ids),
+       |cand AS (SELECT i.doc_id, k,
+       |    ${graft.functions.TextHash.duckBase32(
+             "(i.doc_id::VARCHAR || '#' || k::VARCHAR)")} % mx.n AS neg_id
+       |  FROM ids i, unnest(generate_series(0, 1)) AS t(k), mx)
+       |SELECT c.doc_id, CAST(c.k AS BIGINT) AS k, c.neg_id
+       |FROM cand c JOIN ids e ON e.doc_id = c.neg_id
+       |WHERE c.neg_id <> c.doc_id
+       |ORDER BY c.doc_id, c.k""".stripMargin) { (spark, dir) =>
+    val ids = docs(spark, dir).select("doc_id")
+    val n = lit(ids.agg(max("doc_id")).head().getLong(0) + 1)
+    val cand = ids
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("k"))
+      .withColumn("neg_id", graft.functions.TextHash.base32Builtin(
+        concat(col("doc_id").cast("string"), lit("#"), col("k").cast("string"))) % n)
+      .filter(col("neg_id") =!= col("doc_id"))
+    cand.join(ids.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+      .select("doc_id", "k", "neg_id")
+      .orderBy("doc_id", "k")
+  }
+
+  /** q217: token-budget water-filling — split a training budget
+    * (half the corpus tokens here) across sources as EVENLY as their
+    * capacities allow: small sources are taken whole, the rest share
+    * the remaining budget at one common fill level (the classic
+    * max-min fair allocation, solved in closed form on the sorted
+    * K-row capacity relation). A source is taken whole exactly when
+    * `cap·(remaining sources) ≤ remaining budget` — the greedy
+    * invariant, checked as a cross-multiplied integer predicate per
+    * row; the shared level is one integer division of the leftover.
+    *
+    * Scale shape: one capacity aggregate (map-side combined), then
+    * windows over the |sources|-row relation.
+    */
+  val q217MixtureWaterfill: QueryDef = QueryDef.sql(
+    "q217_mixture_waterfill",
+    """WITH cap AS (SELECT source, CAST(count(*) AS BIGINT) AS cap FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY source),
+      |b AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS budget,
+      |    CAST(count(*) AS BIGINT) AS k FROM cap),
+      |o AS (SELECT cap.*, b.budget, b.k,
+      |    row_number() OVER (ORDER BY cap.cap, cap.source) AS i,
+      |    CAST(coalesce(sum(cap.cap) OVER (ORDER BY cap.cap, cap.source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc
+      |  FROM cap, b),
+      |f AS (SELECT *, cap * (k - i + 1) <= budget - pc AS whole FROM o),
+      |lvl AS (SELECT CAST((max(budget) - coalesce(sum(CASE WHEN whole THEN cap END), 0))
+      |    // greatest(max(k) - count(CASE WHEN whole THEN 1 END), 1) AS BIGINT) AS level
+      |  FROM f)
+      |SELECT f.source, f.cap, f.whole,
+      |  CASE WHEN f.whole THEN f.cap ELSE lvl.level END AS allocation
+      |FROM f, lvl ORDER BY f.source""".stripMargin) { (spark, dir) =>
+    val cap = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source").agg(count(lit(1)).as("cap"))
+    val b = cap.agg(expr("sum(cap) div 2").as("budget"), count(lit(1)).as("k"))
+    val ow = Window.orderBy("cap", "source")
+    val f = cap.crossJoin(broadcast(b))
+      .withColumn("i", row_number().over(ow).cast("long"))
+      .withColumn("pc", coalesce(
+        sum("cap").over(ow.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("whole", expr("cap * (k - i + 1) <= budget - pc"))
+    val lvl = f.agg(expr(
+      """CAST((max(budget) - coalesce(sum(CASE WHEN whole THEN cap END), 0L))
+        | div greatest(max(k) - count(CASE WHEN whole THEN 1 END), 1L) AS BIGINT)"""
+        .stripMargin).as("level"))
+    f.crossJoin(broadcast(lvl))
+      .select(col("source"), col("cap"), col("whole"),
+        when(col("whole"), col("cap")).otherwise(col("level")).as("allocation"))
+      .orderBy("source")
+  }
+
+  /** q218: snapshot diff — the added/removed/changed census between
+    * two corpus versions by key + content hash (the incremental-
+    * ingest audit every versioned lakehouse runs before promoting a
+    * snapshot). The "v2" here is a deterministic simulated edit
+    * (every 7th doc rewritten, every 13th dropped) so the operator
+    * is self-contained on the fixed testdata; the comparison itself
+    * — full outer join on the key, md5 content compare — is the real
+    * primitive.
+    *
+    * Scale shape: one full-outer equi join on the key with 32-char
+    * hashes projected (never the texts), one status projection.
+    */
+  val q218TableDiff: QueryDef = QueryDef.sql(
+    "q218_table_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |v2 AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+      |  FROM documents WHERE doc_id % 13 <> 0)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v2.doc_id IS NULL THEN 'removed'
+      |       WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v1.h <> v2.h THEN 'changed' ELSE 'same' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE v1.h IS DISTINCT FROM v2.h
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val v1 = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val v2 = d.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(concat(col("text"),
+          when(col("doc_id") % 7 === 0, " v2").otherwise(""))).as("h"))
+    v1.join(v2.withColumnRenamed("h", "h2").withColumnRenamed("doc_id", "doc_id2"),
+        col("doc_id") === col("doc_id2"), "full_outer")
+      .select(coalesce(col("doc_id"), col("doc_id2")).as("doc_id"),
+        when(col("doc_id2").isNull, "removed")
+          .when(col("doc_id").isNull, "added")
+          .when(col("h") =!= col("h2"), "changed").otherwise("same").as("status"),
+        col("h"), col("h2"))
+      .filter(!(col("h") <=> col("h2"))) // null-safe: keeps added/removed rows
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
     q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
-    q121SequencePacking, q143SplitDrift)
+    q121SequencePacking, q143SplitDrift, q216NegativePairs,
+    q217MixtureWaterfill, q218TableDiff)
 }

@@ -586,6 +586,50 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q216 negative pairs: deterministic, existing, non-self") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.operators.CorpusOps.q216NegativePairs
+    val a = q.fn(spark, dir).collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    val b = q.fn(spark, dir).collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    assert(a.toSeq == b.toSeq) // no RNG anywhere
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    a.foreach { case (_, neg, anchor) =>
+      assert(ids.contains(neg) && neg != anchor)
+    }
+    assert(a.length >= ids.size) // ~2 pairs per doc minus self-collisions
+  }
+
+  test("q217 waterfill: allocations respect caps, share a level, spend the budget") {
+    val rows = graft.operators.CorpusOps.q217MixtureWaterfill
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val totalCap = rows.map(_._1).sum
+    val budget = totalCap / 2
+    rows.foreach { case (cap, whole, alloc) =>
+      assert(alloc <= cap)
+      if (whole) assert(alloc == cap)
+    }
+    val levels = rows.filter(!_._2).map(_._3).distinct
+    assert(levels.length <= 1) // every non-whole source fills to one level
+    val spent = rows.map(_._3).sum
+    assert(spent <= budget && budget - spent < rows.length.toLong *
+      (levels.headOption.getOrElse(0L) + 1)) // only floor remainder unspent
+  }
+
+  test("q218 table diff: statuses match the simulated edit exactly") {
+    val out = graft.operators.CorpusOps.q218TableDiff.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(out(id) == "removed")
+      else if (id % 7 == 0) assert(out(id) == "changed")
+      else assert(!out.contains(id))
+    }
+    assert(!out.values.exists(_ == "same") && !out.values.exists(_ == "added"))
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
