@@ -139,7 +139,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q193_isotonic_cal", // ≤11-row band-histogram interval theta joins (PAVA min-max)
       "q199_welch_ttest", // |event_type|-row moment-relation pair self-join
       "q200_silhouette", // K-row centroid broadcast cross join (q105's pattern)
-      "q203_quantile_normalize") // bounded pooled-histogram broadcast bracket joins
+      "q203_quantile_normalize", // bounded pooled-histogram broadcast bracket joins
+      "q217_mixture_waterfill") // 1-row budget + 1-row fill-level broadcasts
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
