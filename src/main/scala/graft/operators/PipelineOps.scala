@@ -783,6 +783,57 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q219: quantile trend — exact p50/p90 of value per
+    * (event_type, calendar day), the latency-SLO dashboard shape
+    * (is the tail drifting day over day?). The q108 value-histogram
+    * bracket interpolation with a day key added: per cell the
+    * quantiles read off the (type, day, milli-value) histogram, so
+    * a billion-event day never buffers in an aggregate — the same
+    * OOM argument as q108, now per time bucket.
+    */
+  val q219QuantileTrend: QueryDef = QueryDef.sql(
+    "q219_quantile_trend",
+    s"""WITH qv AS (SELECT event_type,
+       |    CAST(floor(t / 86400.0) AS BIGINT) AS day,
+       |    CAST(round(value * 1000.0) AS BIGINT) AS v
+       |  FROM (${graft.sources.Tables.seriesSql})),
+       |c AS (SELECT event_type, day, count(*) AS n,
+       |    quantile_cont(v, 0.5) AS p50m, quantile_cont(v, 0.9) AS p90m
+       |  FROM qv GROUP BY event_type, day)
+       |SELECT event_type, day, n,
+       |  round(p50m / 1000.0, 6) AS p50, round(p90m / 1000.0, 6) AS p90
+       |FROM c ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val hist = graft.sources.Tables.series(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(t / 86400.0) AS BIGINT)").as("day"),
+        expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+      .groupBy("event_type", "day", "v").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy("event_type", "day")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(cw.orderBy("v")))
+      .withColumn("n", sum("cnt").over(cw))
+    def bracket(p: Double, tag: String): Seq[Column] = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      Seq(
+        min(when(col("cum") - col("cnt") <= lo && lo < col("cum"), col("v"))).as(s"vlo_$tag"),
+        min(when(col("cum") - col("cnt") <= hi && hi < col("cum"), col("v"))).as(s"vhi_$tag"))
+    }
+    val aggs = Seq(max("n").as("n")) ++ bracket(0.5, "50") ++ bracket(0.9, "90")
+    val agged = cum.groupBy("event_type", "day").agg(aggs.head, aggs.tail: _*)
+    def interp(p: Double, vlo: Column, vhi: Column): Column = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      when(lo === hi || vlo === vhi, vlo.cast("double"))
+        .otherwise((hi.cast("double") - pos) * vlo.cast("double") +
+          (pos - lo.cast("double")) * vhi.cast("double"))
+    }
+    agged.select(col("event_type"), col("day"), col("n"),
+        round(interp(0.5, col("vlo_50"), col("vhi_50")) / 1e3, 6).as("p50"),
+        round(interp(0.9, col("vlo_90"), col("vhi_90")) / 1e3, 6).as("p90"))
+      .orderBy("event_type", "day")
+  }
+
   /** Inter-arrival statistics per event type: milli-quantized gaps
     * between a user's consecutive same-type events, rolled up to
     * exact-integer mean and exact (interpolated) p50/p90 per type —
@@ -1150,5 +1201,5 @@ object PipelineOps {
     q107QualityRank, q108Interarrival, q109LengthHist,
     q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,
     q141FeatureHash, q144Profile, q145SplitLeakage, q146FitApply,
-    q184BoilerplatePpm, q188RrfFusion, q203QuantileNormalize)
+    q184BoilerplatePpm, q188RrfFusion, q203QuantileNormalize, q219QuantileTrend)
 }

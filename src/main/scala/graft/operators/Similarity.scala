@@ -518,6 +518,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q220: embedding health audit — the pre-indexing checks an ANN
+    * build runs: per dimension, the micro-quantized mean and
+    * population variance (a collapsed/dead dimension shows variance
+    * ≈ 0; a bias-dominated one a large |mean|), plus the zero-value
+    * count. Moments are exact int64 sums; the variance is a fixed-
+    * order double of the exact sums (cast BEFORE the n·Σq² product —
+    * the int64 product overflows at sf0.1, the q202 lesson applied
+    * preemptively).
+    *
+    * Scale shape: one posexplode + a |dims|-bounded hash aggregate
+    * with map-side combine; no shuffles of raw vectors.
+    */
+  val q220EmbeddingHealth: QueryDef = QueryDef.sql(
+    "q220_embedding_health",
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+      |d AS (SELECT i - 1 AS dim, qe[i] AS q
+      |  FROM q, unnest(generate_series(1, len(qe))) AS t(i)),
+      |m AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+      |    CAST(sum(q * q) AS BIGINT) AS sqq,
+      |    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM d GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n, n_zero,
+      |  CAST(sq // n AS BIGINT) AS mean_micro,
+      |  round((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+      |    / (CAST(n AS DOUBLE) * n) / 1e12, 6) AS variance
+      |FROM m ORDER BY dim""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(expr("q * q")).as("sqq"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("n_zero"),
+        expr("sq div n").as("mean_micro"),
+        round(expr("(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)" +
+          " / (CAST(n AS DOUBLE) * n) / 1e12"), 6).as("variance"))
+      .orderBy("dim")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with the coarse
     * quantizer, then prune near-duplicate pairs WITHIN each cluster
@@ -750,7 +791,7 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette,
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK)

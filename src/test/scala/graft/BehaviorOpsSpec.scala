@@ -630,6 +630,27 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(!out.values.exists(_ == "same") && !out.values.exists(_ == "added"))
   }
 
+  test("q219 quantile trend: p50 <= p90 everywhere, cells partition the events") {
+    val out = graft.operators.PipelineOps.q219QuantileTrend
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    val total = out.map(_.getLong(2)).sum
+    assert(total == graft.sources.Tables.events(spark, "/root/testdata/sf0.001").count())
+  }
+
+  test("q220 embedding health: 64 dims, variance non-negative, moments consistent") {
+    val out = graft.operators.Similarity.q220EmbeddingHealth
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 64)
+    val n = out.head.getLong(1)
+    out.foreach { r =>
+      assert(r.getLong(1) == n) // rectangular embedding matrix
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= n)
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
