@@ -806,8 +806,39 @@ object BehaviorOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q223: frequent 3-event sequences
+  // ---------------------------------------------------------------------
+
+  /** q223: the top-20 most frequent 3-event SEQUENCES across users —
+    * sequence mining one step beyond q205's pairwise rules (the
+    * motif view: "view→click→purchase" vs "error→error→error").
+    * Counts are a plain hash aggregate over two leads on the series
+    * shuffle; the cut is a total-ordered TakeOrdered (count desc,
+    * then the lexicographic triple) — never a global sort.
+    */
+  val q223TrigramPaths: QueryDef = QueryDef.sql(
+    "q223_trigram_paths",
+    s"""$S, p AS (SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER ($OW) AS t2,
+       |    lead(event_type, 2) OVER ($OW) AS t3 FROM s)
+       |SELECT t1, t2, t3, count(*) AS n
+       |FROM p WHERE t3 IS NOT NULL
+       |GROUP BY t1, t2, t3
+       |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin) { (spark, dir) =>
+    val ow = Window.partitionBy("user_id").orderBy("tn", "event_id")
+    Tables.seriesNorm(spark, dir)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(ow).as("t2"),
+        lead(col("event_type"), 2).over(ow).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
     q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi,
-    q214Cuped, q215TrimmedMean)
+    q214Cuped, q215TrimmedMean, q223TrigramPaths)
 }

@@ -571,8 +571,40 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** q222: near-dup cluster SIZE census — the distribution view of
+    * q70's clusters (how much of the corpus sits in pairs vs large
+    * copy-farms — the number that decides whether dedup keeps or
+    * collapses most of the data). Per observed size: cluster count
+    * and the ppm of clustered docs that size class holds; windows
+    * run over the tiny size histogram.
+    */
+  val q222ClusterSizes: QueryDef = QueryDef.sql(
+    "q222_cluster_sizes",
+    s"""WITH RECURSIVE $duckSig, $duckPairs,
+       |nodes AS (SELECT doc_a AS d FROM prs UNION SELECT doc_b FROM prs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |walk(d, r) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d),
+       |cl AS (SELECT d, min(r) AS lab FROM walk GROUP BY d),
+       |sz AS (SELECT lab, count(*) AS size FROM cl GROUP BY lab)
+       |SELECT size, count(*) AS n_clusters,
+       |  CAST(1000000 * size * count(*) //
+       |    CAST(sum(size * count(*)) OVER () AS BIGINT) AS BIGINT) AS docs_ppm
+       |FROM sz GROUP BY size ORDER BY size""".stripMargin) { (spark, dir) =>
+    val sz = connectedComponents(lshPairs(spark, dir))
+      .groupBy("lab").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    sz.withColumn("docs_ppm",
+        expr("1000000L * size * n_clusters div sum(size * n_clusters) over ()"))
+      .orderBy("size")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
-    q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup)
+    q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup,
+    q222ClusterSizes)
 }

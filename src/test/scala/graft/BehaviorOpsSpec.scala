@@ -651,6 +651,34 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q222 cluster sizes: ppm shares close and sizes are >= 2") {
+    val out = graft.operators.Dedup.q222ClusterSizes.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (size, nc, _) => assert(size >= 2 && nc >= 1) }
+    val ppm = out.map(_._3).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - out.length)
+  }
+
+  test("q223 trigrams: counts ordered, triples reproduce from raw leads") {
+    val out = graft.operators.BehaviorOps.q223TrigramPaths.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 20)
+    out.zip(out.tail).foreach { case (a, b) => assert(a._4 >= b._4) }
+    // spot-check the top triple's count against an independent scan
+    val (t1, t2, t3, n) = out.head
+    val s0 = graft.sources.Tables.series(spark, "/root/testdata/sf0.001")
+      .orderBy("user_id", "t", "event_id")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cnt = s0.sliding(3).count {
+      case Array((u1, a), (u2, b), (u3, c)) =>
+        u1 == u2 && u2 == u3 && a == t1 && b == t2 && c == t3
+      case _ => false
+    }
+    assert(cnt.toLong == n)
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
