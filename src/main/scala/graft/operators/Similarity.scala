@@ -559,6 +559,65 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** q224: embedding dimension redundancy — the top-20 most
+    * correlated dimension PAIRS (|Pearson r|), q220's health check
+    * extended to the Gram matrix: near-±1 pairs mean the embedding
+    * wastes capacity and PCA/quantization will collapse them. All
+    * second moments are exact int64 sums over micro-quantized
+    * values; r is a fixed-order double of the exact sums (cast
+    * BEFORE the n·S products — the q202 overflow lesson), rounded
+    * once; the cut is a total-ordered TakeOrdered.
+    *
+    * Scale shape: the pair explode is the exact Gram matrix — dims²/2
+    * products per row, aggregated map-side to one |dims|²/2-row
+    * relation (the unavoidable cost of exact pairwise correlation;
+    * a sampled pass would come first at 100 TB).
+    */
+  val q224DimRedundancy: QueryDef = QueryDef.sql(
+    "q224_dim_redundancy",
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+      |d AS (SELECT i - 1 AS dim, qe[i] AS v
+      |  FROM q, unnest(generate_series(1, len(qe))) AS t(i)),
+      |m AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(v * v) AS BIGINT) AS svv FROM d GROUP BY dim),
+      |pr AS (SELECT t1.i - 1 AS di, t2.j - 1 AS dj,
+      |    CAST(sum(qe[t1.i] * qe[t2.j]) AS BIGINT) AS sij
+      |  FROM q, unnest(generate_series(1, len(qe))) AS t1(i),
+      |       unnest(generate_series(1, len(qe))) AS t2(j)
+      |  WHERE t1.i < t2.j GROUP BY di, dj),
+      |c AS (SELECT pr.di, pr.dj,
+      |    round((CAST(a.n AS DOUBLE) * pr.sij - CAST(a.sv AS DOUBLE) * b.sv)
+      |      / sqrt((CAST(a.n AS DOUBLE) * a.svv - CAST(a.sv AS DOUBLE) * a.sv)
+      |           * (CAST(b.n AS DOUBLE) * b.svv - CAST(b.sv AS DOUBLE) * b.sv)), 6) AS r
+      |  FROM pr JOIN m a ON a.dim = pr.di JOIN m b ON b.dim = pr.dj)
+      |SELECT CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj, r
+      |FROM c ORDER BY abs(r) DESC, di, dj LIMIT 20""".stripMargin) { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
+      .persist()
+    val m = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum(expr("v * v")).as("svv"))
+    val pr = q
+      .select(posexplode(col("qe")).as(Seq("di", "vi")), col("qe"))
+      .select(col("di"), col("vi"), posexplode(col("qe")).as(Seq("dj", "vj")))
+      .filter(col("di") < col("dj"))
+      .groupBy("di", "dj").agg(sum(expr("vi * vj")).as("sij"))
+    val a = m.select(col("dim").as("di"), col("n").as("na"),
+      col("sv").as("sva"), col("svv").as("svva"))
+    val b = m.select(col("dim").as("dj"), col("n").as("nb"),
+      col("sv").as("svb"), col("svv").as("svvb"))
+    pr.join(broadcast(a), Seq("di")).join(broadcast(b), Seq("dj"))
+      .select(col("di").cast("long").as("di"), col("dj").cast("long").as("dj"),
+        round(expr("""(CAST(na AS DOUBLE) * sij - CAST(sva AS DOUBLE) * svb)
+          / sqrt((CAST(na AS DOUBLE) * svva - CAST(sva AS DOUBLE) * sva)
+               * (CAST(nb AS DOUBLE) * svvb - CAST(svb AS DOUBLE) * svb))"""), 6).as("r"))
+      .orderBy(abs(col("r")).desc, col("di"), col("dj"))
+      .limit(20)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with the coarse
     * quantizer, then prune near-duplicate pairs WITHIN each cluster
@@ -791,7 +850,7 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth,
+  val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK)

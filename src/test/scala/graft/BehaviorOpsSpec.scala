@@ -679,6 +679,18 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(cnt.toLong == n)
   }
 
+  test("q224 dim redundancy: correlations bounded, ordered by |r|, pairs ordered") {
+    val out = graft.operators.Similarity.q224DimRedundancy
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    out.foreach { case (i, j, r) =>
+      assert(i < j && r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+    val absR = out.map(t => math.abs(t._3))
+    absR.zip(absR.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
