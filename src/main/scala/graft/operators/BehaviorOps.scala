@@ -6,13 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Behavioral-model operators over the events stream: the long-run
-  * Markov mix of a user population, digit-law audits of a value
-  * column, and censored survival (hazard) tables of inter-event
-  * durations. All three follow the engine's integer-exact determinism
-  * policy — every emitted number is either an integer aggregate or a
-  * single integer division — so the DuckDB oracle hash is stable on
-  * any engine and any reduction order.
+/** Behavioral-model operators over the events stream: Markov chains
+  * (stationary mix, removal-effect attribution), statistical tests
+  * and intervals (Welch t, derandomized bootstrap, CUPED), digit-law
+  * and concentration audits (Benford, Gini, trimmed mean), survival
+  * tables, SCD2 history, association rules and sequence motifs. All
+  * follow the engine's integer-exact determinism policy — emitted
+  * numbers are integer aggregates, single integer divisions, or
+  * fixed-order doubles of exact integers — so the DuckDB oracle hash
+  * is stable on any engine and any reduction order.
   */
 object BehaviorOps {
 
@@ -807,6 +809,41 @@ object BehaviorOps {
   }
 
   // ---------------------------------------------------------------------
+  // q221: event-mix drift week over week
+  // ---------------------------------------------------------------------
+
+  /** q221: event-type share drift — per (type, calendar week) the
+    * event count, the week's mix share in ppm, and the share delta
+    * vs the previous week (the ingest-mix alarm: a type whose share
+    * jumps week-over-week usually means an instrumentation change,
+    * not user behavior). Shares are integer divisions of exact
+    * counts; the lag runs over the |types|×weeks grid, never raw
+    * rows.
+    */
+  val q221ShareDrift: QueryDef = QueryDef.sql(
+    "q221_share_drift",
+    s"""WITH w AS (SELECT event_type,
+       |    CAST(floor(t / 604800.0) AS BIGINT) AS week
+       |  FROM (${Tables.seriesSql})),
+       |c AS (SELECT event_type, week, count(*) AS n FROM w GROUP BY event_type, week),
+       |sh AS (SELECT *, 1000000 * n // CAST(sum(n) OVER (PARTITION BY week) AS BIGINT)
+       |    AS share_ppm FROM c)
+       |SELECT event_type, week, CAST(n AS BIGINT) AS n, share_ppm,
+       |  share_ppm - lag(share_ppm) OVER (PARTITION BY event_type ORDER BY week)
+       |    AS drift_ppm
+       |FROM sh ORDER BY event_type, week""".stripMargin) { (spark, dir) =>
+    val c = Tables.series(spark, dir)
+      .select(col("event_type"), expr("CAST(floor(t / 604800.0) AS BIGINT)").as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+    c.withColumn("share_ppm",
+        expr("1000000L * n div sum(n) over (partition by week)"))
+      .withColumn("drift_ppm", col("share_ppm") -
+        lag(col("share_ppm"), 1).over(Window.partitionBy("event_type").orderBy("week")))
+      .select("event_type", "week", "n", "share_ppm", "drift_ppm")
+      .orderBy("event_type", "week")
+  }
+
+  // ---------------------------------------------------------------------
   // q223: frequent 3-event sequences
   // ---------------------------------------------------------------------
 
@@ -840,5 +877,5 @@ object BehaviorOps {
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
     q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi,
-    q214Cuped, q215TrimmedMean, q223TrigramPaths)
+    q214Cuped, q215TrimmedMean, q221ShareDrift, q223TrigramPaths)
 }

@@ -691,6 +691,25 @@ class BehaviorOpsSpec extends AnyFunSuite {
     absR.zip(absR.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("q221 share drift: weekly shares close to 1e6, drifts telescope") {
+    val out = graft.operators.BehaviorOps.q221ShareDrift
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).values.foreach { wk =>
+      val share = wk.map(_._3).sum
+      assert(share <= 1000000L && share > 1000000L - wk.length)
+    }
+    // each type's drifts sum to last share − first share
+    out.groupBy(_._1).values.foreach { tp =>
+      val ordered = tp.sortBy(_._2)
+      assert(ordered.head._4.isEmpty)
+      val total = ordered.flatMap(_._4).sum
+      assert(total == ordered.last._3 - ordered.head._3)
+    }
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
