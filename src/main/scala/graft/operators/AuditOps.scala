@@ -1292,11 +1292,86 @@ object AuditOps {
         expr(s"1000000L * $h div $w").as("dup_ppm_raw"), col("dup_ppm_iso"))
   }
 
+  // ------------------------------------------------------------------
+  // q225: k-fold stability of the quality~length fit
+  // ------------------------------------------------------------------
+
+  /** q225: how stable is q191's regression across data? Five md5
+    * folds over doc_id; each row reports the model TRAINED ON THE
+    * OTHER FOUR folds — computed by subtracting the fold's exact
+    * moment sums from the totals (no second scan, no resampling):
+    * leave-one-fold-out slope/intercept/R² per fold. Wildly varying
+    * slopes mean the "quality rewards length" relationship is driven
+    * by a data slice, not the corpus.
+    *
+    * Scale shape: ONE moment aggregate keyed by fold (map-side
+    * combined), totals via a window over the 5-row relation, fits
+    * as fixed-order doubles of exact int64 differences.
+    */
+  val q225FoldStability: QueryDef = QueryDef.sql(
+    "q225_fold_stability",
+    s"""WITH ${graft.operators.TextOps.duckQualityCtes},
+       |d AS (SELECT q.doc_id, d.n_chars AS x, CAST(q.quality_ppm AS BIGINT) AS y,
+       |    ${graft.functions.TextHash.duckMd5Bucket("q.doc_id", 5L)} AS fold
+       |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id),
+       |m AS (SELECT fold, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM d GROUP BY fold),
+       |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn,
+       |    CAST(sum(sx) OVER () AS BIGINT) AS tsx, CAST(sum(sy) OVER () AS BIGINT) AS tsy,
+       |    CAST(sum(sxx) OVER () AS BIGINT) AS tsxx,
+       |    CAST(sum(sxy) OVER () AS BIGINT) AS tsxy,
+       |    CAST(sum(syy) OVER () AS BIGINT) AS tsyy FROM m),
+       |l AS (SELECT fold, tn - n AS n, tsx - sx AS sx, tsy - sy AS sy,
+       |    tsxx - sxx AS sxx, tsxy - sxy AS sxy, tsyy - syy AS syy FROM t),
+       |e AS (SELECT fold, n, sx, sy,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM l)
+       |SELECT fold, CAST(n AS BIGINT) AS n_train,
+       |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
+       |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
+       |  round(CASE WHEN b <> 0 AND c <> 0 THEN a * a / (b * c) END, 6) AS r2
+       |FROM e ORDER BY fold""".stripMargin) { (spark, dir) =>
+    val d = graft.operators.TextOps.withQuality(docs(spark, dir))
+      .select(col("n_chars").cast("long").as("x"),
+        col("quality_ppm").cast("long").as("y"),
+        graft.functions.TextHash.md5Bucket(col("doc_id"), 5L).as("fold"))
+    val m = d.groupBy("fold").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+      sum(expr("y * y")).as("syy"))
+    val w = Window.partitionBy()
+    val l = m
+      .withColumn("n2", sum("n").over(w) - col("n"))
+      .withColumn("sx2", sum("sx").over(w) - col("sx"))
+      .withColumn("sy2", sum("sy").over(w) - col("sy"))
+      .withColumn("sxx2", sum("sxx").over(w) - col("sxx"))
+      .withColumn("sxy2", sum("sxy").over(w) - col("sxy"))
+      .withColumn("syy2", sum("syy").over(w) - col("syy"))
+      .select(col("fold"), col("n2").as("n"), col("sx2").as("sx"),
+        col("sy2").as("sy"), col("sxx2").as("sxx"), col("sxy2").as("sxy"),
+        col("syy2").as("syy"))
+    val e = l.select(col("fold"), col("n"), col("sx"), col("sy"),
+      expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("a"),
+      expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("b"),
+      expr("CAST(n * syy - sy * sy AS DOUBLE)").as("c"))
+    e.select(col("fold"), col("n").as("n_train"),
+        round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
+        round(when(col("b") =!= 0,
+          (col("sy") - col("a") / col("b") * col("sx")) / col("n")), 6).as("intercept"),
+        round(when(col("b") =!= 0 && col("c") =!= 0,
+          col("a") * col("a") / (col("b") * col("c"))), 6).as("r2"))
+      .orderBy("fold")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150CollocationLift, q151DedupSaturation, q152NgramNovelty,
     q153SourceOverlap, q154MkTrend, q157SeasonalDecompose, q158QualityVsDup,
     q159BpeMerges, q160RetentionCohorts, q162TheilSen, q163DomainXent,
     q164SlidingWau, q166RfmSegments, q167BurstDetect, q172WilsonRank,
     q173ConversionLatency, q174RendezvousShards, q175HllCalibration,
-    q176DecayedLtv, q189ChiSquare, q191OlsFit, q193IsotonicCal, q204Ece)
+    q176DecayedLtv, q189ChiSquare, q191OlsFit, q193IsotonicCal, q204Ece,
+    q225FoldStability)
 }

@@ -710,6 +710,16 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q225 fold stability: five leave-one-out fits, train sizes telescope") {
+    val out = graft.operators.AuditOps.q225FoldStability
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    val total = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    // each row trains on the complement: sizes sum to 4x the corpus
+    assert(out.map(_.getLong(1)).sum == 4 * total)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
