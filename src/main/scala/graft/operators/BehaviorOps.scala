@@ -228,6 +228,14 @@ object BehaviorOps {
       .select(col("event_type"),
         expr("CAST(round((coalesce(tnext, tend) - tn) * 1000.0) AS BIGINT)").as("dtm"),
         when(col("tnext").isNull, 0L).otherwise(1L).as("ev"))
+    hazardFromObs(d)
+  }
+
+  /** The histogram/at-risk half of q185 over raw observation rows
+    * `(event_type, dtm, ev)` — shared with the streaming monitor,
+    * whose emitted observations ARE that relation.
+    */
+  def hazardFromObs(d: DataFrame): DataFrame =
     d.groupBy("event_type", "dtm")
       .agg(count(lit(1)).as("n_all"), sum("ev").as("n_events"))
       .withColumn("n_at_risk",
@@ -235,7 +243,6 @@ object BehaviorOps {
       .filter(col("n_events") > 0)
       .select(col("event_type"), col("dtm"), col("n_at_risk"), col("n_events"),
         expr("1000000L * n_events div n_at_risk").as("hazard_ppm"))
-  }
 
   // ---------------------------------------------------------------------
   // q192: behavioral-diversity entropy per user

@@ -219,5 +219,96 @@ object StreamingAudit {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q171StreamBurst, q194StreamChisq, q212StreamGini)
+  // ---- streaming survival (hazard) observations ----
+
+  final case class HazardObs(user_id: Long, event_type: String, kind: String,
+      dtm: Long, ev: Long)
+
+  /** Carried per-user state: the tn origin, each type's LAST seen tn
+    * (|event_type|-bounded), the user's overall max tn, and the
+    * late-data frontier.
+    */
+  final case class HazardState(t0: Double, lastByType: Map[String, Double],
+      tmax: Double, frontier: Double)
+
+  /** Per-user batch handler maintaining q185's observations at
+    * ingest: a same-type successor FINALIZES the previous gap (a
+    * complete observation is append-only — it can never change), and
+    * after each batch the user's censored tails (last same-type
+    * event → the user's current max tn) are RE-emitted under the
+    * (user, type, 'cens') upsert key — censoring is the part of
+    * survival data that moves as time passes, so it carries the
+    * upsert contract while completed gaps stay immutable. A single-
+    * batch run's observations equal the batch derivation exactly,
+    * so the declared query shares q185's oracle.
+    */
+  private def hazardUpdate(userId: Long, rows: Iterator[Row],
+      state: GroupState[HazardState]): Iterator[HazardObs] = {
+    val evs = rows.map(r => (r.getAs[Double]("t"), r.getAs[Long]("event_id"),
+      r.getAs[String]("event_type"))).toArray.sortBy(e => (e._1, e._2))
+    if (evs.isEmpty) return Iterator.empty
+    val prior = state.getOption
+    val t0 = prior.map(_.t0).getOrElse(evs.head._1)
+    var last = prior.map(_.lastByType).getOrElse(Map.empty[String, Double])
+    var tmax = prior.map(_.tmax).getOrElse(Double.NegativeInfinity)
+    var frontier = prior.map(_.frontier).getOrElse(Double.NegativeInfinity)
+    val out = Vector.newBuilder[HazardObs]
+    evs.foreach { case (t, _, tpe) =>
+      val tn = t - t0
+      if (prior.isDefined && tn < frontier) {
+        // late: drop, never rewind
+      } else {
+        last.get(tpe).foreach { prev =>
+          out += HazardObs(userId, tpe, "gap",
+            math.round((tn - prev) * 1000.0), 1L)
+        }
+        last = last.updated(tpe, tn)
+        tmax = math.max(tmax, tn)
+        frontier = tn
+      }
+    }
+    state.update(HazardState(t0, last, tmax, frontier))
+    last.toSeq.sortBy(_._1).foreach { case (tpe, prev) =>
+      out += HazardObs(userId, tpe, "cens", math.round((tmax - prev) * 1000.0), 0L)
+    }
+    out.result().iterator
+  }
+
+  def hazardStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): org.apache.spark.sql.Dataset[HazardObs] = {
+    import spark.implicits._
+    val schema = graft.sources.Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
+      .selectExpr("user_id", "event_id",
+        "cast(ts div 1000 as double) / 1e6 as t", "event_type")
+      .groupByKey(_.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(hazardUpdate)
+  }
+
+  def runHazard(spark: SparkSession, dir: String,
+      sinkName: String = "stream_hazard"): DataFrame = {
+    val q = hazardStream(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Streaming twin of q185: the observation stream rolled through
+    * the SAME histogram/at-risk stage; shares q185's oracle.
+    */
+  val q226StreamHazard: QueryDef = QueryDef.sql(
+    "q226_stream_hazard",
+    graft.operators.BehaviorOps.q185HazardTable.oracle.get) { (spark, dir) =>
+    graft.operators.BehaviorOps
+      .hazardFromObs(runHazard(spark, dir).select("event_type", "dtm", "ev"))
+      .orderBy("event_type", "dtm")
+  }
+
+  val all: Seq[QueryDef] = Seq(q171StreamBurst, q194StreamChisq, q212StreamGini,
+    q226StreamHazard)
 }

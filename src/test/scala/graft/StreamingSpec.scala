@@ -333,6 +333,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.toMap == batch)
   }
 
+  test("hazard stream: two-batch fold (append gaps + upsert censors) equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hazard-batches").toString
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmp/b=1")
+    events.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmp/b=2")
+    def partOf(sub: String): java.io.File =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partOf("b=1").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.move(partOf("b=2").toPath,
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val gaps = mutable.ArrayBuffer[(Long, String, Long)]()
+    val censors = mutable.LinkedHashMap[(Long, String), Long]()
+    var batches = 0
+    val q = graft.streaming.StreamingAudit
+      .hazardStream(spark, tmp, glob = "events_*.parquet", oneFilePerTrigger = true)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingAudit.HazardObs], _: Long) =>
+        batches += 1
+        df.collect().foreach { o =>
+          if (o.kind == "gap") gaps += ((o.user_id, o.event_type, o.dtm))
+          else censors((o.user_id, o.event_type)) = o.dtm
+        }
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2)
+    // batch derivation of the same observation multiset
+    val series = graft.sources.Tables.seriesNorm(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val typeOw = Window.partitionBy("user_id", "event_type").orderBy("tn", "event_id")
+    val userW = Window.partitionBy("user_id")
+    val d = series
+      .withColumn("tnext", lead(col("tn"), 1).over(typeOw))
+      .withColumn("tend", max("tn").over(userW))
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round((coalesce(tnext, tend) - tn) * 1000.0) AS BIGINT)").as("dtm"),
+        col("tnext").isNull.as("cens"))
+      .collect()
+    val batchGaps = d.filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batchCens = d.filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gaps.sorted.toSeq == batchGaps.sorted.toSeq)
+    assert(censors.toMap == batchCens)
+  }
+
   test("stream as-of: a two-batch replay equals the single-batch result") {
     val dir = "/root/testdata/sf0.001"
     val events = graft.sources.Tables.events(spark, dir)
