@@ -564,8 +564,67 @@ object TextOps {
       .select(col("n").as("n_words"), col("slope"), col("intercept"), col("r2"))
   }
 
+  /** q227: BM25 document ranking for the corpus's three most
+    * document-frequent terms (a deterministic stand-in for a user
+    * query) — the retrieval upgrade of q89's TF-IDF: BM25's tf
+    * saturation (k1 = 1.2) and length normalization (b = 0.75)
+    * prevent long spammy docs from dominating. The IDF is q89's
+    * fixed-point reciprocal `(N·1000) div df` (the engine's log-free
+    * scoring policy — classic BM25's ln-IDF is a monotone transform
+    * of it; documented deviation). Each (doc, term) contribution is
+    * one fixed-order double of exact integers, micro-quantized to
+    * int64 BEFORE the per-doc sum so the sum is reduction-order-free.
+    *
+    * Scale shape: the query relation is 3 rows (broadcast); scoring
+    * is one join + hash aggregate over matching postings only;
+    * top-10 is TakeOrderedAndProject.
+    */
+  val q227Bm25TopK: QueryDef = QueryDef.sql(
+    "q227_bm25_topk",
+    """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |ad AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS nd FROM dl),
+      |qt AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 3),
+      |ct AS (SELECT tf.doc_id,
+      |    CAST(round(1000000.0 * ((n.n_total * 1000) // qt.df)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(ad.sdl AS DOUBLE) / ad.nd)))
+      |    ) AS BIGINT) AS c
+      |  FROM tf JOIN qt USING (token) JOIN dl USING (doc_id)
+      |  CROSS JOIN n CROSS JOIN ad),
+      |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro
+      |  FROM ct GROUP BY doc_id)
+      |SELECT doc_id, bm25_micro FROM sc
+      |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+    val tf = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docsDf.agg(count(lit(1)).as("n_total"))
+    val dl = docsDf.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val ad = dl.agg(sum("dl").as("sdl"), count(lit(1)).as("nd"))
+    val qt = df.orderBy(col("df").desc, col("token")).limit(3)
+    tf.join(broadcast(qt.withColumnRenamed("df", "qdf")), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(ad))
+      .withColumn("c", expr(
+        """CAST(round(1000000.0 * ((n_total * 1000) div qdf)
+          | * (tf * 2.2)
+          | / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+          |) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id").agg(sum("c").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+      .select("doc_id", "bm25_micro")
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
     q169TfidfDocsim, q178GopherRules, q179LangConfusion, q201SimpsonDiversity,
-    q210ZipfFit)
+    q210ZipfFit, q227Bm25TopK)
 }

@@ -720,6 +720,18 @@ class BehaviorOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("q227 bm25: scores ordered, positive, and tf-saturating") {
+    val out = graft.operators.TextOps.q227Bm25TopK.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    out.zip(out.tail).foreach { case (a, b) => assert(a._2 >= b._2) }
+    assert(out.forall(_._2 > 0))
+    // saturation: the top score is bounded by 3 terms x idf x (k1+1)
+    val nDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val maxIdf = nDocs * 1000 // df >= 1
+    assert(out.head._2 <= 3L * maxIdf * 1000000L * 22 / 10)
+  }
+
   test("q185 hazard: at-risk counts are non-increasing in duration per type") {
     val out = BehaviorOps.q185HazardTable.fn(spark, "/root/testdata/sf0.001").collect()
     val byType = out.groupBy(_.getString(0))
