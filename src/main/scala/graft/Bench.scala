@@ -28,6 +28,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query attribution (see BenchDiag scaladoc): splits wall time
+    // into task-run/CPU/GC/spill vs outside-task time so a sweep
+    // anomaly like round 5's 50x series-window phantom is self-
+    // explaining from the committed BENCH_DIAG.json artifact.
+    val diag = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(diag)
     // JVM/codegen warmup so the first measured query isn't charged
     // for executor + whole-stage-codegen compilation.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -45,22 +51,32 @@ object Bench {
     // on unchanged queries); min-of-2 separates that noise from real
     // plan changes. SPARK_GRAFT_REPEAT overrides for profiling.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    val diagRecs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[BenchDiag.Rec])]
     val results = selected.map { q =>
       // A FAILED query records -1, never its fail-fast wall time: an
       // analysis error takes ~0.1 s and would otherwise masquerade as
       // a 20x speedup in round-over-round comparisons (this is what
       // invalidated the round-3 events numbers).
+      val recs = scala.collection.mutable.ArrayBuffer.empty[BenchDiag.Rec]
       val runs = (1 to repeat).map { _ =>
+        org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+        val ts0 = diag.snapshot
+        val gc0 = BenchDiag.driverGcMs; val cpu0 = BenchDiag.processCpuMs
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+          recs += BenchDiag.Rec((dt * 1000).toLong, diag.snapshot - ts0,
+            BenchDiag.driverGcMs - gc0, BenchDiag.processCpuMs - cpu0)
+          dt
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
             -1.0
         }
       }
+      diagRecs += ((q.name, recs.toSeq))
       // best of the SUCCESSFUL repeats; -1 only when every repeat
       // failed (a transient failure must not erase real timings)
       val ok = runs.filter(_ >= 0)
@@ -110,6 +126,15 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full$errField,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
+    // Attribution sidecar: every repeat of every query with its task/
+    // GC/CPU/spill split (BenchDiag scaladoc documents how to read it).
+    try {
+      val body = diagRecs.map { case (name, recs) =>
+        s""""$name":[${recs.map(BenchDiag.recJson).mkString(",")}]"""
+      }.mkString("{\"heapMbEnd\":" + BenchDiag.heapUsedMb + ",\"queries\":{", ",", "}}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DIAG.json"), body + "\n")
+    } catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -199,13 +199,15 @@ object AuditOps {
     * "independently" weighted in a mixture (q145 is the train/test
     * special case; this is the all-pairs source-level census).
     *
-    * Scale shape: distinct (source, digest) is one hash aggregate;
-    * the pair generation is a digest-keyed equi self-join whose
-    * fan-out per key is bounded by |sources| (≤ a handful), never by
-    * corpus size; the matrix itself is |sources|² rows. Per-source
-    * totals ride in on a broadcast. Sides are rename-projected, not
-    * dataset-aliased (alias resolution on a shared plan is fragile
-    * under reuse).
+    * Scale shape: ONE corpus-wide shuffle total — the exploded spans
+    * hash-aggregate straight to (digest → sorted source SET), whose
+    * per-key state is bounded by |sources| (≤ a handful) and merges
+    * map-side; per-source totals and the i<j pairs are both derived
+    * from that already-aggregated relation (explode fan-out ≤
+    * |sources| and ≤ |sources|² per digest), so no corpus-sized
+    * relation is ever joined or re-shuffled. (The previous form —
+    * distinct (source, digest) THEN a digest-keyed self-join — paid
+    * two more corpus-wide exchanges for the same matrix.)
     */
   val q153SourceOverlap: QueryDef = QueryDef.sql(
     "q153_source_overlap",
@@ -227,15 +229,23 @@ object AuditOps {
     * the `Corpus.sourceOverlap` facade).
     */
   def sourceOverlapDf(corpus: DataFrame, spanWords: Int = 8): DataFrame = {
-    val sp = corpus
+    // the one corpus-wide shuffle: digest -> sorted SET of sources
+    // (collect_set state is bounded by |sources|, merges map-side)
+    val byHash = corpus
       .select(col("source"), split(col("text"), " ").as("ws"))
       .select(col("source"),
         explode(TextHash.shinglesFromWords(col("ws"), spanWords)).as("span"))
-      .select(col("source"), md5(col("span")).as("h"))
-      .distinct()
-    val tot = sp.groupBy("source").agg(count(lit(1)).as("n"))
-    val shared = sp.select(col("h"), col("source").as("src_a"))
-      .join(sp.select(col("h"), col("source").as("src_b")), Seq("h"))
+      .select(md5(col("span")).as("h"), col("source"))
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
+    // everything below reads only the aggregated (h, srcs) relation:
+    // explode fan-out per digest is ≤ |sources| (totals) and
+    // ≤ |sources|² (pairs), and both aggregates combine map-side down
+    // to |sources| / |sources|² rows before their (tiny) shuffles.
+    val tot = byHash.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = byHash
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
     shared

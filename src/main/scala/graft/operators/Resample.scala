@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * would plan as a broadcast nested-loop join), grid points and
   * samples are unioned into ONE ordered stream per series; the
   * bracketing sample before/after each grid point then falls out of
-  * two `last/first ignoreNulls` running windows. That is a single
-  * shuffle by series key + one sort — O(n log n) per series, no
-  * quadratic join, and it reuses the same partitioning every other
-  * series op uses. This is the 100 TB-safe shape for as-of joins with
+  * two RUNNING `last ignoreNulls` windows — the "after" one over the
+  * reversed sort, so both frames evaluate incrementally (a literal
+  * [current, unboundedFollowing] frame re-aggregates the tail for
+  * every row: O(n²) per series). That is a single shuffle by series
+  * key + two in-partition sorts — O(n log n) per series, no
+  * quadratic join or frame, and it reuses the same partitioning
+  * every other series op uses. This is the 100 TB-safe shape for as-of joins with
   * high-cardinality keys; DuckDB's native ASOF JOIN is the same idea.
   */
 object Resample {
@@ -70,24 +73,31 @@ object Resample {
         lit(1).as("__g")) ++ s.tieCols.map(_ => lit(null).cast("long")): _*)
       .toDF(sPart.columns.toIndexedSeq: _*)
 
-    // materialize the tie-break as a column: all window specs then
-    // sort on the same attributes, so the before/after frames share
-    // ONE in-partition sort instead of re-sorting per frame
+    // Bracket windows, fused and linear: each direction carries ONE
+    // (value, time) struct in a RUNNING `last ignoreNulls` frame. The
+    // "next sample" direction runs over the REVERSED ordering — a
+    // running frame on the descending sort is exactly `first
+    // ignoreNulls` over [current, end] ascending, but Spark evaluates
+    // a running frame incrementally (O(n) per series) where an
+    // explicit [0, unboundedFollowing] frame re-aggregates the
+    // remaining rows for every row (O(n²) per series — a scale
+    // hazard for long series). One shuffle, two in-partition sorts.
     val union = withOrdCols(sPart.unionAll(pPart), s)
     val ord = ordCols(s)
-    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
-    val before = w.rowsBetween(Window.unboundedPreceding, 0)
-    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    val before = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val revBefore = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(ord.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
 
     val v = col("__v"); val tt = col(s.timeCol)
-    val pv = last(v, ignoreNulls = true).over(before)
-    val pt = last(when(v.isNotNull, tt), ignoreNulls = true).over(before)
-    val nv = first(v, ignoreNulls = true).over(after)
-    val nt = first(when(v.isNotNull, tt), ignoreNulls = true).over(after)
+    val sample = when(v.isNotNull, struct(v.as("v"), tt.as("t")))
 
     union
-      .withColumn("__pv", pv).withColumn("__pt", pt)
-      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .withColumn("__prev", last(sample, ignoreNulls = true).over(before))
+      .withColumn("__next", last(sample, ignoreNulls = true).over(revBefore))
+      .withColumn("__pv", col("__prev.v")).withColumn("__pt", col("__prev.t"))
+      .withColumn("__nv", col("__next.v")).withColumn("__nt", col("__next.t"))
       .filter(col("__g") === 1)
       .withColumn(out,
         when(col("__pv").isNull, col("__nv"))
@@ -123,27 +133,40 @@ object Resample {
       .toDF(sPart.columns.toIndexedSeq: _*)
 
     val ord = ordCols(s)
-    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
-    val before = w.rowsBetween(Window.unboundedPreceding, 0)
-    val after = w.rowsBetween(0, Window.unboundedFollowing)
+    // same fused/linear bracket shape as interpolateAt: per column ONE
+    // (value, time) struct per direction, the "next" direction as a
+    // running frame over the reversed sort (O(n) per series; an
+    // explicit unbounded-following frame would re-aggregate per row).
+    // All ascending-frame expressions are added in ONE select so they
+    // plan as a single Window node; likewise the descending ones.
+    val before = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val revBefore = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(ord.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
     // time-ordered full frame: "first label" is the first non-null in
     // time order (grid rows carry nulls), not an arbitrary partition row
-    val wholeW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wholeW = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tt = col(s.timeCol)
 
-    val lerped = interp.foldLeft(withOrdCols(sPart.unionAll(pPart), s)) { (d, c) =>
-      val v = col(s"__v_$c")
-      val pv = last(v, ignoreNulls = true).over(before)
-      val pt = last(when(v.isNotNull, tt), ignoreNulls = true).over(before)
-      val nv = first(v, ignoreNulls = true).over(after)
-      val nt = first(when(v.isNotNull, tt), ignoreNulls = true).over(after)
+    val union = withOrdCols(sPart.unionAll(pPart), s)
+    val brackets = union.select(
+      (union.columns.map(col).toSeq ++
+        interp.flatMap { c =>
+          val v = col(s"__v_$c")
+          val sm = when(v.isNotNull, struct(v.as("v"), tt.as("t")))
+          Seq(last(sm, ignoreNulls = true).over(before).as(s"__prev_$c"),
+            last(sm, ignoreNulls = true).over(revBefore).as(s"__next_$c"))
+        } ++
+        labelCols.map(c => first(col(c), ignoreNulls = true).over(wholeW).as(s"__o_$c"))): _*)
+    val withLabels = interp.foldLeft(brackets) { (d, c) =>
+      val pv = col(s"__prev_$c.v"); val pt = col(s"__prev_$c.t")
+      val nv = col(s"__next_$c.v"); val nt = col(s"__next_$c.t")
       val li = when(pv.isNull, nv).when(nv.isNull, pv)
         .when(nt === pt, pv)
         .otherwise(pv + (nv - pv) * (tt - pt) / (nt - pt))
       d.withColumn(s"__o_$c", li)
-    }
-    val withLabels = labelCols.foldLeft(lerped) { (d, c) =>
-      d.withColumn(s"__o_$c", first(col(c), ignoreNulls = true).over(wholeW))
     }
     withLabels.filter(col("__g") === 1)
       .select((keyNames.map(col) :+ tt.as(s.timeCol)) ++

@@ -103,15 +103,54 @@ object SeriesOps {
     * percentiles exact interpolations of integers (the q101/q112
     * policy); clip MEMBERSHIP compares the exact integer against that
     * value, and clipped outputs are `bound/1000.0` — one division,
-    * identical bits on both engines. One series shuffle, two
-    * whole-partition windows.
+    * identical bits on both engines.
+    *
+    * Scale shape: the percentiles are EXACT but never buffer a
+    * series' values (the q108/q203 histogram policy — this replaced a
+    * whole-partition `percentile().over` whose ObjectAggregation
+    * buffer grew with series length). The milli-quantized values roll
+    * up to a per-key VALUE HISTOGRAM (`groupBy(key, q).count` — hash
+    * aggregate, map-side combinable, bounded by the value domain per
+    * key, not the row count); the two bounds are read off the
+    * prefix-summed histogram with Spark `Percentile`'s own
+    * `pos = p·(n−1)`, `(hi−pos)·v_lo + (pos−lo)·v_hi` interpolation
+    * so the result is bit-identical to the buffered form; the 2-value
+    * bounds relation joins back on the series key — a shuffle hash
+    * join on the same axis as the series shuffle.
     */
   def winsorize(df: DataFrame, s: Series, value: String, out: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val q = round(col(value) * 1e3).cast("long")
-    df.withColumn("__q", q)
-      .withColumn("__lo", percentile(col("__q"), lit(pLo)).over(s.whole))
-      .withColumn("__hi", percentile(col("__q"), lit(pHi)).over(s.whole))
+    val keys = s.keyCols.map(col)
+    val q = df.withColumn("__q", round(col(value) * 1e3).cast("long"))
+    val hist = q.filter(col("__q").isNotNull)
+      .groupBy(keys :+ col("__q"): _*).agg(count(lit(1)).as("__cnt"))
+    val cum = hist
+      .withColumn("__cum", sum("__cnt")
+        .over(Window.partitionBy(keys: _*).orderBy("__q")))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(keys: _*)))
+    // histogram rows covering 0-based sort positions floor(p·(n−1))
+    // and ceil(p·(n−1)): row with cumulative range [cum−cnt, cum)
+    // covers position i iff cum−cnt ≤ i < cum
+    def bracket(p: Double, tag: String): Seq[Column] = {
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      Seq(
+        min(when(col("__cum") - col("__cnt") <= lo && lo < col("__cum"), col("__q"))).as(s"__vlo_$tag"),
+        min(when(col("__cum") - col("__cnt") <= hi && hi < col("__cum"), col("__q"))).as(s"__vhi_$tag"))
+    }
+    val aggs = Seq(max("__n").as("__n")) ++ bracket(pLo, "lo") ++ bracket(pHi, "hi")
+    // Percentile.getPercentile's exact interpolation on the brackets
+    def interp(p: Double, vlo: Column, vhi: Column): Column = {
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      val lo = floor(pos); val hi = ceil(pos)
+      when(lo === hi || vlo === vhi, vlo.cast("double"))
+        .otherwise((hi.cast("double") - pos) * vlo.cast("double") +
+          (pos - lo.cast("double")) * vhi.cast("double"))
+    }
+    val bounds = cum.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select(keys :+ interp(pLo, col("__vlo_lo"), col("__vhi_lo")).as("__lo")
+        :+ interp(pHi, col("__vlo_hi"), col("__vhi_hi")).as("__hi"): _*)
+    q.join(bounds, s.keyCols, "left")
       .withColumn(s"${out}_clipped", col("__q") < col("__lo") || col("__q") > col("__hi"))
       .withColumn(out,
         when(col("__q") < col("__lo"), col("__lo") / 1000.0)

@@ -41,6 +41,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), "q108 has an object-buffer aggregate")
   }
 
+  test("winsorize bounds ride the value histogram, not a series buffer") {
+    // the bounds come from a (key, milli-value) count histogram —
+    // never a percentile().over(whole-series) ObjectAggregation
+    // buffer that grows with series length
+    val p = plan("q190_winsorize")
+    assert(!p.toLowerCase.contains("percentile"), "q190 regressed to buffered percentile")
+    assert(!p.contains("ObjectHashAggregate"), "q190 has an object-buffer aggregate")
+  }
+
   test("per-source percent_rank reads a broadcast histogram, not a stratum window") {
     val p = plan("q107_quality_rank")
     assert(p.contains("BroadcastHashJoin"), "q107 lost the broadcast rank join")
@@ -152,6 +161,48 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"unexpected BNLJ in: ${offenders.map(_.name).mkString(", ")}")
+  }
+
+  test("global windows appear ONLY over bounded aggregated relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // A Window with an EMPTY partitionSpec funnels its whole input
+    // through ONE partition — at 100 TB that is a single-reducer
+    // bottleneck unless the input is already aggregated down to a
+    // relation bounded by a value domain / calendar / K, never by
+    // corpus row count. This generalizes the q81 check suite-wide
+    // (the BNLJ guard's sibling): every allowed global window names
+    // its bounded relation; a NEW one anywhere else fails.
+    val allowed = Map(
+      "q78_mixture_report" -> "per-source mixture rollup (|sources| rows)",
+      "q81_token_shards" -> "two-phase prefix sum's block-totals relation (|blocks| rows)",
+      "q105_kmeans_train" -> "centroid init over a GlobalLimit(K) relation",
+      "q131_cross_corr" -> "calendar-bounded hourly grid (a decade is 87k rows)",
+      "q151_dedup_saturation" -> "per-bucket saturation curve (|buckets| rows)",
+      "q188_rrf_fusion" -> "score-domain value histograms (q107 trick), broadcast back",
+      "q189_chi_square" -> "(source x lang) contingency table (domain-bounded)",
+      "q193_isotonic_cal" -> "<=11-row confidence-band histogram (PAVA input)",
+      "q203_quantile_normalize" -> "pooled milli-value histogram (value-domain-bounded)",
+      "q204_ece" -> "<=11-row confidence-band histogram rollup",
+      "q205_assoc_rules" -> "(from_type x to_type) transition matrix (domain-bounded)",
+      "q210_zipf_fit" -> "rank axis over the aggregated vocabulary histogram",
+      "q217_mixture_waterfill" -> "per-source water-filling table (|sources| rows)",
+      "q222_cluster_sizes" -> "cluster-SIZE census histogram (|distinct sizes| rows)",
+      "q225_fold_stability" -> "K-row per-fold moment relation")
+    def globals(name: String): Boolean = {
+      try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+        .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+      catch { case _: Throwable => false }
+      finally spark.experimental.extraOptimizations = Nil
+    }
+    val offenders = SparkEntry.allQueries
+      .filterNot(_.name.contains("stream")) // streaming plans need a sink
+      .filterNot(q => allowed.contains(q.name))
+      .filter(q => globals(q.name))
+    assert(offenders.isEmpty,
+      s"unexpected GLOBAL window in: ${offenders.map(_.name).mkString(", ")}")
+    // keep the allowlist honest: every entry must still carry one
+    val stale = allowed.keys.filterNot(globals)
+    assert(stale.isEmpty, s"allowlist entries without a global window: ${stale.mkString(", ")}")
   }
 
   // NOTE: absolute-time slice pushdown (the InferScanBounds rule

@@ -459,6 +459,153 @@ class StreamingSpec extends AnyFunSuite {
     upserted.foreach { case (k, r) => assert(r == single(k), s"source $k diverged") }
   }
 
+  // --------------------------------------------------------------
+  // Kill-and-resume parity for the four flatMapGroupsWithState audit
+  // monitors (q171/q194/q212/q226): phase 1 processes only file _a
+  // with a checkpoint and the query STOPS; file _b arrives and a NEW
+  // query on the SAME checkpoint must resume the carried keyed state
+  // reading only the new file (exactly one more micro-batch), and the
+  // folded view must equal the single-batch run — the same contract
+  // the sketch path pins above.
+  // --------------------------------------------------------------
+
+  /** Two-phase checkpointed drive of `mkStream`: runs to completion
+    * after each `writeHalf`, asserts the resume processed exactly one
+    * extra micro-batch, and feeds every emitted row to `fold`.
+    */
+  private def killAndResume[T](tag: String,
+      writeHalf: (String, String) => Unit,
+      mkStream: (String, String) => org.apache.spark.sql.Dataset[T])(
+      fold: T => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-ckpt").toString
+    val ckpt = s"$tmp/ckpt"
+    var batches = 0
+    def runToCompletion(): Unit = {
+      val q = mkStream(tmp, s"${tag}_*.parquet").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[T], _: Long) =>
+          batches += 1
+          df.collect().foreach(fold)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeHalf(tmp, s"${tag}_a.parquet")
+    runToCompletion()
+    val afterA = batches
+    assert(afterA >= 1)
+    writeHalf(tmp, s"${tag}_b.parquet")
+    runToCompletion()
+    assert(batches == afterA + 1,
+      s"restart reprocessed old files: $afterA -> $batches")
+  }
+
+  /** Writes the time-ordered halves of `events` one call at a time
+    * (first call = early half), as a real checkpointed ingest would
+    * deliver them.
+    */
+  private def eventHalfWriter(): (String, String) => Unit = {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val cut = events.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head().getLong(0)
+    var phase = 0
+    (tmp, name) => {
+      phase += 1
+      val half = if (phase == 1) events.filter(col("ts") <= cut)
+        else events.filter(col("ts") > cut)
+      half.coalesce(1).write.parquet(s"$tmp/stage_$phase")
+      val part = new java.io.File(s"$tmp/stage_$phase").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/$name"))
+    }
+  }
+
+  test("burst monitor restart: checkpoint resumes hourly-count state (q171)") {
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.BurstRow
+    val upserted = mutable.LinkedHashMap[(String, Long), BurstRow]()
+    killAndResume[BurstRow]("burstck", eventHalfWriter(),
+      (tmp, glob) => StreamingAudit.burstStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted((r.event_type, r.h)) = r
+    }
+    val single = StreamingAudit.run(spark, "/root/testdata/sf0.001", "burst_ckpt_single")
+      .collect().map { r =>
+        val b = BurstRow(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))
+        (b.event_type, b.h) -> b
+      }.toMap
+    assert(upserted.nonEmpty && upserted.toMap == single)
+  }
+
+  test("chisq monitor restart: checkpoint resumes contingency state (q194)") {
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.LangCount
+    val docsTbl = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    var phase = 0
+    val writeHalf: (String, String) => Unit = (tmp, name) => {
+      phase += 1
+      val half = if (phase == 1) docsTbl.filter(col("doc_id") % 2 === 0)
+        else docsTbl.filter(col("doc_id") % 2 === 1)
+      half.coalesce(1).write.parquet(s"$tmp/stage_$phase")
+      val part = new java.io.File(s"$tmp/stage_$phase").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/$name"))
+    }
+    val upserted = mutable.LinkedHashMap[(String, String), Long]()
+    killAndResume[LangCount]("chisqck", writeHalf,
+      (tmp, glob) => StreamingAudit.langCountStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted((r.source, r.lang)) = r.n
+    }
+    val single = StreamingAudit.runChisq(spark, "/root/testdata/sf0.001", "chisq_ckpt_single")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(upserted.nonEmpty && upserted.toMap == single)
+  }
+
+  test("gini monitor restart: checkpoint resumes value-histogram state (q212)") {
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.GiniRow
+    val upserted = mutable.LinkedHashMap[String, (Long, Long)]()
+    killAndResume[GiniRow]("ginick", eventHalfWriter(),
+      (tmp, glob) => StreamingAudit.giniStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted(r.event_type) = (r.n, r.gini_ppm)
+    }
+    val batch = graft.operators.BehaviorOps
+      .q202GiniConcentration.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(upserted.nonEmpty && upserted.toMap == batch)
+  }
+
+  test("hazard monitor restart: checkpoint resumes per-user gap state (q226)") {
+    import graft.streaming.StreamingAudit
+    import graft.streaming.StreamingAudit.HazardObs
+    val gaps = mutable.ArrayBuffer[(Long, String, Long)]()
+    val censors = mutable.LinkedHashMap[(Long, String), Long]()
+    killAndResume[HazardObs]("hazardck", eventHalfWriter(),
+      (tmp, glob) => StreamingAudit.hazardStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      o =>
+        if (o.kind == "gap") gaps += ((o.user_id, o.event_type, o.dtm))
+        else censors((o.user_id, o.event_type)) = o.dtm
+    }
+    // single-batch emission: complete gaps are append-only, censored
+    // tails carry the upsert key — same fold as the two-batch test
+    val singleGaps = mutable.ArrayBuffer[(Long, String, Long)]()
+    val singleCens = mutable.LinkedHashMap[(Long, String), Long]()
+    StreamingAudit.runHazard(spark, "/root/testdata/sf0.001", "hazard_ckpt_single")
+      .collect().foreach { r =>
+        val (u, tpe, kind, dtm) = (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+        if (kind == "gap") singleGaps += ((u, tpe, dtm))
+        else singleCens((u, tpe)) = dtm
+      }
+    assert(gaps.nonEmpty)
+    assert(gaps.sorted.toSeq == singleGaps.sorted.toSeq)
+    assert(censors.toMap == singleCens.toMap)
+  }
+
   test("stream KMV: sketch state folds across batches to the exact batch sketch") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.KmvRow
