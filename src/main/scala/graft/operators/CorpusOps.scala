@@ -581,9 +581,56 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q229: vocabulary coverage / OOV curve — for every frequency
+    * threshold f: how many distinct tokens occur ≥ f times
+    * (`vocab_size`) and what fraction of all token OCCURRENCES they
+    * cover (`coverage_ppm`). Read top-down it answers "how big must
+    * the vocab be for X% coverage"; the complement of coverage is
+    * the OOV/UNK rate a truncated vocab pays (q116's mask is the
+    * per-token application of exactly this curve).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined
+    * token-count aggregate; that vocab relation immediately rolls up
+    * to a FREQUENCY-OF-FREQUENCY histogram (one row per distinct
+    * count value — thousands of rows for billions of tokens, since
+    * distinct counts grow ~√(max count) under Zipf), and the
+    * cumulative windows run over that bounded histogram only (the
+    * q107/q188 policy; allow-listed in the global-window plan guard).
+    */
+  val q229OovCurve: QueryDef = QueryDef.sql(
+    "q229_oov_curve",
+    """WITH v AS (SELECT token, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |ff AS (SELECT c, count(*) AS n_tokens FROM v GROUP BY c),
+      |cum AS (SELECT c, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY c DESC) AS vocab_size,
+      |    sum(c * n_tokens) OVER (ORDER BY c DESC) AS occ_cum,
+      |    sum(c * n_tokens) OVER () AS tot
+      |  FROM ff)
+      |SELECT CAST(c AS BIGINT) AS freq, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  CAST(occ_cum AS BIGINT) AS occ_cum,
+      |  1000000 * CAST(occ_cum AS BIGINT) // CAST(tot AS BIGINT) AS coverage_ppm
+      |FROM cum ORDER BY freq DESC""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ff = vocab.groupBy("c").agg(count(lit(1)).as("n_tokens"))
+    // default (RANGE unbounded-preceding .. current) frames on both
+    // engines; c is unique per row so RANGE == ROWS
+    ff.withColumn("vocab_size", sum("n_tokens").over(Window.orderBy(col("c").desc)))
+      .withColumn("occ_cum", sum(col("c") * col("n_tokens")).over(Window.orderBy(col("c").desc)))
+      .withColumn("tot", sum(col("c") * col("n_tokens")).over(Window.partitionBy()))
+      .select(col("c").as("freq"), col("n_tokens"), col("vocab_size"), col("occ_cum"),
+        expr("1000000L * occ_cum div tot").as("coverage_ppm"))
+      .orderBy(col("freq").desc)
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
     q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
     q121SequencePacking, q143SplitDrift, q216NegativePairs,
-    q217MixtureWaterfill, q218TableDiff)
+    q217MixtureWaterfill, q218TableDiff, q229OovCurve)
 }

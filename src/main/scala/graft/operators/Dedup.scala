@@ -602,9 +602,76 @@ object Dedup {
       .orderBy("size")
   }
 
+  /** q230: MinHash estimator calibration — per exact-Jaccard decile
+    * of the LSH candidate pairs: pair count, mean EXACT Jaccard
+    * (q43's verify), mean SIGNATURE agreement (matching perms / 16 —
+    * the quantity MinHash uses as its Jaccard estimate), and the
+    * bias between them. E[agreement] = J, so a decile whose bias_ppm
+    * is far from 0 means the 16-perm signature is too short for the
+    * dedup threshold in use — the audit that decides NumPerms before
+    * a corpus-scale run.
+    *
+    * Scale shape: only LSH SURVIVORS pay (never the corpus cross
+    * product); per pair the work is two array ops over cached
+    * shingle sets plus a 16-element signature comparison; the decile
+    * rollup is a map-side-combined aggregate to ≤11 rows. Everything
+    * is integer-exact (deciles via `10·i div u`, means as ppm with a
+    * fixed truncation order) so both engines hash identically.
+    */
+  val q230MinhashCalibration: QueryDef = QueryDef.sql(
+    "q230_minhash_calibration",
+    s"""WITH $duckSig, $duckPairs,
+       |ds AS (SELECT DISTINCT doc_id, h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM prs p JOIN ds x ON x.doc_id = p.doc_a
+       |  JOIN ds y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY p.doc_a, p.doc_b),
+       |ag AS (SELECT p.doc_a, p.doc_b, count(*) FILTER (WHERE sx.mh = sy.mh) AS agree
+       |  FROM prs p JOIN sig sx ON sx.doc_id = p.doc_a
+       |  JOIN sig sy ON sy.doc_id = p.doc_b AND sy.p = sx.p
+       |  GROUP BY p.doc_a, p.doc_b),
+       |pairs AS (SELECT p.doc_a, p.doc_b,
+       |    coalesce(i.i, 0) AS i, ca.c + cb.c - coalesce(i.i, 0) AS u, ag.agree
+       |  FROM prs p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  JOIN cnt ca ON ca.doc_id = p.doc_a
+       |  JOIN cnt cb ON cb.doc_id = p.doc_b
+       |  JOIN ag ON ag.doc_a = p.doc_a AND ag.doc_b = p.doc_b)
+       |SELECT 10 * i // u AS decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(1000000 * i // u) // count(*) AS BIGINT) AS mean_jaccard_ppm,
+       |  CAST(1000000 * sum(agree) // ($NumPerms * count(*)) AS BIGINT) AS mean_sig_agree_ppm,
+       |  CAST(1000000 * sum(agree) // ($NumPerms * count(*))
+       |    - sum(1000000 * i // u) // count(*) AS BIGINT) AS bias_ppm
+       |FROM pairs GROUP BY decile ORDER BY decile""".stripMargin) { (spark, dir) =>
+    val sets = hashed(spark, dir)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hset"),
+        minhashSignature(col("hs")).as("sig"))
+    val pairs = lshPairs(spark, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha"), col("sig").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .select(
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+        size(array_union(col("ha"), col("hb"))).cast("long").as("u"),
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+          .cast("long").as("agree"))
+    pairs
+      .groupBy(expr("10L * i div u").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("1000000L * i div u")).as("sj"),
+        sum("agree").as("sa"))
+      .select(col("decile"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_jaccard_ppm"),
+        expr(s"1000000L * sa div ($NumPerms * n_pairs)").as("mean_sig_agree_ppm"),
+        expr(s"1000000L * sa div ($NumPerms * n_pairs) - sj div n_pairs").as("bias_ppm"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
     q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup,
-    q222ClusterSizes)
+    q222ClusterSizes, q230MinhashCalibration)
 }

@@ -623,8 +623,78 @@ object TextOps {
       .select("doc_id", "bm25_micro")
   }
 
+  /** PII scrub patterns (email, IPv4, 7+-digit runs — the standard
+    * first-pass redaction set for web-scraped training text). Kept
+    * RE2-compatible (no backrefs/lookaround) so the same patterns run
+    * on engines with RE2-class regex support.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("digits", raw"\d{7,}", "<NUM>"))
+
+  /** PII redaction over a text column: per-pattern match counts plus
+    * the redacted text (`<out>` column). Patterns apply in the fixed
+    * [[piiPatterns]] order — email first, so its digit-bearing local
+    * parts aren't half-eaten by the number rule.
+    *
+    * Scale shape: a pure per-row projection of codegen'd
+    * `regexp_count`/`regexp_replace` calls — no shuffle, no UDF;
+    * at 100 TB this runs at scan throughput like the other TextOps,
+    * and composes with retention pipelines as one more map stage.
+    */
+  def redactPii(df: org.apache.spark.sql.DataFrame, text: String,
+      out: String = "text_redacted"): org.apache.spark.sql.DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(text), lit(pat)).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col(text)) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, lit(pat), lit(tag))
+    }
+    counted.withColumn(out, redacted)
+  }
+
+  /** q228: tokenizer fertility profile per language — the budgeting
+    * numbers a tokenizer choice is judged by: characters per
+    * whitespace token and regex-subword tokens per whitespace token
+    * ("fertility", Ács 2019-style), per declared language. A lang
+    * whose fertility is materially above the corpus norm pays that
+    * multiple in sequence length for the same text.
+    *
+    * Scale shape: a pure per-row projection (q52's token counters)
+    * feeding ONE map-side-combined hash aggregate to |langs| rows —
+    * full scan throughput, no other shuffle; all ratios are exact
+    * integer ppm on the aggregated sums.
+    */
+  val q228TokenFertility: QueryDef = QueryDef.sql(
+    "q228_token_fertility",
+    raw"""WITH t AS (SELECT lang, len(string_split(text, ' ')) AS toks,
+         |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS subs, len(text) AS chars
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  1000000 * CAST(sum(chars) AS BIGINT) // CAST(sum(toks) AS BIGINT) AS chars_per_token_ppm,
+         |  1000000 * CAST(sum(subs) AS BIGINT) // CAST(sum(toks) AS BIGINT) AS fertility_ppm,
+         |  CAST(sum(toks) AS BIGINT) // count(*) AS tokens_per_doc
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        size(regexp_extract_all(col("text"), lit(raw"\w+|[^\w\s]"), lit(0)))
+          .cast("long").as("subs"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        sum("subs").as("n_subs"), sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("1000000L * n_chars div n_tokens").as("chars_per_token_ppm"),
+        expr("1000000L * n_subs div n_tokens").as("fertility_ppm"),
+        expr("n_tokens div n_docs").as("tokens_per_doc"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,
     q169TfidfDocsim, q178GopherRules, q179LangConfusion, q201SimpsonDiversity,
-    q210ZipfFit, q227Bm25TopK)
+    q210ZipfFit, q227Bm25TopK, q228TokenFertility)
 }

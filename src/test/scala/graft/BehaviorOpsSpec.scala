@@ -740,4 +740,55 @@ class BehaviorOpsSpec extends AnyFunSuite {
       assert(atRisk.zip(atRisk.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q228 fertility: per-lang sums reproduce from an independent doc scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextOps.q228TokenFertility.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.nonEmpty)
+    val raw = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        val toks = rs.map(_.getString(1).split(" ", -1).length.toLong).sum
+        val chars = rs.map(_.getString(1).length.toLong).sum
+        l -> (rs.length.toLong, toks, chars)
+      }
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (l, (nd, toks, chars)) =>
+      val (ond, otoks, ochars, cpt, fert, tpd) = out(l)
+      assert(ond == nd && otoks == toks && ochars == chars)
+      assert(cpt == 1000000L * chars / toks)
+      assert(tpd == toks / nd)
+      // word-salad text: subword tokens >= whitespace tokens, so
+      // fertility is at least 1.0 (1e6 ppm)
+      assert(fert >= 1000000L)
+    }
+  }
+
+  test("q229 oov curve: cumulative columns telescope and close at full coverage") {
+    val rows = graft.operators.CorpusOps.q229OovCurve.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 3)
+    // ordered by freq desc; vocab_size/occ_cum telescope over n_tokens
+    rows.zip(rows.tail).foreach { case ((f1, _, v1, o1, c1), (f2, n2, v2, o2, c2)) =>
+      assert(f1 > f2 && v2 == v1 + n2 && o2 == o1 + f2 * n2 && c2 >= c1)
+    }
+    assert(rows.head._3 == rows.head._2)
+    assert(rows.last._5 == 1000000L) // last row covers every occurrence
+  }
+
+  test("q230 minhash calibration: deciles bounded, bias column consistent") {
+    val rows = graft.operators.Dedup.q230MinhashCalibration.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dec, n, jac, sig, bias) =>
+      assert(dec >= 0 && dec <= 10 && n >= 1)
+      assert(jac >= 0 && jac <= 1000000L && sig >= 0 && sig <= 1000000L)
+      assert(bias == sig - jac)
+      // decile bucket brackets its mean exact Jaccard (truncating
+      // integer deciles: mean of values in [dec/10, (dec+1)/10))
+      assert(jac >= dec * 100000L - 1 && (dec == 10 || jac < (dec + 1) * 100000L))
+    }
+  }
 }

@@ -187,7 +187,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q210_zipf_fit" -> "rank axis over the aggregated vocabulary histogram",
       "q217_mixture_waterfill" -> "per-source water-filling table (|sources| rows)",
       "q222_cluster_sizes" -> "cluster-SIZE census histogram (|distinct sizes| rows)",
-      "q225_fold_stability" -> "K-row per-fold moment relation")
+      "q225_fold_stability" -> "K-row per-fold moment relation",
+      "q229_oov_curve" -> "frequency-of-frequency histogram (one row per distinct count value)")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty

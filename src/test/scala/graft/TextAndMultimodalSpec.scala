@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextHash, VectorMath}
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -205,6 +205,30 @@ class TextAndMultimodalSpec extends AnyFunSuite {
       assert(px.size == 8)
       assert(px.head == bytes(0))
     }
+  }
+
+  test("redactPii counts and replaces email/ip/digit-run PII, email first") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 192.168.0.1 now"),
+      (2L, "card 12345678901234 and short 123456 stay split"),
+      (3L, "clean text with no identifiers at all"),
+      (4L, "two mails a@b.io c@d.org and ip 10.0.0.255")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(in, "text").orderBy("doc_id")
+      .select("doc_id", "n_email", "n_ipv4", "n_digits", "text_redacted")
+      .collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1 && out(0).getLong(3) == 0)
+    assert(out(0).getString(4) == "contact <EMAIL> or <IP> now")
+    // 7+-digit run caught, 6-digit run untouched; email rule ran FIRST
+    // so the local-part digits were not half-eaten by the number rule
+    assert(out(1).getLong(3) == 1)
+    assert(out(1).getString(4) == "card <NUM> and short 123456 stay split")
+    assert(out(2).getString(4) == "clean text with no identifiers at all")
+    assert(out(3).getLong(1) == 2 && out(3).getLong(2) == 1)
+    assert(out(3).getString(4) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+    // plan stays a pure projection: no shuffle, no UDF
+    val plan = TextOps.redactPii(in, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "redactPii must not shuffle")
   }
 
   test("extensions make native expressions SQL-callable") {
