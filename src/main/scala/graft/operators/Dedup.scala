@@ -669,9 +669,82 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** q231: dedup quality-shift audit — per source, the mean quality
+    * of docs the near-dup policy KEEPS (cluster canonicals +
+    * unclustered docs) vs the docs it DROPS (non-canonical cluster
+    * members), and the shift between them. Near-dup dedup is supposed
+    * to keep the best copy (q80 picks canonicals by quality), so a
+    * source whose dropped mean is ABOVE its kept mean signals the
+    * clusters straddle quality strata — the "is dedup biasing my
+    * mixture" check run before retraining on a deduped corpus.
+    *
+    * Scale shape: the cluster-label relation is bounded by LSH
+    * SURVIVORS (never the corpus); the only corpus-sized work is the
+    * quality projection and two doc_id equi-joins on the same key
+    * axis, then a map-side-combined rollup to |sources| rows.
+    * Integer-exact: ppm means via guarded `div`, null when a side is
+    * empty (both engines propagate the null through the shift).
+    */
+  val q231DedupQualityShift: QueryDef = QueryDef.sql(
+    "q231_dedup_quality_shift",
+    s"""WITH RECURSIVE $duckSig, $duckPairs,
+       |nodes AS (SELECT doc_a AS d FROM prs UNION SELECT doc_b FROM prs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |walk(d, r) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.d),
+       |lbl AS (SELECT d AS doc_id, min(r) AS cluster_id FROM walk GROUP BY d),
+       |${TextOps.duckQualityCtes},
+       |cn AS (SELECT l.doc_id, row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN qq q ON q.doc_id = l.doc_id),
+       |st AS (SELECT d.source, q.quality_ppm,
+       |    CASE WHEN cn.rn IS NOT NULL AND cn.rn > 1 THEN 1 ELSE 0 END AS dropped
+       |  FROM documents d JOIN qq q ON q.doc_id = d.doc_id
+       |  LEFT JOIN cn ON cn.doc_id = d.doc_id),
+       |ag AS (SELECT source,
+       |    CAST(count(*) FILTER (WHERE dropped = 0) AS BIGINT) AS n_kept,
+       |    CAST(count(*) FILTER (WHERE dropped = 1) AS BIGINT) AS n_dropped,
+       |    CAST(sum(quality_ppm) FILTER (WHERE dropped = 0) AS BIGINT) AS sk,
+       |    CAST(sum(quality_ppm) FILTER (WHERE dropped = 1) AS BIGINT) AS sd
+       |  FROM st GROUP BY source)
+       |SELECT source, n_kept, n_dropped,
+       |  CASE WHEN n_kept = 0 THEN NULL ELSE sk // n_kept END AS kept_q_ppm,
+       |  CASE WHEN n_dropped = 0 THEN NULL ELSE sd // n_dropped END AS dropped_q_ppm,
+       |  CASE WHEN n_kept = 0 OR n_dropped = 0 THEN NULL
+       |       ELSE sk // n_kept - sd // n_dropped END AS shift_ppm
+       |FROM ag ORDER BY source""".stripMargin) { (spark, dir) =>
+    val labels = connectedComponents(lshPairs(spark, dir))
+      .select(col("d").as("doc_id"), col("lab").as("cluster_id"))
+    val qual = TextOps.withQuality(docs(spark, dir))
+      .select(col("doc_id"), col("quality"), col("quality_ppm"))
+    val argmax = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val cn = labels.join(qual.select("doc_id", "quality"), "doc_id")
+      .withColumn("rn", row_number().over(argmax))
+      .select(col("doc_id"), col("rn"))
+    docs(spark, dir).select("doc_id", "source")
+      .join(qual.select("doc_id", "quality_ppm"), "doc_id")
+      .join(cn, Seq("doc_id"), "left")
+      .withColumn("dropped", when(col("rn").isNotNull && col("rn") > 1, 1).otherwise(0))
+      .groupBy("source").agg(
+        sum(when(col("dropped") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("dropped") === 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("dropped") === 0, col("quality_ppm"))).as("sk"),
+        sum(when(col("dropped") === 1, col("quality_ppm"))).as("sd"))
+      .select(col("source"), col("n_kept"), col("n_dropped"),
+        expr("CASE WHEN n_kept = 0 THEN NULL ELSE sk div n_kept END").as("kept_q_ppm"),
+        expr("CASE WHEN n_dropped = 0 THEN NULL ELSE sd div n_dropped END").as("dropped_q_ppm"),
+        expr("""CASE WHEN n_kept = 0 OR n_dropped = 0 THEN NULL
+               |     ELSE sk div n_kept - sd div n_dropped END""".stripMargin).as("shift_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
     q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup,
-    q222ClusterSizes, q230MinhashCalibration)
+    q222ClusterSizes, q230MinhashCalibration, q231DedupQualityShift)
 }

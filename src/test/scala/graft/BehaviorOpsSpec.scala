@@ -778,6 +778,33 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(rows.last._5 == 1000000L) // last row covers every occurrence
   }
 
+  test("q231 dedup quality shift: kept+dropped closes per source, dropped are non-canonical members") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Dedup.q231DedupQualityShift.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.nonEmpty)
+    val perSource = graft.sources.Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, k, d, kq, dq, sh) =>
+      assert(k + d == perSource(src), s"$src kept+dropped != total")
+      kq.foreach(q => assert(q >= 0 && q <= 1000000L))
+      dq.foreach(q => assert(q >= 0 && q <= 1000000L))
+      (kq, dq, sh) match {
+        case (Some(a), Some(b), Some(s)) => assert(s == a - b)
+        case (_, None, None) | (None, _, None) => ()
+        case other => fail(s"inconsistent null pattern: $other")
+      }
+    }
+    // total dropped = total cluster members - number of clusters
+    val canon = graft.operators.Dedup.q80ClusterCanonical.fn(spark, dir)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(rows.map(_._3).sum == canon.sum - canon.length)
+  }
+
   test("q230 minhash calibration: deciles bounded, bias column consistent") {
     val rows = graft.operators.Dedup.q230MinhashCalibration.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
