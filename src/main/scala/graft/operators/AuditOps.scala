@@ -1336,9 +1336,9 @@ object AuditOps {
        |l AS (SELECT fold, tn - n AS n, tsx - sx AS sx, tsy - sy AS sy,
        |    tsxx - sxx AS sxx, tsxy - sxy AS sxy, tsyy - syy AS syy FROM t),
        |e AS (SELECT fold, n, sx, sy,
-       |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
-       |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
-       |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM l)
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS b,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c FROM l)
        |SELECT fold, CAST(n AS BIGINT) AS n_train,
        |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
        |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
@@ -1363,10 +1363,14 @@ object AuditOps {
       .select(col("fold"), col("n2").as("n"), col("sx2").as("sx"),
         col("sy2").as("sy"), col("sxx2").as("sxx"), col("sxy2").as("sxy"),
         col("syy2").as("syy"))
+    // cast BEFORE the product (the q202/q220 overflow policy): the
+    // int64 form n*syy overflows past ~45k docs (y is ppm-scaled, so
+    // n·Σy² ≈ n²·10¹²); double products are identical IEEE ops on
+    // both engines, and below 2⁵³ they equal the exact-int path
     val e = l.select(col("fold"), col("n"), col("sx"), col("sy"),
-      expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("a"),
-      expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("b"),
-      expr("CAST(n * syy - sy * sy AS DOUBLE)").as("c"))
+      expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("a"),
+      expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("b"),
+      expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("c"))
     e.select(col("fold"), col("n").as("n_train"),
         round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
         round(when(col("b") =!= 0,

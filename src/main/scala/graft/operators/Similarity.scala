@@ -628,14 +628,31 @@ object Similarity {
     * near-dup group survives as canonical.
     *
     * Scale shape: assignment is the q67 zero-shuffle codebook map;
-    * the pair scan is an equi self-join on list_id (rename-projected
-    * sides), so its cost is Σ|cluster|², controlled by K — at
-    * production scale K grows with the corpus (SemDeDup uses ~100k
-    * clusters) so clusters stay bounded; the final per-vector verdict
-    * is one aggregate + a left join back.
+    * the pair scan is an equi self-join on (list_id, cell) where
+    * `cell` SUB-SPLITS each IVF list into deterministic md5 buckets
+    * of ≤ [[SemDedupCellTarget]] vectors (B = ⌈|list|/target⌉, from a
+    * K-row count broadcast). Without the cell split the self-join
+    * cost is Σ|cluster|² = Θ(n²/K) at FIXED K — a 10× corpus measured
+    * 76× (BENCH_NOTES round 6) because a driver-collected brute-force
+    * codebook cannot actually grow K with n. With it, per-cell pairs
+    * are ≤ target², so the whole scan is ≤ n·target — LINEAR in the
+    * corpus with a constant-size codebook. The trade: same-cluster
+    * pairs in different cells are not compared — a finer-grained
+    * version of SemDeDup's own cluster-scoped approximation (the
+    * paper's K≈100k serves exactly this cluster-size bound); below
+    * target per list (both driver scales) B = 1 and the output is
+    * bit-identical to the unsplit form. Final verdict: one aggregate
+    * + a left join back.
     */
+  /** Target max vectors per SemDeDup pair-scan cell: bounds the
+    * within-cell pair work to target²; below this per IVF list the
+    * cell split is a no-op (B = 1).
+    */
+  val SemDedupCellTarget = 512L
+
   val q155SemdedupPrune: QueryDef = {
     val threshold = 0.3
+    val tgt = SemDedupCellTarget
     QueryDef.sql(
       "q155_semdedup_prune",
       s"""WITH $duckCentroids,
@@ -644,8 +661,14 @@ object Similarity {
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
          |  FROM embeddings e, cent c) WHERE rn = 1),
+         |sz AS (SELECT list_id, count(*) AS ln FROM asg GROUP BY list_id),
+         |ac AS (SELECT a.vec_id, a.list_id, a.embedding,
+         |    ${graft.functions.TextHash.duckBase32("a.vec_id::VARCHAR")}
+         |      % ((s.ln + ${tgt - 1}) // $tgt) AS cell
+         |  FROM asg a JOIN sz s ON s.list_id = a.list_id),
          |close AS (SELECT y.vec_id, count(*) AS n_close
-         |  FROM asg x JOIN asg y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |  FROM ac x JOIN ac y ON x.list_id = y.list_id AND x.cell = y.cell
+         |    AND x.vec_id < y.vec_id
          |  WHERE round(${duckDot("x.embedding", "y.embedding")} /
          |      (sqrt(${duckNorm("x.embedding")}) * sqrt(${duckNorm("y.embedding")})), 6)
          |    >= $threshold
@@ -659,15 +682,24 @@ object Similarity {
           element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
           col("embedding"))
         .persist()
-      val lhs = asg.select(col("list_id"), col("vec_id").as("lo_id"),
-        col("embedding").as("emb_a"))
-      val rhs = asg.select(col("list_id"), col("vec_id").as("vec_id"),
-        col("embedding").as("emb_b"))
-      val close = lhs.join(rhs, Seq("list_id"))
+      // per-list counts are a K-row relation: broadcast them back and
+      // sub-split each list into B = ceil(ln/target) md5 cells
+      val sizes = asg.groupBy("list_id").agg(count(lit(1)).as("ln"))
+      val cells = asg.join(broadcast(sizes), Seq("list_id"))
+        .withColumn("cell",
+          graft.functions.TextHash.base32Builtin(col("vec_id").cast("string"))
+            % expr(s"(ln + ${tgt - 1}) div $tgt"))
+      // norms are precomputed per ROW (sqrt once per vector, not per
+      // pair) — bit-identical to the per-pair form, ~3x fewer flops
+      // in the pair scan
+      val lhs = cells.select(col("list_id"), col("cell"), col("vec_id").as("lo_id"),
+        col("embedding").as("emb_a"), sqrt(expr(normSql("embedding"))).as("na"))
+      val rhs = cells.select(col("list_id"), col("cell"), col("vec_id").as("vec_id"),
+        col("embedding").as("emb_b"), sqrt(expr(normSql("embedding"))).as("nb"))
+      val close = lhs.join(rhs, Seq("list_id", "cell"))
         .filter(col("lo_id") < col("vec_id"))
         .filter(round(expr(dotSql("emb_a", "emb_b")) /
-          (sqrt(expr(normSql("emb_a"))) * sqrt(expr(normSql("emb_b")))), 6)
-          >= threshold)
+          (col("na") * col("nb")), 6) >= threshold)
         .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
       asg.select("vec_id", "list_id")
         .join(close, Seq("vec_id"), "left")

@@ -805,6 +805,36 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == canon.sum - canon.length)
   }
 
+  test("q155 cells: an oversize IVF list splits and keeps one canonical per cell") {
+    // 1200 identical vectors all land in ONE IVF list — the profile
+    // that made the unsplit pair scan quadratic. With the
+    // SemDedupCellTarget=512 sub-split the list becomes B=3 md5
+    // cells; each cell's minimum vec_id survives as canonical, so
+    // kept == B and every other vector is pruned by a same-cell
+    // lower id.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    val n = 1200
+    (0 until n).map(i => (i.toLong, Array.fill(8)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = graft.operators.Similarity.q155SemdedupPrune.fn(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == n)
+    val b = (n + graft.operators.Similarity.SemDedupCellTarget - 1) /
+      graft.operators.Similarity.SemDedupCellTarget
+    assert(b == 3)
+    val cellOf = (0 until n).map(i => (i.toLong,
+      graft.functions.TextHash.base32Builtin(lit(i.toLong).cast("string")) % b))
+    val cells = spark.range(1).select(cellOf.map(_._2): _*).head()
+      .toSeq.asInstanceOf[Seq[Long]].zipWithIndex.map { case (c, i) => i.toLong -> c }.toMap
+    val expectedKept = cells.groupBy(_._2).values.map(_.keys.min).toSet
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == expectedKept, s"kept $kept != per-cell minima $expectedKept")
+    // pruned vectors report at least one close lower-id neighbor
+    out.filterNot(_._3).foreach { case (_, nClose, _) => assert(nClose >= 1) }
+  }
+
   test("q230 minhash calibration: deciles bounded, bias column consistent") {
     val rows = graft.operators.Dedup.q230MinhashCalibration.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
