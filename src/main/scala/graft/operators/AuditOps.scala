@@ -1127,9 +1127,9 @@ object AuditOps {
        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
        |  FROM d GROUP BY source),
        |e AS (SELECT source, n, sx, sy,
-       |    CAST(n * sxy - sx * sy AS DOUBLE) AS a,
-       |    CAST(n * sxx - sx * sx AS DOUBLE) AS b,
-       |    CAST(n * syy - sy * sy AS DOUBLE) AS c FROM m)
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS b,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c FROM m)
        |SELECT source, CAST(n AS BIGINT) AS n,
        |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
        |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
@@ -1147,10 +1147,13 @@ object AuditOps {
       sum(x).as("sx"), sum(y).as("sy"),
       sum(col(x) * col(x)).as("sxx"), sum(col(x) * col(y)).as("sxy"),
       sum(col(y) * col(y)).as("syy"))
+    // cast BEFORE the product (q202/q220/q225 overflow policy): the
+    // int64 form n·Σy² overflows once a group holds ~45k ppm-scaled
+    // rows; double products are the same IEEE ops on both engines
     val e = m.select(col(key), col("n"), col("sx"), col("sy"),
-      expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("a"),
-      expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("b"),
-      expr("CAST(n * syy - sy * sy AS DOUBLE)").as("c"))
+      expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("a"),
+      expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("b"),
+      expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("c"))
     e.select(col(key), col("n"),
       round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
       round(when(col("b") =!= 0,

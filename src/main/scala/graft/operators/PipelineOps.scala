@@ -371,12 +371,15 @@ object PipelineOps {
        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
        |    CAST(sum(x * y) AS BIGINT) AS sxy
        |  FROM p WHERE y IS NOT NULL GROUP BY user_id)
+       |, e AS (SELECT user_id, n,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+       |  FROM m WHERE n >= 2)
        |SELECT user_id, n AS n_pairs,
-       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-       |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
-       |FROM m WHERE n >= 2 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+       |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+       |       ELSE round(num / (sqrt(dx) * sqrt(dy)), 6) END AS r
+       |FROM e ORDER BY user_id""".stripMargin) { (spark, dir) =>
     val byUser = Window.partitionBy("user_id")
     val ordered = Window.partitionBy("user_id").orderBy("tn", "event_id")
     val p = graft.sources.Tables.series(spark, dir)
@@ -388,14 +391,18 @@ object PipelineOps {
       sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
-    val dx = col("n") * col("sxx") - col("sx") * col("sx")
-    val dy = col("n") * col("syy") - col("sy") * col("sy")
-    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    // cast BEFORE the product (q225 overflow policy): n·Σx² with
+    // milli-scaled x overflows int64 once a series holds ~3M rows
+    val dx = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
     m.filter(col("n") >= 2)
       .select(col("user_id"), col("n").as("n_pairs"),
         when(dx === 0 || dy === 0, lit(null))
-          .otherwise(round(num.cast("double") /
-            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+          .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("r"))
       .orderBy("user_id")
   }
 
@@ -425,12 +432,15 @@ object PipelineOps {
          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
          |    CAST(sum(x * y) AS BIGINT) AS sxy
          |  FROM p WHERE y IS NOT NULL GROUP BY user_id, lag)
+         |, e AS (SELECT user_id, lag, n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+         |  FROM m WHERE n >= 2)
          |SELECT user_id, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
-         |FROM m WHERE n >= 2 ORDER BY user_id, lag""".stripMargin) { (spark, dir) =>
+         |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+         |       ELSE round(num / (sqrt(dx) * sqrt(dy)), 6) END AS r
+         |FROM e ORDER BY user_id, lag""".stripMargin) { (spark, dir) =>
       val byUser = Window.partitionBy("user_id")
       val ordered = Window.partitionBy("user_id").orderBy("tn", "event_id")
       var p = graft.sources.Tables.series(spark, dir)
@@ -445,14 +455,17 @@ object PipelineOps {
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      val dx = col("n") * col("sxx") - col("sx") * col("sx")
-      val dy = col("n") * col("syy") - col("sy") * col("sy")
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      // cast-before-product: see q98's note (same overflow class)
+      val dx = col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val dy = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val num = col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
       m.filter(col("n") >= 2)
         .select(col("user_id"), col("lag"), col("n").as("n_pairs"),
           when(dx === 0 || dy === 0, lit(null))
-            .otherwise(round(num.cast("double") /
-              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+            .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("r"))
         .orderBy("user_id", "lag")
     }
   }
@@ -964,12 +977,15 @@ object PipelineOps {
          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(yl * yl) AS BIGINT) AS syy,
          |    CAST(sum(x * yl) AS BIGINT) AS sxy
          |  FROM p WHERE yl IS NOT NULL GROUP BY lag)
+         |, f AS (SELECT lag, n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+         |  FROM m)
          |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS r
-         |FROM m ORDER BY lag""".stripMargin) { (spark, dir) =>
+         |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+         |       ELSE round(num / (sqrt(dx) * sqrt(dy)), 6) END AS r
+         |FROM f ORDER BY lag""".stripMargin) { (spark, dir) =>
       val ev = graft.sources.Tables.events(spark, dir)
         .select(expr("(ts div 1000) div 3600000000").as("b"), col("event_type"))
       val counts = ev.groupBy("b").agg(
@@ -988,13 +1004,17 @@ object PipelineOps {
         sum("x").as("sx"), sum("yl").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("yl") * col("yl")).as("syy"),
         sum(col("x") * col("yl")).as("sxy"))
-      val dx = col("n") * col("sxx") - col("sx") * col("sx")
-      val dy = col("n") * col("syy") - col("sy") * col("sy")
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      // cast-before-product: hourly counts square to ~10¹⁸ at large
+      // volumes, so the int64 n·Σx² form has no headroom at all
+      val dx = col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val dy = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val num = col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
       m.select(col("lag"), col("n").as("n_pairs"),
           when(dx === 0 || dy === 0, lit(null))
-            .otherwise(round(num.cast("double") /
-              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6)).as("r"))
+            .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("r"))
         .orderBy("lag")
     }
   }
