@@ -219,7 +219,7 @@ object AuditOps {
        |  FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
        |  GROUP BY a.source, b.source)
        |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
-       |  (n_shared * 1000000) // least(ta.n, tb.n) AS containment_ppm
+       |  CAST(CAST(n_shared AS HUGEINT) * 1000000 // least(ta.n, tb.n) AS BIGINT) AS containment_ppm
        |FROM shared JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
     sourceOverlapDf(docs(spark, dir)).orderBy("src_a", "src_b")
@@ -251,7 +251,11 @@ object AuditOps {
     shared
       .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
       .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
-      .withColumn("containment_ppm", expr("n_shared * 1000000L div least(n_a, n_b)"))
+      .withColumn("containment_ppm",
+        // DECIMAL(38) headroom: span counts reach ~10^13 at corpus
+        // scale, so the int64 n*10^6 form would overflow (exact
+        // integral divide either way; div returns BIGINT)
+        expr("CAST(n_shared AS DECIMAL(38,0)) * 1000000 div least(n_a, n_b)"))
       .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment_ppm")
   }
 

@@ -611,7 +611,7 @@ object CorpusOps {
       |SELECT CAST(c AS BIGINT) AS freq, CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST(vocab_size AS BIGINT) AS vocab_size,
       |  CAST(occ_cum AS BIGINT) AS occ_cum,
-      |  1000000 * CAST(occ_cum AS BIGINT) // CAST(tot AS BIGINT) AS coverage_ppm
+      |  CAST(CAST(occ_cum AS HUGEINT) * 1000000 // CAST(tot AS BIGINT) AS BIGINT) AS coverage_ppm
       |FROM cum ORDER BY freq DESC""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val vocab = docs(spark, dir)
@@ -624,7 +624,8 @@ object CorpusOps {
       .withColumn("occ_cum", sum(col("c") * col("n_tokens")).over(Window.orderBy(col("c").desc)))
       .withColumn("tot", sum(col("c") * col("n_tokens")).over(Window.partitionBy()))
       .select(col("c").as("freq"), col("n_tokens"), col("vocab_size"), col("occ_cum"),
-        expr("1000000L * occ_cum div tot").as("coverage_ppm"))
+        // DECIMAL(38) headroom: occ_cum counts every token occurrence
+        expr("CAST(occ_cum AS DECIMAL(38,0)) * 1000000 div tot").as("coverage_ppm"))
       .orderBy(col("freq").desc)
   }
 

@@ -674,8 +674,8 @@ object TextOps {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(toks) AS BIGINT) AS n_tokens,
          |  CAST(sum(chars) AS BIGINT) AS n_chars,
-         |  1000000 * CAST(sum(chars) AS BIGINT) // CAST(sum(toks) AS BIGINT) AS chars_per_token_ppm,
-         |  1000000 * CAST(sum(subs) AS BIGINT) // CAST(sum(toks) AS BIGINT) AS fertility_ppm,
+         |  CAST(CAST(sum(chars) AS HUGEINT) * 1000000 // CAST(sum(toks) AS BIGINT) AS BIGINT) AS chars_per_token_ppm,
+         |  CAST(CAST(sum(subs) AS HUGEINT) * 1000000 // CAST(sum(toks) AS BIGINT) AS BIGINT) AS fertility_ppm,
          |  CAST(sum(toks) AS BIGINT) // count(*) AS tokens_per_doc
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
     graft.sources.Tables.documents(spark, dir)
@@ -687,8 +687,9 @@ object TextOps {
       .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
         sum("subs").as("n_subs"), sum("chars").as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
-        expr("1000000L * n_chars div n_tokens").as("chars_per_token_ppm"),
-        expr("1000000L * n_subs div n_tokens").as("fertility_ppm"),
+        // DECIMAL(38) headroom: per-lang char sums pass 10^13 at corpus scale
+        expr("CAST(n_chars AS DECIMAL(38,0)) * 1000000 div n_tokens").as("chars_per_token_ppm"),
+        expr("CAST(n_subs AS DECIMAL(38,0)) * 1000000 div n_tokens").as("fertility_ppm"),
         expr("n_tokens div n_docs").as("tokens_per_doc"))
       .orderBy("lang")
   }
