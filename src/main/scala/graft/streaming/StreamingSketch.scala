@@ -33,15 +33,15 @@ object StreamingSketch {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Fold this batch's hashes into the carried k-minima and re-emit
-    * the key's current sketch row (upsert-sink contract: latest row
-    * per source wins, like the other streaming queries).
+  /** Merge this batch's PARTIAL sketches into the carried k-minima
+    * and re-emit the key's current sketch row (upsert-sink contract:
+    * latest row per source wins, like the other streaming queries).
     */
-  private def update(source: String, rows: Iterator[Row],
+  private def update(source: String, rows: Iterator[(String, Array[Long])],
       state: GroupState[KmvState]): Iterator[KmvRow] = {
     val agg = new KmvSketchAgg(SketchK)
     var ks = state.getOption.map(_.ks).getOrElse(Array.emptyLongArray)
-    rows.foreach(r => ks = agg.reduce(ks, r.getLong(1)))
+    rows.foreach(r => ks = agg.merge(ks, r._2))
     if (ks.isEmpty) return Iterator.empty
     state.update(KmvState(ks))
     val est =
@@ -53,6 +53,16 @@ object StreamingSketch {
   /** The per-source KMV stream over a directory of document-parquet
     * files (one micro-batch per file with `oneFilePerTrigger`, how
     * the spec exercises cross-batch state).
+    *
+    * Scale shape: raw (source, hash) rows NEVER shuffle to the state
+    * operator — a mapPartitions combiner folds each partition down to
+    * one bounded k-minima array per source first (KMV `merge` is a
+    * set union, so any partial grouping yields the same global
+    * minima), and the keyed state receives ≤ partitions × |sources|
+    * tiny rows per batch instead of every token. This is the
+    * streaming face of the batch aggregate's map-side combine, which
+    * `flatMapGroupsWithState` cannot otherwise express (Spark forbids
+    * aggregates before stateful ops in append mode).
     */
   def kmvStream(spark: SparkSession, dir: String,
       glob: String = "documents.parquet",
@@ -65,7 +75,16 @@ object StreamingSketch {
     graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .select(col("source"), TextHash.base32(col("token")).as("h"))
-      .groupByKey(_.getString(0))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val agg = new KmvSketchAgg(SketchK)
+        val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.foreach { case (s, h) =>
+          acc.update(s, agg.reduce(acc.getOrElse(s, Array.emptyLongArray), h))
+        }
+        acc.iterator
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
@@ -114,19 +133,17 @@ object StreamingSketch {
     * sum exactly representable), so batch boundaries and fold order
     * cannot move the result: streaming ≡ batch, shared oracle.
     */
-  private def dauUpdate(day: Long, rows: Iterator[Row],
+  private def dauUpdate(day: Long, rows: Iterator[(Long, Array[Long])],
       state: GroupState[DauState]): Iterator[DauRow] = {
     var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Long, Int])
     var any = false
-    rows.foreach { r =>
+    rows.foreach { case (_, partial) =>
       any = true
-      val h = r.getLong(1)
-      val bucket = h >>> 20
-      val rest = h & 1048575L
-      val rho =
-        if (rest == 0L) 21
-        else 21 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
-      if (regs.getOrElse(bucket, Int.MinValue) < rho) regs = regs.updated(bucket, rho)
+      partial.foreach { packed =>
+        val bucket = packed >>> 8
+        val rho = (packed & 255L).toInt
+        if (regs.getOrElse(bucket, Int.MinValue) < rho) regs = regs.updated(bucket, rho)
+      }
     }
     if (!any && regs.isEmpty) return Iterator.empty
     state.update(DauState(regs))
@@ -140,6 +157,12 @@ object StreamingSketch {
     * parquet files. No stream-side DISTINCT is needed: register max
     * absorbs duplicates, so the batch oracle's `SELECT DISTINCT`
     * pre-step changes nothing.
+    *
+    * Same combiner shape as [[kmvStream]]: each partition folds its
+    * rows into per-day register maps first (register max is an
+    * idempotent join-semilattice, so partial grouping cannot change
+    * the final registers), and the keyed state merges ≤ partitions
+    * register maps per day instead of receiving every event row.
     */
   def dauStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
@@ -152,7 +175,32 @@ object StreamingSketch {
     graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(expr("(ts div 1000) div 86400000000").as("d"),
         TextHash.base32(col("user_id").cast("string")).as("h"))
-      .groupByKey(_.getLong(0))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // dense int registers while folding, packed (bucket<<8 | rho)
+        // longs on the wire — a primitive-array partial encodes ~10x
+        // cheaper than a Map[Long, Int] per (partition, day)
+        val acc = scala.collection.mutable.HashMap.empty[Long, Array[Int]]
+        it.foreach { case (d, h) =>
+          val regs = acc.getOrElseUpdate(d, Array.fill(HllM)(-1))
+          val bucket = (h >>> 20).toInt
+          val rest = h & 1048575L
+          val rho =
+            if (rest == 0L) 21
+            else 21 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+          if (regs(bucket) < rho) regs(bucket) = rho
+        }
+        acc.iterator.map { case (d, regs) =>
+          val packed = Array.newBuilder[Long]
+          var b = 0
+          while (b < HllM) {
+            if (regs(b) >= 0) packed += (b.toLong << 8) | regs(b).toLong
+            b += 1
+          }
+          (d, packed.result())
+        }
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(dauUpdate)
   }
 
