@@ -37,12 +37,17 @@ object StreamingAudit {
       BurstRow(eventType, h, c, n, s, burst)
     }
 
-  private def update(eventType: String, rows: Iterator[Row],
+  private def update(eventType: String, rows: Iterator[(String, Array[Long])],
       state: GroupState[BurstState]): Iterator[BurstRow] = {
     var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
-    rows.foreach { r =>
-      val h = r.getLong(1)
-      counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+    rows.foreach { case (_, packed) =>
+      // partial hour histogram as interleaved [h1, c1, h2, c2, ...]
+      var i = 0
+      while (i < packed.length) {
+        val h = packed(i); val c = packed(i + 1)
+        counts = counts.updated(h, counts.getOrElse(h, 0L) + c)
+        i += 2
+      }
     }
     if (counts.isEmpty) return Iterator.empty
     state.update(BurstState(counts))
@@ -59,7 +64,25 @@ object StreamingAudit {
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
     graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("h"))
-      .groupByKey(_.getString(0))
+      .as[(String, Long)]
+      // per-partition (type -> hour count) combine, addition merge:
+      // without it every raw event row funnels through |types| state
+      // reducers (same shape as giniStream)
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.HashMap[Long, Long]]
+        it.foreach { case (t, h) =>
+          val m = acc.getOrElseUpdate(t, scala.collection.mutable.HashMap.empty)
+          m.update(h, m.getOrElse(h, 0L) + 1L)
+        }
+        acc.iterator.map { case (t, m) =>
+          val packed = new Array[Long](m.size * 2)
+          var i = 0
+          m.foreach { case (h, c) => packed(i) = h; packed(i + 1) = c; i += 2 }
+          (t, packed)
+        }
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
@@ -96,12 +119,13 @@ object StreamingAudit {
     * table and late/new data self-corrects. State is one entry per
     * observed lang per source — label-domain-bounded.
     */
-  private def langUpdate(source: String, rows: Iterator[Row],
+  private def langUpdate(source: String, rows: Iterator[(String, Map[String, Long])],
       state: GroupState[LangState]): Iterator[LangCount] = {
     var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
-    rows.foreach { r =>
-      val l = r.getString(1)
-      counts = counts.updated(l, counts.getOrElse(l, 0L) + 1L)
+    rows.foreach { case (_, partial) =>
+      partial.foreach { case (l, c) =>
+        counts = counts.updated(l, counts.getOrElse(l, 0L) + c)
+      }
     }
     if (counts.isEmpty) return Iterator.empty
     state.update(LangState(counts))
@@ -118,7 +142,19 @@ object StreamingAudit {
       if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
     withTrigger.parquet(dir)
       .select(col("source"), col("lang"))
-      .groupByKey(_.getString(0))
+      .as[(String, String)]
+      // per-partition (source -> lang count) combine — same addition
+      // merge as giniStream; partials are ≤ |langs| entries each
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (s, l) =>
+          val h = acc.getOrElseUpdate(s, scala.collection.mutable.HashMap.empty)
+          h.update(l, h.getOrElse(l, 0L) + 1L)
+        }
+        acc.iterator.map { case (s, h) => (s, h.toMap) }
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(langUpdate)
   }
 
@@ -160,12 +196,17 @@ object StreamingAudit {
     * histogram, one double division — so a single-batch run equals
     * the batch query and shares its oracle.
     */
-  private def giniUpdate(eventType: String, rows: Iterator[Row],
+  private def giniUpdate(eventType: String, rows: Iterator[(String, Array[Long])],
       state: GroupState[GiniState]): Iterator[GiniRow] = {
     var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
-    rows.foreach { r =>
-      val v = r.getLong(1)
-      counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+    rows.foreach { case (_, packed) =>
+      // partial histogram as interleaved [v1, c1, v2, c2, ...]
+      var i = 0
+      while (i < packed.length) {
+        val v = packed(i); val c = packed(i + 1)
+        counts = counts.updated(v, counts.getOrElse(v, 0L) + c)
+        i += 2
+      }
     }
     if (counts.isEmpty) return Iterator.empty
     state.update(GiniState(counts))
@@ -195,7 +236,26 @@ object StreamingAudit {
     graft.sources.Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(col("event_type"),
         expr("CAST(round(abs(value) * 1000.0) AS BIGINT)").as("v"))
-      .groupByKey(_.getString(0))
+      .as[(String, Long)]
+      // per-partition histogram combine (count maps merge by ADDITION,
+      // so partial grouping cannot change the folded histogram): the
+      // per-TYPE state key is low-cardinality, so without this every
+      // raw event row would funnel through |types| reducers
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String,
+          scala.collection.mutable.HashMap[Long, Long]]
+        it.foreach { case (t, v) =>
+          val h = acc.getOrElseUpdate(t, scala.collection.mutable.HashMap.empty)
+          h.update(v, h.getOrElse(v, 0L) + 1L)
+        }
+        acc.iterator.map { case (t, h) =>
+          val packed = new Array[Long](h.size * 2)
+          var i = 0
+          h.foreach { case (v, c) => packed(i) = v; packed(i + 1) = c; i += 2 }
+          (t, packed)
+        }
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(giniUpdate)
   }
 
