@@ -190,4 +190,23 @@ object Corpus {
   def calibrate(hist: DataFrame, bucket: String, weight: String,
       hits: String): DataFrame =
     graft.operators.AuditOps.isotonicDf(hist, bucket, weight, hits)
+
+  /** Per-language tokenizer fertility profile — chars/token and
+    * subwords-per-word in exact integer ppm (q228).
+    */
+  def tokenFertility(corpus: DataFrame): DataFrame =
+    graft.operators.TextOps.tokenFertilityDf(corpus)
+
+  /** Vocabulary coverage / OOV curve over the frequency-of-frequency
+    * histogram (q229).
+    */
+  def oovCurve(corpus: DataFrame): DataFrame =
+    graft.operators.CorpusOps.oovCurveDf(corpus)
+
+  /** PII redaction (email/IPv4/digit-run) with per-pattern counts —
+    * a pure codegen projection, no shuffle.
+    */
+  def redactPii(corpus: DataFrame, text: String = "text",
+      out: String = "text_redacted"): DataFrame =
+    graft.operators.TextOps.redactPii(corpus, text, out)
 }

@@ -613,8 +613,14 @@ object CorpusOps {
       |  CAST(occ_cum AS BIGINT) AS occ_cum,
       |  CAST(CAST(occ_cum AS HUGEINT) * 1000000 // CAST(tot AS BIGINT) AS BIGINT) AS coverage_ppm
       |FROM cum ORDER BY freq DESC""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val vocab = docs(spark, dir)
+    oovCurveDf(docs(spark, dir)).orderBy(col("freq").desc)
+  }
+
+  /** The q229 coverage curve as a reusable corpus transform (also the
+    * `Corpus.oovCurve` facade).
+    */
+  def oovCurveDf(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val vocab = corpus
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
     val ff = vocab.groupBy("c").agg(count(lit(1)).as("n_tokens"))
@@ -626,7 +632,6 @@ object CorpusOps {
       .select(col("c").as("freq"), col("n_tokens"), col("vocab_size"), col("occ_cum"),
         // DECIMAL(38) headroom: occ_cum counts every token occurrence
         expr("CAST(occ_cum AS DECIMAL(38,0)) * 1000000 div tot").as("coverage_ppm"))
-      .orderBy(col("freq").desc)
   }
 
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,

@@ -678,7 +678,14 @@ object TextOps {
          |  CAST(CAST(sum(subs) AS HUGEINT) * 1000000 // CAST(sum(toks) AS BIGINT) AS BIGINT) AS fertility_ppm,
          |  CAST(sum(toks) AS BIGINT) // count(*) AS tokens_per_doc
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
-    graft.sources.Tables.documents(spark, dir)
+    tokenFertilityDf(graft.sources.Tables.documents(spark, dir)).orderBy("lang")
+  }
+
+  /** The q228 fertility profile as a reusable corpus transform (also
+    * the `Corpus.tokenFertility` facade).
+    */
+  def tokenFertilityDf(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    corpus
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("toks"),
         size(regexp_extract_all(col("text"), lit(raw"\w+|[^\w\s]"), lit(0)))
@@ -691,8 +698,6 @@ object TextOps {
         expr("CAST(n_chars AS DECIMAL(38,0)) * 1000000 div n_tokens").as("chars_per_token_ppm"),
         expr("CAST(n_subs AS DECIMAL(38,0)) * 1000000 div n_tokens").as("fertility_ppm"),
         expr("n_tokens div n_docs").as("tokens_per_doc"))
-      .orderBy("lang")
-  }
 
   val all: Seq[QueryDef] = Seq(q50LangId, q51QualityScore, q52TokenCount,
     q53Fingerprint, q59RollingHashFp, q89TfidfTopk, q138PhraseSearch,

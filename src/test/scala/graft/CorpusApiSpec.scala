@@ -155,6 +155,22 @@ class CorpusApiSpec extends AnyFunSuite {
     assert(iso.toSeq == Seq(300000L, 100000L)) // monotone input is a fixed point
   }
 
+  test("tokenFertility / oovCurve / redactPii facades reach their stages") {
+    pinEq(Corpus.tokenFertility(docs), Seq("lang"),
+      graft.operators.TextOps.q228TokenFertility)
+    val viaFacade = Corpus.oovCurve(docs)
+      .orderBy(col("freq").desc).collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.CorpusOps.q229OovCurve.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+    val red = Corpus.redactPii(docs).select("n_email", "n_ipv4", "n_digits")
+      .agg(org.apache.spark.sql.functions.sum("n_email"),
+        org.apache.spark.sql.functions.sum("n_ipv4"),
+        org.apache.spark.sql.functions.sum("n_digits")).head()
+    // the synthetic corpus is word salad: the scrubber must find nothing
+    assert((0 to 2).map(red.getLong) == Seq(0L, 0L, 0L))
+  }
+
   private def pinEq(facade: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
       query: graft.QueryDef): Unit = {
     val viaFacade = facade.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
