@@ -1127,8 +1127,8 @@ object AuditOps {
        |d AS (SELECT d.source, d.n_chars AS x, CAST(q.quality_ppm AS BIGINT) AS y
        |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id),
        |m AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
-       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |    CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM d GROUP BY source),
        |e AS (SELECT source, n, sx, sy,
        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
@@ -1149,8 +1149,12 @@ object AuditOps {
   def olsFitDf(df: DataFrame, key: String, x: String, y: String): DataFrame = {
     val m = df.groupBy(key).agg(count(lit(1)).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),
-      sum(col(x) * col(x)).as("sxx"), sum(col(x) * col(y)).as("sxy"),
-      sum(col(y) * col(y)).as("syy"))
+      // DECIMAL(20) factors: the squared/cross SUMS overflow int64
+      // once a group holds ~9M ppm-scaled rows; DuckDB widens the same
+      // sums to HUGEINT, so both engines stay exact and equal
+      sum(expr(s"CAST($x AS DECIMAL(20,0)) * $x")).as("sxx"),
+      sum(expr(s"CAST($x AS DECIMAL(20,0)) * $y")).as("sxy"),
+      sum(expr(s"CAST($y AS DECIMAL(20,0)) * $y")).as("syy"))
     // cast BEFORE the product (q202/q220/q225 overflow policy): the
     // int64 form n·Σy² overflows once a group holds ~45k ppm-scaled
     // rows; double products are the same IEEE ops on both engines
@@ -1332,14 +1336,14 @@ object AuditOps {
        |    ${graft.functions.TextHash.duckMd5Bucket("q.doc_id", 5L)} AS fold
        |  FROM qq q JOIN documents d ON q.doc_id = d.doc_id),
        |m AS (SELECT fold, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
-       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |    CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM d GROUP BY fold),
        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tn,
        |    CAST(sum(sx) OVER () AS BIGINT) AS tsx, CAST(sum(sy) OVER () AS BIGINT) AS tsy,
-       |    CAST(sum(sxx) OVER () AS BIGINT) AS tsxx,
-       |    CAST(sum(sxy) OVER () AS BIGINT) AS tsxy,
-       |    CAST(sum(syy) OVER () AS BIGINT) AS tsyy FROM m),
+       |    sum(sxx) OVER () AS tsxx,
+       |    sum(sxy) OVER () AS tsxy,
+       |    sum(syy) OVER () AS tsyy FROM m),
        |l AS (SELECT fold, tn - n AS n, tsx - sx AS sx, tsy - sy AS sy,
        |    tsxx - sxx AS sxx, tsxy - sxy AS sxy, tsyy - syy AS syy FROM t),
        |e AS (SELECT fold, n, sx, sy,
@@ -1357,8 +1361,9 @@ object AuditOps {
         graft.functions.TextHash.md5Bucket(col("doc_id"), 5L).as("fold"))
     val m = d.groupBy("fold").agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
-      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
-      sum(expr("y * y")).as("syy"))
+      sum(expr("CAST(x AS DECIMAL(20,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(20,0)) * y")).as("sxy"),
+      sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"))
     val w = Window.partitionBy()
     val l = m
       .withColumn("n2", sum("n").over(w) - col("n"))

@@ -305,7 +305,7 @@ object BehaviorOps {
        |    CAST(round(value * 1000.0) AS BIGINT) AS y
        |  FROM (${Tables.seriesSql})),
        |m AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
-       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM qv GROUP BY event_type),
        |v AS (SELECT event_type, n, CAST(sy AS DOUBLE) / n AS mean_milli,
        |    (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
@@ -327,7 +327,7 @@ object BehaviorOps {
     val m = df
       .select(col(group).as("g"), round(col(valueCol) * 1e3).cast("long").as("y"))
       .groupBy("g")
-      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"))
       .filter(col("n") >= 2)
       .withColumn("mean_milli", expr("CAST(sy AS DOUBLE) / n"))
       .withColumn("vm", expr(
@@ -736,8 +736,8 @@ object BehaviorOps {
        |  HAVING count(CASE WHEN tn <= tmax / 2 THEN 1 END) > 0
        |    AND count(CASE WHEN tn > tmax / 2 THEN 1 END) > 0),
        |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
-       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+       |    CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM xy),
        |e AS (SELECT n, sx, sy,
        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,

@@ -368,8 +368,8 @@ object PipelineOps {
        |    lag(q) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS y FROM s),
        |m AS (SELECT user_id, count(*) AS n,
        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
        |  FROM p WHERE y IS NOT NULL GROUP BY user_id)
        |, e AS (SELECT user_id, n,
        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
@@ -389,8 +389,9 @@ object PipelineOps {
       .filter(col("y").isNotNull)
     val m = p.groupBy("user_id").agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      sum(expr("CAST(x AS DECIMAL(20,0)) * x")).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"),
+      sum(expr("CAST(x AS DECIMAL(20,0)) * y")).as("sxy"))
     // cast BEFORE the product (q225 overflow policy): n·Σx² with
     // milli-scaled x overflows int64 once a series holds ~3M rows
     val dx = col("n").cast("double") * col("sxx").cast("double") -
@@ -429,8 +430,8 @@ object PipelineOps {
          |p AS (${lagSqls.mkString("\nUNION ALL\n")}),
          |m AS (SELECT user_id, lag, count(*) AS n,
          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM p WHERE y IS NOT NULL GROUP BY user_id, lag)
          |, e AS (SELECT user_id, lag, n,
          |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
@@ -453,8 +454,9 @@ object PipelineOps {
         .filter(col("y").isNotNull)
       val m = stacked.groupBy("user_id", "lag").agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(expr("CAST(x AS DECIMAL(20,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(20,0)) * y")).as("sxy"))
       // cast-before-product: see q98's note (same overflow class)
       val dx = col("n").cast("double") * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double")
@@ -974,8 +976,8 @@ object PipelineOps {
          |p AS (${lagSqls.mkString("\nUNION ALL\n")}),
          |m AS (SELECT lag, count(*) AS n,
          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yl) AS BIGINT) AS sy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(yl * yl) AS BIGINT) AS syy,
-         |    CAST(sum(x * yl) AS BIGINT) AS sxy
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(yl AS HUGEINT) * yl) AS syy,
+         |    sum(CAST(x AS HUGEINT) * yl) AS sxy
          |  FROM p WHERE yl IS NOT NULL GROUP BY lag)
          |, f AS (SELECT lag, n,
          |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
@@ -1002,8 +1004,9 @@ object PipelineOps {
         .filter(col("yl").isNotNull)
       val m = stacked.groupBy("lag").agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("yl").as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("yl") * col("yl")).as("syy"),
-        sum(col("x") * col("yl")).as("sxy"))
+        sum(expr("CAST(x AS DECIMAL(20,0)) * x")).as("sxx"),
+        sum(expr("CAST(yl AS DECIMAL(20,0)) * yl")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(20,0)) * yl")).as("sxy"))
       // cast-before-product: hourly counts square to ~10¹⁸ at large
       // volumes, so the int64 n·Σx² form has no headroom at all
       val dx = col("n").cast("double") * col("sxx").cast("double") -

@@ -535,8 +535,8 @@ object TextOps {
       |xy AS (SELECT length(printf('%b', rk)) - 1 AS x,
       |    length(printf('%b', c)) - 1 AS y FROM r),
       |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy
+      |    CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
       |  FROM xy),
       |e AS (SELECT n, sx, sy,
       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
