@@ -563,29 +563,32 @@ object EventSeries {
        |    CAST(row_number() OVER ($OW) AS BIGINT) AS i FROM s),
        |p AS (SELECT *,
        |    CAST(sum(i) OVER pw AS BIGINT) AS csx,
-       |    CAST(sum(i * i) OVER pw AS BIGINT) AS csxx,
+       |    sum(CAST(i AS HUGEINT) * i) OVER pw AS csxx,
        |    CAST(sum(y) OVER pw AS BIGINT) AS csy,
-       |    CAST(sum(y * y) OVER pw AS BIGINT) AS csyy,
-       |    CAST(sum(i * y) OVER pw AS BIGINT) AS csxy,
+       |    sum(CAST(y AS HUGEINT) * y) OVER pw AS csyy,
+       |    sum(CAST(i AS HUGEINT) * y) OVER pw AS csxy,
        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
        |    CAST(sum(i) OVER (PARTITION BY user_id) AS BIGINT) AS tx,
-       |    CAST(sum(i * i) OVER (PARTITION BY user_id) AS BIGINT) AS txx,
+       |    sum(CAST(i AS HUGEINT) * i) OVER (PARTITION BY user_id) AS txx,
        |    CAST(sum(y) OVER (PARTITION BY user_id) AS BIGINT) AS ty,
-       |    CAST(sum(y * y) OVER (PARTITION BY user_id) AS BIGINT) AS tyy,
-       |    CAST(sum(i * y) OVER (PARTITION BY user_id) AS BIGINT) AS txy
+       |    sum(CAST(y AS HUGEINT) * y) OVER (PARTITION BY user_id) AS tyy,
+       |    sum(CAST(i AS HUGEINT) * y) OVER (PARTITION BY user_id) AS txy
        |  FROM qv WINDOW pw AS ($OW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |d AS (SELECT user_id, i, tn,
        |    i AS wl, n - i AS wr,
-       |    i * csyy - csy * csy AS cl,
-       |    i * csxx - csx * csx AS bl,
-       |    i * csxy - csx * csy AS al,
-       |    (n - i) * (tyy - csyy) - (ty - csy) * (ty - csy) AS cr,
-       |    (n - i) * (txx - csxx) - (tx - csx) * (tx - csx) AS br,
-       |    (n - i) * (txy - csxy) - (tx - csx) * (ty - csy) AS ar
+       |    CAST(i AS DOUBLE) * CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) AS cl,
+       |    CAST(i AS DOUBLE) * CAST(csxx AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csx AS DOUBLE) AS bl,
+       |    CAST(i AS DOUBLE) * CAST(csxy AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csy AS DOUBLE) AS al,
+       |    CAST(n - i AS DOUBLE) * CAST(tyy - csyy AS DOUBLE)
+       |      - CAST(ty - csy AS DOUBLE) * CAST(ty - csy AS DOUBLE) AS cr,
+       |    CAST(n - i AS DOUBLE) * CAST(txx - csxx AS DOUBLE)
+       |      - CAST(tx - csx AS DOUBLE) * CAST(tx - csx AS DOUBLE) AS br,
+       |    CAST(n - i AS DOUBLE) * CAST(txy - csxy AS DOUBLE)
+       |      - CAST(tx - csx AS DOUBLE) * CAST(ty - csy AS DOUBLE) AS ar
        |  FROM p WHERE i >= 2 AND i <= n - 2),
        |e AS (SELECT user_id, i, tn,
-       |    (CAST(cl AS DOUBLE) * bl - CAST(al AS DOUBLE) * al) / (CAST(wl AS DOUBLE) * bl)
-       |    + (CAST(cr AS DOUBLE) * br - CAST(ar AS DOUBLE) * ar) / (CAST(wr AS DOUBLE) * br)
+       |    (cl * bl - al * al) / (CAST(wl AS DOUBLE) * bl)
+       |    + (cr * br - ar * ar) / (CAST(wr AS DOUBLE) * br)
        |      AS sse FROM d),
        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sse, i) AS rn FROM e)
        |SELECT user_id, i AS brk_i, tn AS brk_tn, sse
@@ -595,29 +598,37 @@ object EventSeries {
     val p = Tables.seriesNorm(spark, dir)
       .withColumn("y", round(col("value") * 1e3).cast("long"))
       .withColumn("i", row_number().over(s.ordered).cast("long"))
+      // DECIMAL(20) factors: cumulative sum(i*i) grows as n^3/3, past
+      // int64 at ~3M rows per series; DuckDB widens the same sums to
+      // HUGEINT. The d-CTE products then cast each exact factor to
+      // double BEFORE multiplying (the q225 policy), identically on
+      // both engines.
       .withColumn("csx", sum("i").over(pw))
-      .withColumn("csxx", sum(col("i") * col("i")).over(pw))
+      .withColumn("csxx", sum(expr("CAST(i AS DECIMAL(20,0)) * i")).over(pw))
       .withColumn("csy", sum("y").over(pw))
-      .withColumn("csyy", sum(col("y") * col("y")).over(pw))
-      .withColumn("csxy", sum(col("i") * col("y")).over(pw))
+      .withColumn("csyy", sum(expr("CAST(y AS DECIMAL(20,0)) * y")).over(pw))
+      .withColumn("csxy", sum(expr("CAST(i AS DECIMAL(20,0)) * y")).over(pw))
       .withColumn("n", count(lit(1)).over(uw))
       .withColumn("tx", sum("i").over(uw))
-      .withColumn("txx", sum(col("i") * col("i")).over(uw))
+      .withColumn("txx", sum(expr("CAST(i AS DECIMAL(20,0)) * i")).over(uw))
       .withColumn("ty", sum("y").over(uw))
-      .withColumn("tyy", sum(col("y") * col("y")).over(uw))
-      .withColumn("txy", sum(col("i") * col("y")).over(uw))
+      .withColumn("tyy", sum(expr("CAST(y AS DECIMAL(20,0)) * y")).over(uw))
+      .withColumn("txy", sum(expr("CAST(i AS DECIMAL(20,0)) * y")).over(uw))
     val d = p.filter(col("i") >= 2 && col("i") <= col("n") - 2)
       .select(col("user_id"), col("i"), col("tn"),
         col("i").as("wl"), (col("n") - col("i")).as("wr"),
-        expr("i * csyy - csy * csy").as("cl"),
-        expr("i * csxx - csx * csx").as("bl"),
-        expr("i * csxy - csx * csy").as("al"),
-        expr("(n - i) * (tyy - csyy) - (ty - csy) * (ty - csy)").as("cr"),
-        expr("(n - i) * (txx - csxx) - (tx - csx) * (tx - csx)").as("br"),
-        expr("(n - i) * (txy - csxy) - (tx - csx) * (ty - csy)").as("ar"))
+        expr("CAST(i AS DOUBLE) * CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE)").as("cl"),
+        expr("CAST(i AS DOUBLE) * CAST(csxx AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csx AS DOUBLE)").as("bl"),
+        expr("CAST(i AS DOUBLE) * CAST(csxy AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csy AS DOUBLE)").as("al"),
+        expr("CAST(n - i AS DOUBLE) * CAST(tyy - csyy AS DOUBLE)" +
+          " - CAST(ty - csy AS DOUBLE) * CAST(ty - csy AS DOUBLE)").as("cr"),
+        expr("CAST(n - i AS DOUBLE) * CAST(txx - csxx AS DOUBLE)" +
+          " - CAST(tx - csx AS DOUBLE) * CAST(tx - csx AS DOUBLE)").as("br"),
+        expr("CAST(n - i AS DOUBLE) * CAST(txy - csxy AS DOUBLE)" +
+          " - CAST(tx - csx AS DOUBLE) * CAST(ty - csy AS DOUBLE)").as("ar"))
     val e = d.withColumn("sse",
-      expr("(CAST(cl AS DOUBLE) * bl - CAST(al AS DOUBLE) * al) / (CAST(wl AS DOUBLE) * bl)") +
-      expr("(CAST(cr AS DOUBLE) * br - CAST(ar AS DOUBLE) * ar) / (CAST(wr AS DOUBLE) * br)"))
+      expr("(cl * bl - al * al) / (CAST(wl AS DOUBLE) * bl)") +
+      expr("(cr * br - ar * ar) / (CAST(wr AS DOUBLE) * br)"))
     e.withColumn("rn", row_number().over(
         Window.partitionBy("user_id").orderBy(col("sse"), col("i"))))
       .filter(col("rn") === 1)
