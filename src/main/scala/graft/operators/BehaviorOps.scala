@@ -881,8 +881,81 @@ object BehaviorOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------------
+  // q233: k-anonymity census over behavioral quasi-identifiers
+  // ---------------------------------------------------------------------
+
+  /** q233: privacy-risk audit of the event log under the classic
+    * k-anonymity model (Sweeney, IJUFKS 2002): every user is reduced
+    * to a coarse behavioral quasi-identifier — (modal event type,
+    * floor-log2 bucket of total events, floor-log2 bucket of active
+    * days) — and users sharing a tuple form an equivalence class. A
+    * user in a class of size k is re-identifiable to 1-in-k; classes
+    * with k below the disclosure threshold (5) are flagged. The
+    * output is the class-SIZE census: how many classes and users sit
+    * at each k — the standard shape of a release-risk report.
+    *
+    * Determinism: the modal type breaks ties by (count desc, type
+    * asc) — a total order; the buckets are integer bit-lengths
+    * (q95's log-free policy); everything downstream is counting.
+    *
+    * Scale shape: per-(user, type) counts and per-user totals are
+    * map-side-combined hash aggregates keyed by user (one shuffle
+    * each on the same key); the modal pick is a row_number window
+    * that WindowGroupLimit prunes map-side (the q107 pattern); the
+    * class aggregate is bounded by |types| × log² buckets — a few
+    * thousand rows regardless of corpus size — and the final census
+    * by the distinct class sizes. No census row count grows with the
+    * 100 TB input.
+    */
+  val q233KAnonymity: QueryDef = QueryDef.sql(
+    "q233_k_anonymity",
+    """WITH ut AS (SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |top AS (SELECT user_id, event_type AS top_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+      |    FROM ut) WHERE rn = 1),
+      |u AS (SELECT user_id, count(*) AS n,
+      |    count(DISTINCT epoch_us(ts) // 1000000 // 86400) AS d
+      |  FROM events GROUP BY user_id),
+      |prof AS (SELECT u.user_id, top_type,
+      |    length(printf('%b', n)) - 1 AS n_bucket,
+      |    length(printf('%b', d)) - 1 AS d_bucket
+      |  FROM u JOIN top USING (user_id)),
+      |cls AS (SELECT top_type, n_bucket, d_bucket, count(*) AS k_size
+      |  FROM prof GROUP BY top_type, n_bucket, d_bucket)
+      |SELECT k_size, count(*) AS n_classes,
+      |  CAST(k_size * count(*) AS BIGINT) AS n_users,
+      |  CAST(k_size < 5 AS INTEGER) AS at_risk
+      |FROM cls GROUP BY k_size ORDER BY k_size""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val ut = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val top = ut
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("c").desc, col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val u = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      countDistinct(expr("ts div 1000000000 div 86400")).as("d"))
+    val prof = u.join(top, "user_id").select(
+      col("top_type"),
+      (length(bin(col("n"))) - 1).as("n_bucket"),
+      (length(bin(col("d"))) - 1).as("d_bucket"))
+    prof.groupBy("top_type", "n_bucket", "d_bucket")
+      .agg(count(lit(1)).as("k_size"))
+      .groupBy("k_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("k_size"), col("n_classes"),
+        (col("k_size") * col("n_classes")).as("n_users"),
+        when(col("k_size") < 5, 1).otherwise(0).as("at_risk"))
+      .orderBy("k_size")
+  }
+
   val all: Seq[QueryDef] = Seq(q181MarkovStationary, q182BenfordAudit,
     q185HazardTable, q192UserEntropy, q199WelchTtest, q202GiniConcentration,
     q205AssocRules, q206MarkovAttribution, q207Scd2History, q213BootstrapCi,
-    q214Cuped, q215TrimmedMean, q221ShareDrift, q223TrigramPaths)
+    q214Cuped, q215TrimmedMean, q221ShareDrift, q223TrigramPaths,
+    q233KAnonymity)
 }

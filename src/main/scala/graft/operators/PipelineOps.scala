@@ -254,6 +254,73 @@ object PipelineOps {
     surprisalBitsDf(docs(spark, dir), persistVocab = true).orderBy("doc_id")
   }
 
+  /** DSIR-style importance weighting for targeted data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", arXiv 2302.03169): score every document by the
+    * log-likelihood ratio of its tokens under a TARGET domain's
+    * unigram distribution (here lang='en', the corpus' majority
+    * class) versus the whole-corpus distribution, then rank for
+    * selection. Documents whose vocabulary looks like the target
+    * float to the top; the rank order is exactly the importance-
+    * resampling order DSIR samples from.
+    *
+    * Like q95, the per-token log is EXACT integer bits — the
+    * bit-length of the Laplace-smoothed integer quotient
+    * `(T + V) div (c + 1)` — so the ratio
+    * `delta = floor_log2(corpus quotient) - floor_log2(target
+    * quotient)` is reproducible bit-for-bit on any engine and any
+    * reduction order (the repo's log-free policy; documented
+    * deviation from DSIR's float n-gram LM).
+    *
+    * Scale shape (q95's, plus a bounded top-k): ONE tokenization
+    * scan feeds a map-side-combined vocab aggregate counting both
+    * distributions at once (no second corpus pass for the target —
+    * it is a filtered count over the same groups); the totals are a
+    * 1-row broadcast; the bits relation joins back to tokens on the
+    * token key (distributed, never collected); the final ranking is
+    * a TakeOrderedAndProject(50) — no global sort materializes.
+    */
+  val q232DsirWeights: QueryDef = QueryDef.sql(
+    "q232_dsir_weights",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |v AS (SELECT token, count(*) AS c_all,
+      |    count(*) FILTER (lang = 'en') AS c_tgt FROM t GROUP BY token),
+      |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+      |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt, count(*) AS nv FROM v),
+      |b AS (SELECT token,
+      |    (length(printf('%b', (t_all + nv) // (c_all + 1))) - 1)
+      |  - (length(printf('%b', (t_tgt + nv) // (c_tgt + 1))) - 1) AS delta_bits
+      |  FROM v, tot),
+      |d AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(delta_bits) AS BIGINT) AS llr_bits
+      |  FROM t JOIN b USING (token) GROUP BY doc_id)
+      |SELECT d.doc_id, lang, source, n_tokens, llr_bits
+      |FROM d JOIN documents USING (doc_id)
+      |ORDER BY llr_bits DESC, d.doc_id LIMIT 50""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+    // one group-by counts BOTH distributions (target = filtered count)
+    val vocab = toks.groupBy("token")
+      .agg(count(lit(1)).as("c_all"),
+        count(when(col("lang") === "en", 1)).as("c_tgt"))
+      .persist() // two consumers: the 1-row total and the bits join
+    val tot = vocab.agg(sum("c_all").as("t_all"), sum("c_tgt").as("t_tgt"),
+      count(lit(1)).as("nv"))
+    val bits = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        ((length(bin(expr("(t_all + nv) div (c_all + 1)"))) - 1)
+          - (length(bin(expr("(t_tgt + nv) div (c_tgt + 1)"))) - 1))
+          .cast("long").as("delta_bits"))
+    toks.join(bits, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("delta_bits").as("llr_bits"))
+      .join(d.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_tokens", "llr_bits")
+      .orderBy(col("llr_bits").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Temperature-weighted mixture sampling (alpha = 0.5): per-source
     * sampling weights proportional to sqrt(token count) — the
     * standard low-resource up-weighting — realized as exact
@@ -1219,7 +1286,7 @@ object PipelineOps {
   }
 
   val all: Seq[QueryDef] = Seq(q92PropsExtract, q93ChunkDedup,
-    q94BloomContamination, q95SurprisalBits, q96MixtureSample,
+    q94BloomContamination, q95SurprisalBits, q96MixtureSample, q232DsirWeights,
     q97LabelCentroids, q98Autocorr, q99Funnel, q100RepeatedSpans,
     q107QualityRank, q108Interarrival, q109LengthHist,
     q114Acf, q115BigramSurprisal, q131CrossCorr, q133ChunkScrub,

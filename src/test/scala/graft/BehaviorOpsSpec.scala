@@ -848,4 +848,31 @@ class BehaviorOpsSpec extends AnyFunSuite {
       assert(jac >= dec * 100000L - 1 && (dec == 10 || jac < (dec + 1) * 100000L))
     }
   }
+
+  test("q233 k-anonymity: census reconciles with a pure-Scala profile recount") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000 div 86400").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def bl(q: Long): Int = java.lang.Long.toBinaryString(q).length - 1
+    // one quasi-identifier tuple per user, modal tie-break (c desc, type asc)
+    val profiles = ev.groupBy(_._1).values.map { xs =>
+      val top = xs.groupBy(_._2).map { case (t, ys) => (t, ys.length) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }.head._1
+      (top, bl(xs.length.toLong), bl(xs.map(_._3).distinct.length.toLong))
+    }.toSeq
+    val census = profiles.groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).map { case (k, cs) => k -> cs.size.toLong }
+    val got = BehaviorOps.q233KAnonymity.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.map(_._1).toSeq == census.keys.toSeq.sorted, "class sizes")
+    got.foreach { case (k, nc, nu, risk) =>
+      assert(nc == census(k), s"k=$k classes")
+      assert(nu == k * nc, s"k=$k user count closure")
+      assert(risk == (if (k < 5) 1 else 0), s"k=$k risk flag")
+    }
+    // every user lands in exactly one class
+    assert(got.map(_._3).sum == profiles.size.toLong)
+  }
 }

@@ -23,6 +23,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q78_mixture_report",   // quality micro-sums + share window
     "q86_hist_quantile",    // binned percentile crossing
     "q95_surprisal_bits",   // integer floor-log2 bits
+    "q232_dsir_weights",    // integer floor-log2 LLR ranking
     "q96_mixture_sample",   // fixed-point sqrt weights
     "q98_autocorr",         // integer-moment Pearson
     "q101_robust_zscore",   // dyadic median/MAD

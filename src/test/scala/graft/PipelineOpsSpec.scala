@@ -64,6 +64,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(col("avg_bits") > maxBits || col("avg_bits") < 0).isEmpty)
   }
 
+  test("q232 DSIR weights: pure-Scala recount of the integer LLR ranking") {
+    val docRows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val toks = docRows.flatMap(r =>
+      r.getString(2).split(" ").map(t => (r.getLong(0), r.getString(1), t)))
+    val cAll = toks.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    val cTgt = toks.filter(_._2 == "en").groupBy(_._3)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val tAll = cAll.values.sum
+    val tTgt = cTgt.values.sum
+    val nv = cAll.size.toLong
+    def bl(q: Long): Long = java.lang.Long.toBinaryString(q).length - 1L
+    val delta = cAll.map { case (t, ca) =>
+      t -> (bl((tAll + nv) / (ca + 1)) - bl((tTgt + nv) / (cTgt.getOrElse(t, 0L) + 1)))
+    }
+    val perDoc = toks.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.length.toLong, xs.map(x => delta(x._3)).sum))
+    }
+    val expect = perDoc.toSeq.sortBy { case (id, (_, w)) => (-w, id) }.take(50)
+      .map { case (id, (n, w)) => (id, n, w) }
+    val got = PipelineOps.q232DsirWeights.fn(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("llr_bits")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // target alignment: on average, en documents outscore zh documents
+    val langOf = docRows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    def meanW(lang: String): Double = {
+      val ws = perDoc.collect { case (id, (_, w)) if langOf(id) == lang => w.toDouble }
+      ws.sum / ws.size
+    }
+    assert(meanW("en") > meanW("zh"),
+      s"DSIR target alignment broken: en ${meanW("en")} <= zh ${meanW("zh")}")
+  }
+
   test("q96 mixture rates: ppm normalized, sampling respects the rate") {
     val out = PipelineOps.q96MixtureSample.fn(spark, sfDir)
     val ppmSum = out.agg(sum("rate_ppm")).as[Long].head()

@@ -150,7 +150,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q200_silhouette", // K-row centroid broadcast cross join (q105's pattern)
       "q203_quantile_normalize", // bounded pooled-histogram broadcast bracket joins
       "q217_mixture_waterfill", // 1-row budget + 1-row fill-level broadcasts
-      "q227_bm25_topk") // 1-row corpus-total + 1-row avgdl broadcasts
+      "q227_bm25_topk", // 1-row corpus-total + 1-row avgdl broadcasts
+      "q232_dsir_weights") // q95's 1-row vocab-totals broadcast (t_all, t_tgt, nv)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
