@@ -184,19 +184,15 @@ object CorpusOps {
   val TokenBudget = 4000L
   val BlockDocs = 64L
 
-  val q81TokenShards: QueryDef = QueryDef.sql(
-    "q81_token_shards",
-    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents),
-       |c AS (SELECT doc_id, nw, sum(nw) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
-       |s AS (SELECT doc_id, nw, CAST((cum - nw) // $TokenBudget AS BIGINT) AS shard FROM c)
-       |SELECT shard, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
-       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("nw"),
-        expr(s"doc_id div $BlockDocs").as("blk"))
+  /** q81's doc→shard assignment via the two-phase distributed prefix
+    * sum (per-row sums inside fixed doc_id blocks; block-total
+    * offsets broadcast back; the only unpartitioned window runs over
+    * the |blocks|-row totals relation). Returns the input's columns
+    * plus (nw, shard). Shared by q81 and q237. */
+  private[operators] def shardAssign(d: DataFrame): DataFrame = {
+    val toks = d
+      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+      .withColumn("blk", expr(s"doc_id div $BlockDocs"))
     val blockOffsets = toks.groupBy("blk").agg(sum("nw").as("bt"))
       .withColumn("off", coalesce(
         sum(col("bt")).over(Window.orderBy("blk")
@@ -207,6 +203,18 @@ object CorpusOps {
     toks.join(broadcast(blockOffsets), "blk")
       .withColumn("cum", sum(col("nw")).over(inBlock) + col("off"))
       .withColumn("shard", expr(s"(cum - nw) div $TokenBudget"))
+  }
+
+  val q81TokenShards: QueryDef = QueryDef.sql(
+    "q81_token_shards",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents),
+       |c AS (SELECT doc_id, nw, sum(nw) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+       |s AS (SELECT doc_id, nw, CAST((cum - nw) // $TokenBudget AS BIGINT) AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    shardAssign(docs(spark, dir))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

@@ -742,9 +742,85 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Gram length for the exact-substring audit (Lee et al. use 50
+    * BPE tokens at web scale; 8 words fits the synthetic corpus while
+    * keeping the operator shape identical). */
+  val SubstrGram = 8
+
+  /** q236: cross-document exact-substring duplication audit — the
+    * measurement pass of ExactSubstr dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv 2107.06499): every document position opens a word
+    * 8-gram; grams occurring in ≥2 DISTINCT documents mark their
+    * 8-token spans duplicated, and the union of those spans (exact
+    * gaps-and-islands coverage per doc) is the text an ExactSubstr
+    * pass would cut. Top-50 docs by removable-fraction ppm.
+    *
+    * Scale shape: grams shuffle as fixed-width md5 digests, never
+    * span text (the q40/q100 rule; at 100 TB the digest would ride
+    * as 16-byte binary). Cross-doc detection is one hash aggregate
+    * on the digest (partial count-distinct map-side); the survivor
+    * join back is a digest equi-join; coverage is a per-doc RUNNING
+    * max window (linear, high-cardinality partitions); the ranking
+    * is TakeOrderedAndProject(50). No pairwise doc join anywhere —
+    * this is exactly why ExactSubstr scales where suffix-array
+    * pairwise scans don't.
+    */
+  val q236ExactSubstring: QueryDef = QueryDef.sql(
+    "q236_exact_substring",
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubstrGram),
+       |g AS (SELECT doc_id, source, len(w) AS nw, i - 1 AS st,
+       |    md5(array_to_string(w[i:i+${SubstrGram - 1}], ' ')) AS dig
+       |  FROM t, unnest(generate_series(1, len(w) - ${SubstrGram - 1})) AS u(i)),
+       |d AS (SELECT dig FROM g GROUP BY dig HAVING count(DISTINCT doc_id) >= 2),
+       |c AS (SELECT doc_id, source, nw, st,
+       |    max(st + $SubstrGram) OVER (PARTITION BY doc_id ORDER BY st
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM g JOIN d USING (dig)),
+       |p AS (SELECT doc_id, source, nw, count(*) AS n_dup_grams,
+       |    CAST(sum(greatest(0, st + $SubstrGram
+       |      - greatest(st, coalesce(prevmax, -1)))) AS BIGINT) AS covered
+       |  FROM c GROUP BY doc_id, source, nw)
+       |SELECT doc_id, source, CAST(nw AS BIGINT) AS n_tokens, n_dup_grams,
+       |  covered AS covered_tokens,
+       |  CAST(covered * 1000000 // nw AS BIGINT) AS dup_ppm
+       |FROM p ORDER BY dup_ppm DESC, doc_id LIMIT 50""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrGram
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= L)
+    val grams = t.select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("nw"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (L - 1)),
+          i => md5(concat_ws(" ", slice(col("w"), i, lit(L))).cast("binary"))))
+          .as(Seq("st", "dig")))
+      .select(col("doc_id"), col("source"), col("nw"),
+        col("st").cast("long").as("st"), col("dig"))
+    val dup = grams.groupBy("dig")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("dig")
+    val w = Window.partitionBy("doc_id").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grams.join(dup, "dig")
+      .withColumn("prevmax", max(col("st") + L).over(w))
+      .groupBy("doc_id", "source", "nw")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(greatest(lit(0L), col("st") + L
+          - greatest(col("st"), coalesce(col("prevmax"), lit(-1L)))))
+          .as("covered_tokens"))
+      .select(col("doc_id"), col("source"), col("nw").as("n_tokens"),
+        col("n_dup_grams"), col("covered_tokens"),
+        expr("covered_tokens * 1000000L div n_tokens").as("dup_ppm"))
+      .orderBy(col("dup_ppm").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40ExactDedup, q41MinhashSignature, q42LshPairs, q43JaccardVerify,
     q44Simhash, q54WindowDedup, q63SimhashNearDup, q70NeardupClusters,
     q80ClusterCanonical, q128EditDistance, q129Containment, q142DeltaDedup,
-    q222ClusterSizes, q230MinhashCalibration, q231DedupQualityShift)
+    q222ClusterSizes, q230MinhashCalibration, q231DedupQualityShift,
+    q236ExactSubstring)
 }

@@ -882,8 +882,197 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (q234 codebook train, q235 ADC search).
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: M subspaces of Dsub dims each over the 64-dim
+    * embeddings, K centroids per subspace, 2 Lloyd iterations — the
+    * compressed-domain ANN layout of Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search" (TPAMI 2011). */
+  val PqM = 4
+  val PqDsub = 16
+  val PqK = 8
+
+  /** Per-(vector, subspace) rows: `sub` indexes the M slices of the
+    * micro-quantized vector. A constant M-way explode — row count is
+    * M×n, each row Dsub longs, never a pairwise blowup. */
+  private[operators] def pqSubvectors(q: DataFrame, vecCol: String): DataFrame =
+    q.select(col(vecCol), posexplode(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(col("qe"), s * lit(PqDsub) + 1, lit(PqDsub))))
+      .as(Seq("sub", "sq")))
+
+  /** Seed sub-codebooks: the K lowest vec_ids' subvectors (the q105
+    * deterministic seed, sliced per subspace). K rows → M×K rows. */
+  private[operators] def pqSeed(q: DataFrame): DataFrame = {
+    val sid = q.orderBy("vec_id").limit(PqK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cid"), col("qe"))
+    pqSubvectors(sid, "cid").select(col("cid"), col("sub"), col("sq").as("cq"))
+  }
+
+  /** Sub-space squared distance — exact int64 fold over Dsub dims. */
+  private def pqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-subspace assignment: broadcast the M×K sub-codebook, join on
+    * the `sub` key, argmin via q105's packed (dist, cid) key (unique,
+    * so no tie ambiguity on any engine). One hash aggregate keyed by
+    * (vec_id, sub) — no vector-pair join. */
+  private[operators] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), "sub")
+      .withColumn("key", pqDist(col("sq"), col("cq")) * PqK + col("cid"))
+      .groupBy("vec_id", "sub").agg(min_by(col("cid"), col("key")).as("cid"))
+
+  /** Truncating-integer-mean centroid update per (sub, cid, dim). */
+  private[operators] def pqUpdate(sv: DataFrame, asg: DataFrame): DataFrame =
+    sv.join(asg, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sq")).as(Seq("dim", "v")))
+      .groupBy("sub", "cid", "dim")
+      .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
+
+  private[operators] def pqRecollect(upd: DataFrame): DataFrame =
+    upd.groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
+        s => s.getField("cqv")).as("cq"))
+
+  /** Train the M sub-codebooks through two Lloyd iterations and
+    * return the final update relation (sub, cid, dim, cqv, n). */
+  private[operators] def pqTrainU2(sv: DataFrame, q: DataFrame): DataFrame =
+    pqUpdate(sv, pqAssign(sv,
+      pqRecollect(pqUpdate(sv, pqAssign(sv, pqSeed(q))))))
+
+  /** One per-subspace Lloyd iteration in DuckDB (the q105 oracle
+    * pattern with a `sub` key threaded through). */
+  private def duckPqIter(prev: String, asg: String, upd: String,
+      cents: String): String =
+    s"""$asg AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+       |  FROM sv v JOIN $prev c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+       |$upd AS (SELECT v.sub, a.cid, i AS dim,
+       |    CAST(CAST(sum(v.sq[i]) AS BIGINT) // count(*) AS BIGINT) AS cqv,
+       |    count(*) AS n
+       |  FROM sv v JOIN $asg a ON a.vec_id = v.vec_id AND a.sub = v.sub,
+       |    unnest(generate_series(1, $PqDsub)) AS t(i)
+       |  GROUP BY v.sub, a.cid, i),
+       |$cents AS (SELECT sub, cid, list(cqv ORDER BY dim) AS cq
+       |  FROM $upd GROUP BY sub, cid)""".stripMargin
+
+  /** Shared PQ oracle prefix: quantized vectors `q`, subvector rows
+    * `sv`, seed `c0`, two Lloyd iterations ending in `u2`/`c2`. */
+  private val duckPqPrefix: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+       |sv AS (SELECT vec_id, s.sub,
+       |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS sq
+       |  FROM q, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |sid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
+       |  FROM q ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (SELECT cid, s.sub,
+       |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS cq
+       |  FROM sid, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |${duckPqIter("c0", "a1", "u1", "c1")},
+       |${duckPqIter("c1", "a2", "u2", "c2")}""".stripMargin
+
+  /** q234: product-quantization codebook training — M independent
+    * integer-exact k-means runs, one per Dsub-dim subspace, sharing
+    * q105's arithmetic contract (micro-unit longs, packed-argmin
+    * ties, truncating-mean updates) so the M×K×Dsub codebook is
+    * bit-identical on any engine or reduction order. PQ is the
+    * standard compressed-domain ANN layout at 100 TB scale: 64 dims
+    * × 4 bytes compress to M=4 one-byte codes per vector.
+    *
+    * Scale shape per Lloyd iteration: the sub-codebook (M×K = 32
+    * rows) broadcasts; assignment is one hash aggregate keyed by
+    * (vec_id, sub) over the constant-M subvector explode; the update
+    * is a second bounded aggregate (M×K×Dsub output rows). No
+    * vector-pair join anywhere — cost is O(n·M·K·Dsub) scan work,
+    * the same profile a production PQ trainer has.
+    */
+  val q234PqCodebook: QueryDef = QueryDef.sql(
+    "q234_pq_codebook",
+    s"""$duckPqPrefix
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid,
+       |  CAST(dim - 1 AS BIGINT) AS dim, n AS n_members,
+       |  round(CAST(cqv AS DOUBLE) / 1e6, 6) AS centroid
+       |FROM u2 ORDER BY sub, cid, dim""".stripMargin) { (spark, dir) =>
+    val q = kmeansQuantized(spark, dir)
+    val sv = pqSubvectors(q, "vec_id")
+    pqTrainU2(sv, q)
+      .select(col("sub").cast("long").as("sub"), col("cid"),
+        col("dim").cast("long").as("dim"), col("n").as("n_members"),
+        round(col("cqv").cast("double") / 1e6, 6).as("centroid"))
+      .orderBy("sub", "cid", "dim")
+  }
+
+  /** q235: PQ search by asymmetric distance computation (ADC) — the
+    * query (lowest vec_id, held out of the ranking) is compared to
+    * CENTROIDS only: a M×K lookup table of exact int64 sub-distances
+    * is built once, every corpus vector's approximate distance is
+    * the sum of M table entries addressed by its PQ code, and the
+    * top-20 by (adc_d2, vec_id) is re-scored exactly. Emitting both
+    * adc_d2 and exact_d2 makes the query double as the PQ
+    * approximation-quality audit (the Jégou et al. ADC estimator).
+    *
+    * Scale shape: encoding is q234's bounded (vec_id, sub) aggregate
+    * after a 32-row codebook broadcast; the ADC scan joins the code
+    * relation to the 32-row LUT (broadcast hash join) and sums —
+    * O(n·M) lookup work, the whole point of PQ; the ranking is a
+    * TakeOrderedAndProject(20); ONLY the 20 survivors pay an exact
+    * 64-dim re-score (equi join back to the vector relation). The
+    * single nested-loop join is the 1-row query-vector broadcast.
+    */
+  val q235PqAdcTopk: QueryDef = QueryDef.sql(
+    "q235_pq_adc_topk",
+    s"""$duckPqPrefix,
+       |codes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+       |  FROM sv v JOIN c2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+       |qv AS (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 1),
+       |qsv AS (SELECT s.sub,
+       |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS qsq
+       |  FROM qv, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |lut AS (SELECT c.sub, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+       |  FROM qsv t JOIN c2 c ON t.sub = c.sub),
+       |adc AS (SELECT k.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+       |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+       |  GROUP BY k.vec_id),
+       |top AS (SELECT a.vec_id, a.adc_d2 FROM adc a, qv
+       |  WHERE a.vec_id <> qv.vec_id
+       |  ORDER BY a.adc_d2, a.vec_id LIMIT 20)
+       |SELECT t.vec_id, t.adc_d2,
+       |  CAST(list_sum(list_transform(generate_series(1, len(q.qe)),
+       |    i -> (q.qe[i] - qv.qe[i]) * (q.qe[i] - qv.qe[i]))) AS BIGINT) AS exact_d2
+       |FROM top t JOIN q ON q.vec_id = t.vec_id, qv
+       |ORDER BY t.adc_d2, t.vec_id""".stripMargin) { (spark, dir) =>
+    val q = kmeansQuantized(spark, dir)
+    val sv = pqSubvectors(q, "vec_id")
+    val c2 = pqRecollect(pqTrainU2(sv, q))
+    val codes = pqAssign(sv, c2)
+    val qv = q.orderBy("vec_id").limit(1)
+    val qsv = pqSubvectors(qv, "vec_id").select(col("sub"), col("sq").as("qsq"))
+    val lut = qsv.join(c2, "sub")
+      .select(col("sub"), col("cid"), pqDist(col("qsq"), col("cq")).as("d2"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum("d2").as("adc_d2"))
+    val qRow = qv.select(col("vec_id").as("q_vid"), col("qe").as("qqe"))
+    adc.crossJoin(broadcast(qRow))
+      .filter(col("vec_id") =!= col("q_vid"))
+      .orderBy("adc_d2", "vec_id").limit(20)
+      .join(q, "vec_id")
+      .select(col("vec_id"), col("adc_d2"),
+        pqDist(col("qe"), col("qqe")).as("exact_d2"))
+      .orderBy("adc_d2", "vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
-    q177MultiprobeTopK)
+    q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk)
 }

@@ -151,7 +151,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q203_quantile_normalize", // bounded pooled-histogram broadcast bracket joins
       "q217_mixture_waterfill", // 1-row budget + 1-row fill-level broadcasts
       "q227_bm25_topk", // 1-row corpus-total + 1-row avgdl broadcasts
-      "q232_dsir_weights") // q95's 1-row vocab-totals broadcast (t_all, t_tgt, nv)
+      "q232_dsir_weights", // q95's 1-row vocab-totals broadcast (t_all, t_tgt, nv)
+      "q235_pq_adc_topk") // 1-row query-vector broadcast (ADC re-score)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
@@ -189,7 +190,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q217_mixture_waterfill" -> "per-source water-filling table (|sources| rows)",
       "q222_cluster_sizes" -> "cluster-SIZE census histogram (|distinct sizes| rows)",
       "q225_fold_stability" -> "K-row per-fold moment relation",
-      "q229_oov_curve" -> "frequency-of-frequency histogram (one row per distinct count value)")
+      "q229_oov_curve" -> "frequency-of-frequency histogram (one row per distinct count value)",
+      "q234_pq_codebook" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
+      "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty

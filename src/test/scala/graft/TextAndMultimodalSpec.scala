@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextHash, VectorMath}
-import graft.operators.{Multimodal, TextOps}
+import graft.operators.{Dedup, Multimodal, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -237,5 +237,41 @@ class TextAndMultimodalSpec extends AnyFunSuite {
     val sig = spark.sql(
       "SELECT minhash_signature(array(1L, 2L, 3L)) AS s").head().getSeq[Long](0)
     assert(sig.size == TextHash.NumPerms)
+  }
+
+  test("q236 exact-substring audit reconciles with a pure-Scala coverage replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    val L = Dedup.SubstrGram
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+      .filter(_._3.length >= L)
+    val grams = rows.flatMap { case (id, src, w) =>
+      w.sliding(L).zipWithIndex.map { case (g, st) =>
+        (id, src, w.length.toLong, st.toLong, g.mkString(" ")) }
+    }
+    val crossDoc = grams.groupBy(_._5)
+      .filter { case (_, xs) => xs.map(_._1).distinct.length >= 2 }.keySet
+    val perDoc = grams.filter(g => crossDoc(g._5))
+      .groupBy(g => (g._1, g._2, g._3)).map { case ((id, src, nw), xs) =>
+        val sts = xs.map(_._4).sorted
+        // union of [st, st+L) intervals
+        var covered = 0L; var end = -1L
+        sts.foreach { st =>
+          covered += math.max(0L, st + L - math.max(st, end))
+          end = math.max(end, st + L)
+        }
+        (id, src, nw, xs.length.toLong, covered, covered * 1000000L / nw)
+      }
+    val expect = perDoc.toSeq
+      .sortBy { case (id, _, _, _, _, ppm) => (-ppm, id) }.take(50)
+    val got = Dedup.q236ExactSubstring.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // coverage can never exceed the doc or undercut one gram span
+    got.foreach { case (_, _, nw, nd, cov, _) =>
+      assert(cov <= nw && cov >= L && nd >= 1)
+    }
   }
 }

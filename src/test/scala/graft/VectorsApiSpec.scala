@@ -42,4 +42,82 @@ class VectorsApiSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (q234/q235): pure-Scala replay of the integer
+  // Lloyd trainer, independent of both Spark's plan and the oracle.
+  // -------------------------------------------------------------------
+
+  import graft.operators.Similarity.{PqM, PqDsub, PqK}
+
+  /** Micro-quantized vectors, sorted by vec_id. */
+  private lazy val pqVecs: Seq[(Long, Array[Long])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+      .sortBy(_._1).toSeq
+
+  private def pqSlice(v: Array[Long], sub: Int): Array[Long] =
+    v.slice(sub * PqDsub, (sub + 1) * PqDsub)
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Two Lloyd iterations per subspace; returns the final update
+    * relation keyed (sub, cid) -> (centroid dims, member count). */
+  private def pqTrainScala(): Map[(Int, Long), (Array[Long], Long)] = {
+    var cents: Map[(Int, Long), Array[Long]] =
+      (for ((id, qe) <- pqVecs.take(PqK).zipWithIndex.map { case ((_, qe), i) => (i.toLong, qe) };
+            sub <- 0 until PqM)
+        yield (sub, id) -> pqSlice(qe, sub)).toMap
+    var last: Map[(Int, Long), (Array[Long], Long)] = Map.empty
+    for (_ <- 1 to 2) {
+      val asg = for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(qe, sub)
+        val cid = cents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+        (sub, cid, sq)
+      }
+      last = asg.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+        val n = xs.size.toLong
+        val mean = Array.tabulate(PqDsub)(d => xs.map(_._3(d)).sum / n)
+        k -> (mean, n)
+      }
+      cents = last.map { case (k, (m, _)) => k -> m }
+    }
+    last
+  }
+
+  test("q234 PQ codebook reconciles with a pure-Scala Lloyd replay") {
+    val expect = pqTrainScala()
+    val got = graft.operators.Similarity.q234PqCodebook.fn(spark, sfDir)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1)), r.getLong(2).toInt,
+        r.getLong(3), r.getDouble(4)))
+    assert(got.length == expect.size * PqDsub, "codebook row count")
+    got.foreach { case (key, dim, n, centroid) =>
+      val (m, en) = expect(key)
+      assert(n == en, s"members at $key")
+      assert(centroid == BigDecimal(m(dim) / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"centroid at $key dim $dim")
+    }
+  }
+
+  test("q235 ADC top-k reconciles with a LUT replay and exact re-scores") {
+    val cents = pqTrainScala().map { case (k, (m, _)) => k -> m }
+    val codes = for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+      val sq = pqSlice(qe, sub)
+      (vid, sub, cents.collect { case ((s, c), cq) if s == sub =>
+        c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1)
+    }
+    val (qid, qqe) = pqVecs.head // lowest vec_id is the query
+    val lut = cents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(qqe, s), cq) }
+    val adc = codes.groupBy(_._1).map { case (vid, xs) =>
+      vid -> xs.map(t => lut((t._2, t._3))).sum }
+    val expect = adc.toSeq.filter(_._1 != qid)
+      .sortBy { case (vid, a) => (a, vid) }.take(20)
+      .map { case (vid, a) => (vid, a, d2(pqVecs.find(_._1 == vid).get._2, qqe)) }
+    val got = graft.operators.Similarity.q235PqAdcTopk.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }
