@@ -222,6 +222,52 @@ object CorpusOps {
       .orderBy("shard")
   }
 
+  /** Per-shard manifest: for every training shard produced by the
+    * q81 token-budget assignment, the boundary docs, doc/token
+    * counts, fill ratio against the budget, and the source mix
+    * (distinct sources + dominant source) — what a data loader needs
+    * to pick shards by provenance without opening them.
+    *
+    * Scale shape: the manifest relation has corpus_tokens/budget
+    * rows and the per-(shard, source) relation at most |sources|×
+    * that — both tiny next to the corpus. The dominant-source window
+    * is partitioned by shard; the only unpartitioned window stays
+    * inside `shardAssign`'s |blocks|-row totals.
+    */
+  val q237ShardManifest: QueryDef = QueryDef.sql(
+    "q237_shard_manifest",
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw FROM documents),
+       |c AS (SELECT doc_id, source, nw, sum(nw) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+       |s AS (SELECT doc_id, source, nw, CAST((cum - nw) // $TokenBudget AS BIGINT) AS shard FROM c),
+       |tot AS (SELECT shard, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |    count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT source) AS n_sources FROM s GROUP BY shard),
+       |bs AS (SELECT shard, source, count(*) AS src_docs FROM s GROUP BY shard, source),
+       |top AS (SELECT shard, source AS top_source, src_docs AS top_source_docs FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY shard
+       |     ORDER BY src_docs DESC, source) AS rn FROM bs) WHERE rn = 1)
+       |SELECT tot.shard, first_doc, last_doc, n_docs, n_tokens, n_sources,
+       |  top_source, top_source_docs,
+       |  round(n_tokens * 100.0 / $TokenBudget, 2) AS fill_pct
+       |FROM tot JOIN top USING (shard) ORDER BY tot.shard""".stripMargin) { (spark, dir) =>
+    val asg = shardAssign(docs(spark, dir))
+    val tot = asg.groupBy("shard").agg(
+      min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+      count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+      countDistinct("source").as("n_sources"))
+    val bySrc = asg.groupBy("shard", "source").agg(count(lit(1)).as("src_docs"))
+    val top = bySrc
+      .withColumn("rn", row_number().over(Window.partitionBy("shard")
+        .orderBy(col("src_docs").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("source").as("top_source"),
+        col("src_docs").as("top_source_docs"))
+    tot.join(top, "shard")
+      .withColumn("fill_pct", round(col("n_tokens") * 100.0 / TokenBudget, 2))
+      .orderBy("shard")
+  }
+
   /** Within-document repetition metrics: the duplicate-3-gram
     * fraction (1 − distinct/total over the doc's word 3-grams) — the
     * standard repetition signal corpus filters threshold on. A pure
@@ -647,5 +693,5 @@ object CorpusOps {
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
     q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
     q121SequencePacking, q143SplitDrift, q216NegativePairs,
-    q217MixtureWaterfill, q218TableDiff, q229OovCurve)
+    q217MixtureWaterfill, q218TableDiff, q229OovCurve, q237ShardManifest)
 }
