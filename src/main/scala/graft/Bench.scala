@@ -59,6 +59,10 @@ object Bench {
       // invalidated the round-3 events numbers).
       val recs = scala.collection.mutable.ArrayBuffer.empty[BenchDiag.Rec]
       val runs = (1 to repeat).map { _ =>
+        // each repeat builds a fresh plan, so a query's internal
+        // persist() registers a new cache entry per repeat — drop the
+        // previous repeat's entries so repeats are memory-identical
+        spark.catalog.clearCache()
         org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
         val ts0 = diag.snapshot
         val gc0 = BenchDiag.driverGcMs; val cpu0 = BenchDiag.processCpuMs

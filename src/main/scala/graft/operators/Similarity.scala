@@ -895,10 +895,11 @@ object Similarity {
   val PqK = 8
 
   /** Per-(vector, subspace) rows: `sub` indexes the M slices of the
-    * micro-quantized vector. A constant M-way explode — row count is
-    * M×n, each row Dsub longs, never a pairwise blowup. */
-  private[operators] def pqSubvectors(q: DataFrame, vecCol: String): DataFrame =
-    q.select(col(vecCol), posexplode(
+    * micro-quantized `qe` vector, carried alongside the row's id
+    * column `idCol`. A constant M-way explode — row count is M×n,
+    * each row Dsub longs, never a pairwise blowup. */
+  private[operators] def pqSubvectors(q: DataFrame, idCol: String): DataFrame =
+    q.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(PqM - 1)),
         s => slice(col("qe"), s * lit(PqDsub) + 1, lit(PqDsub))))
       .as(Seq("sub", "sq")))

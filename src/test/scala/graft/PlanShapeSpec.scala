@@ -192,7 +192,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q225_fold_stability" -> "K-row per-fold moment relation",
       "q229_oov_curve" -> "frequency-of-frequency histogram (one row per distinct count value)",
       "q234_pq_codebook" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
+      "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
+      "q237_shard_manifest" -> "q81's block-totals prefix relation (|blocks| rows)")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
