@@ -182,7 +182,7 @@ object Similarity {
   // argmin L2; search probes the query's nearest `nprobe` lists.
 
   private[graft] val NumCentroids = 16
-  private val NProbe = 2
+  private[graft] val NProbe = 2
 
   private[graft] def duckL2(a: String, b: String): String =
     s"""list_reduce(list_transform($a, (x, i) -> (x::DOUBLE - $b[i]::DOUBLE)
@@ -1072,8 +1072,99 @@ object Similarity {
       .orderBy("adc_d2", "vec_id")
   }
 
+  /** q238: IVFADC — the full Jégou/Douze/Schmid compressed-domain
+    * search layout, composing q67/q68's IVF coarse routing with
+    * q234/q235's PQ codes. Every corpus vector carries its coarse
+    * list id and its M PQ codes; a query probes only its NProbe
+    * nearest coarse lists, ADC-scores ONLY the codes in those lists
+    * via the per-query M×K lookup table, takes the top-5 per query,
+    * and exactly re-scores just the survivors. Unlike q235 (whose
+    * ADC scan touches every vector), the candidate relation here is
+    * bounded by the probed lists — the only form that works at
+    * 100 TB, where the per-list scan is ~nprobe/K of the corpus.
+    *
+    * Scale shape: routing is the q67 driver-collected coarse
+    * codebook (NumCentroids rows) as a native per-row expression —
+    * zero shuffle; the LIST-KEY EQUI-JOIN (codes ⋈ asg ⋈ qp on
+    * list_id) runs AHEAD of ADC scoring, so the LUT join and the
+    * (q_id, vec_id) sum only see probed-list rows; the LUT is
+    * |queries|×M×K rows, broadcast; ranking is a per-query window
+    * over probed candidates; only ≤ 5 survivors per query pay the
+    * exact 64-dim re-score.
+    */
+  val q238IvfAdcTopk: QueryDef = QueryDef.sql(
+    "q238_ivfadc_topk",
+    s"""$duckPqPrefix,
+       |codes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+       |  FROM sv v JOIN c2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+       |$duckCentroids,
+       |asg AS (SELECT vec_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |qp AS (SELECT q_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id AS q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rn <= $NProbe),
+       |lut AS (SELECT t.q_id, c.sub, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+       |  FROM (SELECT vec_id AS q_id, sub, sq AS qsq FROM sv WHERE vec_id < 10) t
+       |  JOIN c2 c ON t.sub = c.sub),
+       |cand AS (SELECT qp.q_id, k.vec_id, k.sub, k.cid
+       |  FROM codes k JOIN asg a ON a.vec_id = k.vec_id
+       |  JOIN qp ON qp.list_id = a.list_id
+       |  WHERE k.vec_id <> qp.q_id),
+       |adc AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+       |  FROM cand c JOIN lut l
+       |    ON l.q_id = c.q_id AND l.sub = c.sub AND l.cid = c.cid
+       |  GROUP BY c.q_id, c.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+       |  FROM adc)
+       |SELECT r.q_id, r.vec_id, r.adc_d2,
+       |  CAST(list_sum(list_transform(generate_series(1, len(v.qe)),
+       |    i -> (v.qe[i] - qq.qe[i]) * (v.qe[i] - qq.qe[i]))) AS BIGINT) AS exact_d2,
+       |  r.rank
+       |FROM r JOIN q v ON v.vec_id = r.vec_id JOIN q qq ON qq.vec_id = r.q_id
+       |WHERE rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (spark, dir) =>
+    val q = kmeansQuantized(spark, dir)
+    val sv = pqSubvectors(q, "vec_id")
+    val c2 = pqRecollect(pqTrainU2(sv, q))
+    val codes = pqAssign(sv, c2)
+    val emb = Tables.embeddings(spark, dir)
+    val asg = emb.select(col("vec_id"),
+      element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
+    val qp = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        explode(nearestCol(spark, dir, NProbe, col("embedding"))).as("list_id"))
+    val lut = sv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
+      .join(broadcast(c2), "sub")
+      .select(col("q_id"), col("sub"), col("cid"),
+        pqDist(col("qsq"), col("cq")).as("d2"))
+    val cand = codes.join(asg, "vec_id")
+      .join(broadcast(qp), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+    val top = adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val qRows = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
+    top.join(q, "vec_id").join(broadcast(qRows), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc_d2"),
+        pqDist(col("qe"), col("qqe")).as("exact_d2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
-    q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk)
+    q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk)
 }

@@ -120,4 +120,42 @@ class VectorsApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
   }
+
+  test("q238 IVFADC reconciles with a pure-Scala probed-list replay") {
+    import graft.operators.Similarity.{NumCentroids, NProbe}
+    // coarse routing replay on the FLOAT embeddings (the q67 contract:
+    // sequential double L2 fold, ties to the lower centroid id)
+    val floats: Seq[(Long, Array[Float])] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    val coarse = floats.take(NumCentroids)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def probes(v: Array[Float], n: Int): Seq[Long] =
+      coarse.map { case (cid, ce) => (l2(v, ce), cid) }.sortBy(identity).take(n).map(_._2)
+    val asg: Map[Long, Long] = floats.map { case (vid, v) => vid -> probes(v, 1).head }.toMap
+    // PQ replay (shared with the q234/q235 pins)
+    val cents = pqTrainScala().map { case (k, (m, _)) => k -> m }
+    val codes: Map[(Long, Int), Long] =
+      (for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(qe, sub)
+        (vid, sub) -> cents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    val expect = for {
+      (qid, qv) <- floats.filter(_._1 < 10)
+      probed = probes(qv, NProbe).toSet
+      qqe = pqVecs.find(_._1 == qid).get._2
+      lut = cents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(qqe, s), cq) }
+      cand = pqVecs.filter { case (vid, _) => vid != qid && probed(asg(vid)) }
+      scored = cand.map { case (vid, _) =>
+        vid -> (0 until PqM).map(s => lut((s, codes((vid, s))))).sum }
+      ((vid, adc), i) <- scored.sortBy { case (v, a) => (a, v) }.take(5).zipWithIndex
+    } yield (qid, vid, adc, d2(pqVecs.find(_._1 == vid).get._2, qqe), i + 1L)
+    val got = graft.operators.Similarity.q238IvfAdcTopk.fn(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong)).toSeq
+    assert(got == expect)
+  }
 }
