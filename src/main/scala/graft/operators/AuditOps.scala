@@ -1131,9 +1131,9 @@ object AuditOps {
        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM d GROUP BY source),
        |e AS (SELECT source, n, sx, sy,
-       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
-       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS b,
-       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c FROM m)
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS a,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS c FROM m)
        |SELECT source, CAST(n AS BIGINT) AS n,
        |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
        |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
@@ -1155,13 +1155,16 @@ object AuditOps {
       sum(expr(s"CAST($x AS DECIMAL(20,0)) * $x")).as("sxx"),
       sum(expr(s"CAST($x AS DECIMAL(20,0)) * $y")).as("sxy"),
       sum(expr(s"CAST($y AS DECIMAL(20,0)) * $y")).as("syy"))
-    // cast BEFORE the product (q202/q220/q225 overflow policy): the
-    // int64 form n·Σy² overflows once a group holds ~45k ppm-scaled
-    // rows; double products are the same IEEE ops on both engines
+    // WIDE-INTEGER cross terms: n·Σxy − Σx·Σy computed in
+    // DECIMAL(38,0) (HUGEINT in DuckDB) and cast to double AFTER the
+    // exact subtraction — the double-product form suffered
+    // catastrophic cancellation past 2^53, losing every significant
+    // digit exactly in the large-group regime; this stays exact to
+    // ~10^38 and both engines convert the same integer identically
     val e = m.select(col(key), col("n"), col("sx"), col("sy"),
-      expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("a"),
-      expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("b"),
-      expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("c"))
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("a"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("b"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").as("c"))
     e.select(col(key), col("n"),
       round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
       round(when(col("b") =!= 0,
@@ -1347,9 +1350,9 @@ object AuditOps {
        |l AS (SELECT fold, tn - n AS n, tsx - sx AS sx, tsy - sy AS sy,
        |    tsxx - sxx AS sxx, tsxy - sxy AS sxy, tsyy - syy AS syy FROM t),
        |e AS (SELECT fold, n, sx, sy,
-       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
-       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS b,
-       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c FROM l)
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS a,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS c FROM l)
        |SELECT fold, CAST(n AS BIGINT) AS n_train,
        |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS slope,
        |  round(CASE WHEN b <> 0 THEN (sy - a / b * sx) / n END, 6) AS intercept,
@@ -1375,14 +1378,16 @@ object AuditOps {
       .select(col("fold"), col("n2").as("n"), col("sx2").as("sx"),
         col("sy2").as("sy"), col("sxx2").as("sxx"), col("sxy2").as("sxy"),
         col("syy2").as("syy"))
-    // cast BEFORE the product (the q202/q220 overflow policy): the
-    // int64 form n*syy overflows past ~45k docs (y is ppm-scaled, so
-    // n·Σy² ≈ n²·10¹²); double products are identical IEEE ops on
-    // both engines, and below 2⁵³ they equal the exact-int path
+    // WIDE-INTEGER cross terms: n·Σxy − Σx·Σy computed in
+    // DECIMAL(38,0) (HUGEINT in DuckDB) and cast to double AFTER the
+    // exact subtraction — the double-product form suffered
+    // catastrophic cancellation past 2^53, losing every significant
+    // digit exactly in the large-group regime; this stays exact to
+    // ~10^38 and both engines convert the same integer identically
     val e = l.select(col("fold"), col("n"), col("sx"), col("sy"),
-      expr("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)").as("a"),
-      expr("CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)").as("b"),
-      expr("CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)").as("c"))
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("a"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("b"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").as("c"))
     e.select(col("fold"), col("n").as("n_train"),
         round(when(col("b") =!= 0, col("a") / col("b")), 6).as("slope"),
         round(when(col("b") =!= 0,

@@ -740,9 +740,9 @@ object BehaviorOps {
        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
        |  FROM xy),
        |e AS (SELECT n, sx, sy,
-       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS a,
-       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS b,
-       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c FROM m)
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS a,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS c FROM m)
        |SELECT CAST(n AS BIGINT) AS n_users,
        |  round(CASE WHEN b <> 0 THEN a / b END, 6) AS theta,
        |  round(CASE WHEN b <> 0 AND c <> 0 THEN a * a / (b * c) END, 6)

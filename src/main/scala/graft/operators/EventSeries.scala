@@ -576,15 +576,15 @@ object EventSeries {
        |  FROM qv WINDOW pw AS ($OW ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |d AS (SELECT user_id, i, tn,
        |    i AS wl, n - i AS wr,
-       |    CAST(i AS DOUBLE) * CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) AS cl,
-       |    CAST(i AS DOUBLE) * CAST(csxx AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csx AS DOUBLE) AS bl,
-       |    CAST(i AS DOUBLE) * CAST(csxy AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csy AS DOUBLE) AS al,
-       |    CAST(n - i AS DOUBLE) * CAST(tyy - csyy AS DOUBLE)
-       |      - CAST(ty - csy AS DOUBLE) * CAST(ty - csy AS DOUBLE) AS cr,
-       |    CAST(n - i AS DOUBLE) * CAST(txx - csxx AS DOUBLE)
-       |      - CAST(tx - csx AS DOUBLE) * CAST(tx - csx AS DOUBLE) AS br,
-       |    CAST(n - i AS DOUBLE) * CAST(txy - csxy AS DOUBLE)
-       |      - CAST(tx - csx AS DOUBLE) * CAST(ty - csy AS DOUBLE) AS ar
+       |    CAST(CAST(i AS HUGEINT) * csyy - CAST(csy AS HUGEINT) * csy AS DOUBLE) AS cl,
+       |    CAST(CAST(i AS HUGEINT) * csxx - CAST(csx AS HUGEINT) * csx AS DOUBLE) AS bl,
+       |    CAST(CAST(i AS HUGEINT) * csxy - CAST(csx AS HUGEINT) * csy AS DOUBLE) AS al,
+       |    CAST(CAST(n - i AS HUGEINT) * (tyy - csyy)
+       |      - CAST(ty - csy AS HUGEINT) * (ty - csy) AS DOUBLE) AS cr,
+       |    CAST(CAST(n - i AS HUGEINT) * (txx - csxx)
+       |      - CAST(tx - csx AS HUGEINT) * (tx - csx) AS DOUBLE) AS br,
+       |    CAST(CAST(n - i AS HUGEINT) * (txy - csxy)
+       |      - CAST(tx - csx AS HUGEINT) * (ty - csy) AS DOUBLE) AS ar
        |  FROM p WHERE i >= 2 AND i <= n - 2),
        |e AS (SELECT user_id, i, tn,
        |    (cl * bl - al * al) / (CAST(wl AS DOUBLE) * bl)
@@ -600,9 +600,9 @@ object EventSeries {
       .withColumn("i", row_number().over(s.ordered).cast("long"))
       // DECIMAL(20) factors: cumulative sum(i*i) grows as n^3/3, past
       // int64 at ~3M rows per series; DuckDB widens the same sums to
-      // HUGEINT. The d-CTE products then cast each exact factor to
-      // double BEFORE multiplying (the q225 policy), identically on
-      // both engines.
+      // HUGEINT. The d-CTE cross terms subtract in DECIMAL(38,0)
+      // (HUGEINT in DuckDB) and cast the EXACT difference to double —
+      // double products would cancel catastrophically past 2^53.
       .withColumn("csx", sum("i").over(pw))
       .withColumn("csxx", sum(expr("CAST(i AS DECIMAL(20,0)) * i")).over(pw))
       .withColumn("csy", sum("y").over(pw))
@@ -617,15 +617,15 @@ object EventSeries {
     val d = p.filter(col("i") >= 2 && col("i") <= col("n") - 2)
       .select(col("user_id"), col("i"), col("tn"),
         col("i").as("wl"), (col("n") - col("i")).as("wr"),
-        expr("CAST(i AS DOUBLE) * CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE)").as("cl"),
-        expr("CAST(i AS DOUBLE) * CAST(csxx AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csx AS DOUBLE)").as("bl"),
-        expr("CAST(i AS DOUBLE) * CAST(csxy AS DOUBLE) - CAST(csx AS DOUBLE) * CAST(csy AS DOUBLE)").as("al"),
-        expr("CAST(n - i AS DOUBLE) * CAST(tyy - csyy AS DOUBLE)" +
-          " - CAST(ty - csy AS DOUBLE) * CAST(ty - csy AS DOUBLE)").as("cr"),
-        expr("CAST(n - i AS DOUBLE) * CAST(txx - csxx AS DOUBLE)" +
-          " - CAST(tx - csx AS DOUBLE) * CAST(tx - csx AS DOUBLE)").as("br"),
-        expr("CAST(n - i AS DOUBLE) * CAST(txy - csxy AS DOUBLE)" +
-          " - CAST(tx - csx AS DOUBLE) * CAST(ty - csy AS DOUBLE)").as("ar"))
+        expr("CAST(CAST(i AS DECIMAL(38,0)) * csyy - CAST(csy AS DECIMAL(38,0)) * csy AS DOUBLE)").as("cl"),
+        expr("CAST(CAST(i AS DECIMAL(38,0)) * csxx - CAST(csx AS DECIMAL(38,0)) * csx AS DOUBLE)").as("bl"),
+        expr("CAST(CAST(i AS DECIMAL(38,0)) * csxy - CAST(csx AS DECIMAL(38,0)) * csy AS DOUBLE)").as("al"),
+        expr("CAST(CAST(n - i AS DECIMAL(38,0)) * (tyy - csyy)" +
+          " - CAST(ty - csy AS DECIMAL(38,0)) * (ty - csy) AS DOUBLE)").as("cr"),
+        expr("CAST(CAST(n - i AS DECIMAL(38,0)) * (txx - csxx)" +
+          " - CAST(tx - csx AS DECIMAL(38,0)) * (tx - csx) AS DOUBLE)").as("br"),
+        expr("CAST(CAST(n - i AS DECIMAL(38,0)) * (txy - csxy)" +
+          " - CAST(tx - csx AS DECIMAL(38,0)) * (ty - csy) AS DOUBLE)").as("ar"))
     val e = d.withColumn("sse",
       expr("(cl * bl - al * al) / (CAST(wl AS DOUBLE) * bl)") +
       expr("(cr * br - ar * ar) / (CAST(wr AS DOUBLE) * br)"))

@@ -439,9 +439,9 @@ object PipelineOps {
        |    sum(CAST(x AS HUGEINT) * y) AS sxy
        |  FROM p WHERE y IS NOT NULL GROUP BY user_id)
        |, e AS (SELECT user_id, n,
-       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
-       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS dx,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS dy
        |  FROM m WHERE n >= 2)
        |SELECT user_id, n AS n_pairs,
        |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
@@ -459,14 +459,14 @@ object PipelineOps {
       sum(expr("CAST(x AS DECIMAL(20,0)) * x")).as("sxx"),
       sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"),
       sum(expr("CAST(x AS DECIMAL(20,0)) * y")).as("sxy"))
-    // cast BEFORE the product (q225 overflow policy): n·Σx² with
-    // milli-scaled x overflows int64 once a series holds ~3M rows
-    val dx = col("n").cast("double") * col("sxx").cast("double") -
-      col("sx").cast("double") * col("sx").cast("double")
-    val dy = col("n").cast("double") * col("syy").cast("double") -
-      col("sy").cast("double") * col("sy").cast("double")
-    val num = col("n").cast("double") * col("sxy").cast("double") -
-      col("sx").cast("double") * col("sy").cast("double")
+    // wide-integer cross terms (olsFitDf's policy): exact
+    // DECIMAL(38,0) subtraction, cast to double after
+    val dx = expr(
+      "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")
+    val dy = expr(
+      "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)")
+    val num = expr(
+      "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
     m.filter(col("n") >= 2)
       .select(col("user_id"), col("n").as("n_pairs"),
         when(dx === 0 || dy === 0, lit(null))
@@ -501,9 +501,9 @@ object PipelineOps {
          |    sum(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM p WHERE y IS NOT NULL GROUP BY user_id, lag)
          |, e AS (SELECT user_id, lag, n,
-         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
-         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+         |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS dx,
+         |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS dy
          |  FROM m WHERE n >= 2)
          |SELECT user_id, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
          |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
@@ -525,12 +525,12 @@ object PipelineOps {
         sum(expr("CAST(y AS DECIMAL(20,0)) * y")).as("syy"),
         sum(expr("CAST(x AS DECIMAL(20,0)) * y")).as("sxy"))
       // cast-before-product: see q98's note (same overflow class)
-      val dx = col("n").cast("double") * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double")
-      val dy = col("n").cast("double") * col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double")
-      val num = col("n").cast("double") * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")
+      val dx = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")
+      val dy = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)")
+      val num = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
       m.filter(col("n") >= 2)
         .select(col("user_id"), col("lag"), col("n").as("n_pairs"),
           when(dx === 0 || dy === 0, lit(null))
@@ -1047,9 +1047,9 @@ object PipelineOps {
          |    sum(CAST(x AS HUGEINT) * yl) AS sxy
          |  FROM p WHERE yl IS NOT NULL GROUP BY lag)
          |, f AS (SELECT lag, n,
-         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
-         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+         |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS dx,
+         |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS dy
          |  FROM m)
          |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
          |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
@@ -1076,12 +1076,12 @@ object PipelineOps {
         sum(expr("CAST(x AS DECIMAL(20,0)) * yl")).as("sxy"))
       // cast-before-product: hourly counts square to ~10¹⁸ at large
       // volumes, so the int64 n·Σx² form has no headroom at all
-      val dx = col("n").cast("double") * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double")
-      val dy = col("n").cast("double") * col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double")
-      val num = col("n").cast("double") * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")
+      val dx = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")
+      val dy = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)")
+      val num = expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")
       m.select(col("lag"), col("n").as("n_pairs"),
           when(dx === 0 || dy === 0, lit(null))
             .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("r"))
