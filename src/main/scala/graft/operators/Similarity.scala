@@ -650,11 +650,24 @@ object Similarity {
     */
   val SemDedupCellTarget = 512L
 
-  val q155SemdedupPrune: QueryDef = {
+  val q155SemdedupPrune: QueryDef =
+    semdedupQuery("q155_semdedup_prune", SemDedupCellTarget)
+
+  /** q239: q155 with the cell target forced down to 16 so B =
+    * ⌈|list|/16⌉ > 1 at EVERY oracle scale — the only query that
+    * exercises the md5-sub-cell assignment (base32 % B) against
+    * DuckDB cross-engine; q155's production target of 512 keeps B=1
+    * at all fixture scales, so a hash/modulo divergence there would
+    * otherwise surface first at 100 TB. Same plan shape as q155 with
+    * strictly smaller cells, so the pair scan is cheaper. */
+  val q239SemdedupCells: QueryDef =
+    semdedupQuery("q239_semdedup_cells", 16L)
+
+  private def semdedupQuery(name: String, cellTarget: Long): QueryDef = {
     val threshold = 0.3
-    val tgt = SemDedupCellTarget
+    val tgt = cellTarget
     QueryDef.sql(
-      "q155_semdedup_prune",
+      name,
       s"""WITH $duckCentroids,
          |asg AS (SELECT vec_id, c_id AS list_id, embedding FROM (
          |  SELECT e.vec_id, c.c_id, e.embedding,
@@ -1166,5 +1179,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
-    q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk)
+    q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
+    q239SemdedupCells)
 }
