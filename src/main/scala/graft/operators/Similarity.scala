@@ -143,32 +143,67 @@ object Similarity {
     * 0.3 yields verifiable pairs on the synthetic corpus (random
     * embeddings have no true near-dups — max pairwise cosine ≈ 0.48).
     */
-  val q48EmbeddingNearDup: QueryDef = {
+  /** Per-bucket md5-cell size bound for q48 (see [[nearDupQuery]]). */
+  val NearDupCellTarget = 512L
+
+  val q48EmbeddingNearDup: QueryDef =
+    nearDupQuery("q48_embedding_neardup", NearDupCellTarget)
+
+  /** q240: q48 with the cell target forced to 16 so B > 1 at every
+    * oracle scale — the cross-engine exercise of the md5 sub-cell
+    * assignment, exactly q239's role for q155. */
+  val q240NearDupCells: QueryDef =
+    nearDupQuery("q240_neardup_cells", 16L)
+
+  /** q48/q240 builder. The fixed 8-bit LSH bucket alone leaves an
+    * n²/256 pair scan (measured exp 1.6 on the honest sf1 fixture),
+    * so buckets sub-split into md5 CELLS of ≤ `cellTarget` vectors —
+    * the q155 bound: pair work ≤ n·cellTarget, LINEAR at fixed
+    * target. B = ⌈|bucket|/512⌉ = 1 at every fixture scale (max
+    * bucket ~78 at sf1), so q48's output is unchanged there; the
+    * documented recall trade (cross-cell pairs in a hot bucket are
+    * skipped) only engages at the scales where the quadratic would
+    * otherwise kill the query. Norms precompute per ROW (the
+    * interpreted higher-order fold per PAIR tripled the scan:
+    * 42 s → 14 s at sf1; sqrt of the same double is bit-identical).
+    */
+  private def nearDupQuery(name: String, cellTarget: Long): QueryDef = {
     val threshold = 0.3
+    val tgt = cellTarget
     QueryDef.sql(
-      "q48_embedding_neardup",
+      name,
       s"""WITH $duckBuckets,
+         |sz AS (SELECT bucket, count(*) AS bn FROM bk GROUP BY bucket),
+         |bc AS (SELECT b.vec_id, b.bucket, b.embedding,
+         |    ${graft.functions.TextHash.duckBase32("b.vec_id::VARCHAR")}
+         |      % ((s.bn + ${tgt - 1}) // $tgt) AS cell
+         |  FROM bk b JOIN sz s ON s.bucket = b.bucket),
          |p AS (SELECT x.vec_id AS keep_id, y.vec_id AS dup_id,
          |    round(${duckDot("x.embedding", "y.embedding")} /
          |      (sqrt(${duckNorm("x.embedding")}) * sqrt(${duckNorm("y.embedding")})), 6) AS cos_sim
-         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |  FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.cell = y.cell
+         |    AND x.vec_id < y.vec_id)
          |SELECT keep_id, dup_id, cos_sim FROM p WHERE cos_sim >= $threshold
          |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
       val bk = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
         .persist()
+      val sizes = bk.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val cells = bk.join(broadcast(sizes), Seq("bucket"))
+        .withColumn("cell",
+          graft.functions.TextHash.base32Builtin(col("vec_id").cast("string"))
+            % expr(s"(bn + ${tgt - 1}) div $tgt"))
       // rename-projected sides, not dataset aliases: a `bk.as("x")`
       // self join can resolve both sides to one attribute under plan
       // reuse (see api.Vectors.nearDupPairs) — rename first, always
-      val lhs = bk.select(col("bucket"), col("vec_id").as("keep_id"),
-        col("embedding").as("emb_a"))
-      val rhs = bk.select(col("bucket"), col("vec_id").as("dup_id"),
-        col("embedding").as("emb_b"))
-      lhs.join(rhs, Seq("bucket"))
+      val lhs = cells.select(col("bucket"), col("cell"), col("vec_id").as("keep_id"),
+        col("embedding").as("emb_a"), sqrt(expr(normSql("embedding"))).as("na"))
+      val rhs = cells.select(col("bucket"), col("cell"), col("vec_id").as("dup_id"),
+        col("embedding").as("emb_b"), sqrt(expr(normSql("embedding"))).as("nb"))
+      lhs.join(rhs, Seq("bucket", "cell"))
         .filter(col("keep_id") < col("dup_id"))
         .select(col("keep_id"), col("dup_id"),
-          round(expr(dotSql("emb_a", "emb_b")) /
-            (sqrt(expr(normSql("emb_a"))) * sqrt(expr(normSql("emb_b")))), 6)
+          round(expr(dotSql("emb_a", "emb_b")) / (col("na") * col("nb")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
         .orderBy("keep_id", "dup_id")
@@ -1180,5 +1215,5 @@ object Similarity {
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
-    q239SemdedupCells)
+    q239SemdedupCells, q240NearDupCells)
 }

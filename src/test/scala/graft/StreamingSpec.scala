@@ -606,6 +606,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(censors.toMap == singleCens.toMap)
   }
 
+  test("funnel restart: checkpoint resumes per-user funnel state (q104)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.FunnelRow
+    val upserted = mutable.LinkedHashMap[Long, FunnelRow]()
+    killAndResume[FunnelRow]("funnelck", eventHalfWriter(),
+      (tmp, glob) => StreamingSessions.funnelStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted(r.user_id) = r
+    }
+    val single = StreamingSessions.funnelStream(spark, "/root/testdata/sf0.001")
+    val sq = single.writeStream.format("memory")
+      .queryName("funnel_ckpt_single").outputMode("append").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val singleRows = spark.table("funnel_ckpt_single").as[FunnelRow].collect()
+      .map(r => r.user_id -> r).toMap
+    assert(upserted.nonEmpty && upserted.toMap == singleRows)
+  }
+
+  test("kalman restart: checkpoint resumes (y, p) filter state bit-exactly (q186)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.KalmanRow
+    val rows = mutable.ArrayBuffer[KalmanRow]()
+    killAndResume[KalmanRow]("kalmanck", eventHalfWriter(),
+      (tmp, glob) => StreamingSessions.kalmanStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => rows += r
+    }
+    val batch = graft.operators.EventSeriesJoins.q180KalmanLevel
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == batch.size,
+      s"stream emitted ${rows.size} rows across the restart, batch has ${batch.size}")
+    rows.foreach { r =>
+      val (tn, y) = batch((r.user_id, r.event_id))
+      assert(r.tn == tn && r.level == y,
+        s"kalman diverged after restart at (${r.user_id}, ${r.event_id})")
+    }
+  }
+
+  test("scd2 restart: checkpoint resumes the open-run interval state (q208)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.Scd2Row
+    // upsert contract: latest (user, version) row wins — the phase-1
+    // open run is superseded when phase 2 closes or extends it
+    val upserted = mutable.LinkedHashMap[(Long, Long), Scd2Row]()
+    killAndResume[Scd2Row]("scd2ck", eventHalfWriter(),
+      (tmp, glob) => StreamingSessions.scd2Stream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted((r.user_id, r.version)) = r
+    }
+    val single = StreamingSessions
+      .runScd2(spark, "/root/testdata/sf0.001", "scd2_ckpt_single")
+      .as[Scd2Row].collect()
+      .map(r => (r.user_id, r.version) -> r).toMap
+    assert(upserted.nonEmpty && upserted.toMap == single)
+  }
+
+  test("sessionize restart: checkpoint resumes the open-session state (q60)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.SessionRow
+    val upserted = mutable.LinkedHashMap[(Long, Long), SessionRow]()
+    killAndResume[SessionRow]("sessck", eventHalfWriter(),
+      (tmp, glob) => StreamingSessions.sessionStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => upserted((r.user_id, r.session_id)) = r
+    }
+    val single = StreamingSessions
+      .run(spark, "/root/testdata/sf0.001", "sess_ckpt_single")
+      .as[SessionRow].collect()
+      .map(r => (r.user_id, r.session_id) -> r).toMap
+    assert(upserted.nonEmpty && upserted.toMap == single)
+  }
+
+  test("ewma restart: checkpoint resumes the smoothing state bit-exactly (q117)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.EwmaRow
+    val rows = mutable.ArrayBuffer[EwmaRow]()
+    killAndResume[EwmaRow]("ewmack", eventHalfWriter(),
+      (tmp, glob) => StreamingSessions.ewmaStream(spark, tmp, glob, oneFilePerTrigger = true)) {
+      r => rows += r
+    }
+    val batch = graft.operators.EventSeriesJoins.q110Ewma
+      .fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == batch.size,
+      s"stream emitted ${rows.size} rows across the restart, batch has ${batch.size}")
+    rows.foreach { r =>
+      val (tn, y) = batch((r.user_id, r.event_id))
+      assert(r.tn == tn && r.smoothed == y,
+        s"ewma diverged after restart at (${r.user_id}, ${r.event_id})")
+    }
+  }
+
   test("stream KMV: sketch state folds across batches to the exact batch sketch") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.KmvRow
