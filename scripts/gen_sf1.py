@@ -43,8 +43,18 @@ os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
 
+# row groups sized so Spark's byte-range splitting (openCost 4 MB)
+# can actually parallelize the scan: the driver's single-row-group
+# layout forces CPU-heavy text scans through ONE task, which is a
+# fixture artifact, not a 100 TB property (big corpora are many
+# files/row groups).
+ROW_GROUPS = {"documents": 2048, "events": 65536, "embeddings": 2048,
+              "lineitem": 262144, "orders": 131072}
+
+
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet")
+    pq.write_table(table, f"{OUT}/{name}.parquet",
+                   row_group_size=ROW_GROUPS.get(name, 1 << 20))
     print(f"{name}: {table.num_rows} rows")
 
 

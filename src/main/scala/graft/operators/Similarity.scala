@@ -1211,9 +1211,127 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** q241: RESIDUAL-encoded IVFADC — the complete Jégou/Douze/Schmid
+    * §IV layout. q238 PQ-encodes raw vectors; the published IVFADC
+    * quantizes the residual r = x − c(list(x)) instead, which is what
+    * makes the M×K codebook spend its budget on the within-list
+    * geometry. Residuals are exact int64 differences in the
+    * micro-quantized domain, so the whole Lloyd/LUT/ADC chain keeps
+    * q234's bit-exact arithmetic contract. The query side builds one
+    * LUT PER PROBED LIST (the query's residual differs per list —
+    * |queries|×NProbe×M×K = 640 rows, broadcast), candidates bound by
+    * the probed-list equi-join exactly as in q238, and the top-5
+    * survivors re-score on the RAW vectors.
+    *
+    * Scale shape: residual computation is a 16-row broadcast onto the
+    * corpus scan; everything downstream matches q238 (bounded Lloyd
+    * aggregates, broadcast LUT, probed-list candidates, window top-5).
+    */
+  val q241ResidualIvfAdc: QueryDef = QueryDef.sql(
+    "q241_residual_ivfadc",
+    s"""WITH q0 AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe FROM embeddings),
+       |$duckCentroids,
+       |asg AS (SELECT vec_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |cq0 AS (SELECT vec_id AS list_id, qe AS cqe FROM q0 WHERE vec_id < $NumCentroids),
+       |q AS (SELECT v.vec_id, list_transform(v.qe, (x, i) -> x - c.cqe[i]) AS qe
+       |  FROM q0 v JOIN asg a ON a.vec_id = v.vec_id
+       |  JOIN cq0 c ON c.list_id = a.list_id),
+       |sv AS (SELECT vec_id, s.sub,
+       |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS sq
+       |  FROM q, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |sid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
+       |  FROM q ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (SELECT cid, s.sub,
+       |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS cq
+       |  FROM sid, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |${duckPqIter("c0", "a1", "u1", "c1")},
+       |${duckPqIter("c1", "a2", "u2", "c2")},
+       |codes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+       |  FROM sv v JOIN c2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+       |qp AS (SELECT q_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id AS q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rn <= $NProbe),
+       |qr AS (SELECT qp.q_id, qp.list_id,
+       |    list_transform(v.qe, (x, i) -> x - c.cqe[i]) AS rqe
+       |  FROM qp JOIN q0 v ON v.vec_id = qp.q_id
+       |  JOIN cq0 c ON c.list_id = qp.list_id),
+       |qsv AS (SELECT q_id, list_id, s.sub,
+       |    list_slice(rqe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS qsq
+       |  FROM qr, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+       |lut AS (SELECT t.q_id, t.list_id, c.sub, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+       |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+       |  FROM qsv t JOIN c2 c ON t.sub = c.sub),
+       |cand AS (SELECT qp.q_id, qp.list_id, k.vec_id, k.sub, k.cid
+       |  FROM codes k JOIN asg a ON a.vec_id = k.vec_id
+       |  JOIN qp ON qp.list_id = a.list_id
+       |  WHERE k.vec_id <> qp.q_id),
+       |adc AS (SELECT c.q_id, c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+       |  FROM cand c JOIN lut l ON l.q_id = c.q_id AND l.list_id = c.list_id
+       |    AND l.sub = c.sub AND l.cid = c.cid
+       |  GROUP BY c.q_id, c.vec_id),
+       |r AS (SELECT q_id, vec_id, adc_d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+       |  FROM adc)
+       |SELECT r.q_id, r.vec_id, r.adc_d2,
+       |  CAST(list_sum(list_transform(generate_series(1, len(v.qe)),
+       |    i -> (v.qe[i] - qq.qe[i]) * (v.qe[i] - qq.qe[i]))) AS BIGINT) AS exact_d2,
+       |  r.rank
+       |FROM r JOIN q0 v ON v.vec_id = r.vec_id JOIN q0 qq ON qq.vec_id = r.q_id
+       |WHERE rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (spark, dir) =>
+    val q0 = kmeansQuantized(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val asg = emb.select(col("vec_id"),
+      element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
+    val cq0 = q0.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("list_id"), col("qe").as("cqe"))
+    val qres = q0.join(asg, "vec_id").join(broadcast(cq0), "list_id")
+      .select(col("vec_id"),
+        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+    val sv = pqSubvectors(qres, "vec_id")
+    val c2 = pqRecollect(pqTrainU2(sv, qres))
+    val codes = pqAssign(sv, c2)
+    val qp = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        explode(nearestCol(spark, dir, NProbe, col("embedding"))).as("list_id"))
+    val qr = qp.join(q0.select(col("vec_id").as("q_id"), col("qe")), "q_id")
+      .join(broadcast(cq0), "list_id")
+      .select(col("q_id"), col("list_id"),
+        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("rqe"))
+    val qsv = qr.select(col("q_id"), col("list_id"), posexplode(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(col("rqe"), s * lit(PqDsub) + 1, lit(PqDsub))))
+      .as(Seq("sub", "qsq")))
+    val lut = qsv.join(broadcast(c2), "sub")
+      .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
+        pqDist(col("qsq"), col("cq")).as("d2"))
+    val cand = codes.join(asg, "vec_id")
+      .join(broadcast(qp), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val adc = cand.join(broadcast(lut), Seq("q_id", "list_id", "sub", "cid"))
+      .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+    val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val qRows = q0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
+    top.join(q0, "vec_id").join(broadcast(qRows), "q_id")
+      .select(col("q_id"), col("vec_id"), col("adc_d2"),
+        pqDist(col("qe"), col("qqe")).as("exact_d2"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
-    q239SemdedupCells, q240NearDupCells)
+    q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc)
 }

@@ -194,7 +194,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q234_pq_codebook" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q237_shard_manifest" -> "q81's block-totals prefix relation (|blocks| rows)",
-      "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
+      "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
+      "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
@@ -213,26 +214,28 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("IVFADC scores only probed lists: list-key equi-join sits below the ADC aggregate") {
-    // q238's whole point vs q235: the ADC (q_id, vec_id) sum must see
-    // only probed-list candidates, i.e. its subtree must contain the
-    // list_id equi-join, and none of the joins may be a nested loop
+    // q238/q241's whole point vs q235: the ADC (q_id, vec_id) sum must
+    // see only probed-list candidates, i.e. its subtree must contain
+    // the list_id equi-join, and none of the joins may be a nested loop
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val lp = SparkEntry.queries("q238_ivfadc_topk")(spark, dir)
-      .queryExecution.optimizedPlan
-    val adcAgg = lp.collectFirst {
-      case a: Aggregate if a.groupingExpressions.size == 2 &&
-        a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
-          Set("q_id", "vec_id") => a
+    for (name <- Seq("q238_ivfadc_topk", "q241_residual_ivfadc")) {
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val adcAgg = lp.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 2 &&
+          a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
+            Set("q_id", "vec_id") => a
+      }
+      assert(adcAgg.nonEmpty, s"$name: ADC (q_id, vec_id) aggregate missing from the plan")
+      val listJoins = adcAgg.get.collect {
+        case j: Join if j.condition.exists(
+          _.references.exists(_.name == "list_id")) => j
+      }
+      assert(listJoins.nonEmpty,
+        s"$name: ADC aggregate no longer has the probed-list equi-join below it (full-corpus ADC scan)")
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name must stay all-equi-join")
     }
-    assert(adcAgg.nonEmpty, "ADC (q_id, vec_id) aggregate missing from the plan")
-    val listJoins = adcAgg.get.collect {
-      case j: Join if j.condition.exists(
-        _.references.exists(_.name == "list_id")) => j
-    }
-    assert(listJoins.nonEmpty,
-      "ADC aggregate no longer has the probed-list equi-join below it (full-corpus ADC scan)")
-    assert(!plan("q238_ivfadc_topk").contains("BroadcastNestedLoopJoin"),
-      "q238 must stay all-equi-join")
   }
 
   // NOTE: absolute-time slice pushdown (the InferScanBounds rule

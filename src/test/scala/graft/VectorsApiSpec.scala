@@ -65,14 +65,14 @@ class VectorsApiSpec extends AnyFunSuite {
 
   /** Two Lloyd iterations per subspace; returns the final update
     * relation keyed (sub, cid) -> (centroid dims, member count). */
-  private def pqTrainScala(): Map[(Int, Long), (Array[Long], Long)] = {
+  private def pqTrainScala(vecs: Seq[(Long, Array[Long])] = pqVecs): Map[(Int, Long), (Array[Long], Long)] = {
     var cents: Map[(Int, Long), Array[Long]] =
-      (for ((id, qe) <- pqVecs.take(PqK).zipWithIndex.map { case ((_, qe), i) => (i.toLong, qe) };
+      (for ((id, qe) <- vecs.take(PqK).zipWithIndex.map { case ((_, qe), i) => (i.toLong, qe) };
             sub <- 0 until PqM)
         yield (sub, id) -> pqSlice(qe, sub)).toMap
     var last: Map[(Int, Long), (Array[Long], Long)] = Map.empty
     for (_ <- 1 to 2) {
-      val asg = for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+      val asg = for ((vid, qe) <- vecs; sub <- 0 until PqM) yield {
         val sq = pqSlice(qe, sub)
         val cid = cents.collect { case ((s, c), cq) if s == sub =>
           c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
@@ -154,6 +154,48 @@ class VectorsApiSpec extends AnyFunSuite {
       ((vid, adc), i) <- scored.sortBy { case (v, a) => (a, v) }.take(5).zipWithIndex
     } yield (qid, vid, adc, d2(pqVecs.find(_._1 == vid).get._2, qqe), i + 1L)
     val got = graft.operators.Similarity.q238IvfAdcTopk.fn(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong)).toSeq
+    assert(got == expect)
+  }
+
+  test("q241 residual IVFADC reconciles with a pure-Scala residual replay") {
+    import graft.operators.Similarity.{NumCentroids, NProbe}
+    val floats: Seq[(Long, Array[Float])] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    val coarse = floats.take(NumCentroids)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def probes(v: Array[Float], n: Int): Seq[Long] =
+      coarse.map { case (cid, ce) => (l2(v, ce), cid) }.sortBy(identity).take(n).map(_._2)
+    val asg: Map[Long, Long] = floats.map { case (vid, v) => vid -> probes(v, 1).head }.toMap
+    val qMap = pqVecs.toMap
+    def residual(vid: Long, listId: Long): Array[Long] =
+      qMap(vid).zip(qMap(listId)).map { case (x, c) => x - c }
+    // PQ trained on the RESIDUAL vectors (each vs its own list centroid)
+    val residVecs = pqVecs.map { case (vid, _) => vid -> residual(vid, asg(vid)) }
+    val cents = pqTrainScala(residVecs).map { case (k, (m, _)) => k -> m }
+    val codes: Map[(Long, Int), Long] =
+      (for ((vid, rqe) <- residVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(rqe, sub)
+        (vid, sub) -> cents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    val expect = for {
+      (qid, qv) <- floats.filter(_._1 < 10)
+      probed = probes(qv, NProbe)
+      // one LUT per probed list: the query's residual differs per list
+      luts = probed.map(l => l ->
+        cents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(residual(qid, l), s), cq) }).toMap
+      cand = pqVecs.collect { case (vid, _)
+        if vid != qid && probed.contains(asg(vid)) => vid }
+      scored = cand.map { vid =>
+        vid -> (0 until PqM).map(s => luts(asg(vid))((s, codes((vid, s))))).sum }
+      ((vid, adc), i) <- scored.sortBy { case (v, a) => (a, v) }.take(5).zipWithIndex
+    } yield (qid, vid, adc, d2(qMap(vid), qMap(qid)), i + 1L)
+    val got = graft.operators.Similarity.q241ResidualIvfAdc.fn(spark, sfDir)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong)).toSeq
     assert(got == expect)
