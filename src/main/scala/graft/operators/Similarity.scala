@@ -1290,13 +1290,22 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (spark, dir) =>
     val q0 = kmeansQuantized(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val asg = emb.select(col("vec_id"),
-      element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
     val cq0 = q0.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("list_id"), col("qe").as("cqe"))
-    val qres = q0.join(asg, "vec_id").join(broadcast(cq0), "list_id")
+    // one scan computes quantization AND the coarse list inline (the
+    // native per-row codebook expression — no corpus⋈corpus shuffle),
+    // then the 16-row centroid broadcast subtracts; persisted because
+    // every Lloyd job downstream rescans it (kmeansQuantized's policy)
+    val qres = emb
       .select(col("vec_id"),
-        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("qe0"))
+      .join(broadcast(cq0), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("qe0"), col("cqe"), (a, b) => a - b).as("qe"))
+      .persist()
+    val asg = qres.select("vec_id", "list_id")
     val sv = pqSubvectors(qres, "vec_id")
     val c2 = pqRecollect(pqTrainU2(sv, qres))
     val codes = pqAssign(sv, c2)
