@@ -209,4 +209,11 @@ object Corpus {
   def redactPii(corpus: DataFrame, text: String = "text",
       out: String = "text_redacted"): DataFrame =
     graft.operators.TextOps.redactPii(corpus, text, out)
+
+  /** Per-shard manifest (q237): boundary docs, doc/token counts,
+    * budget fill ratio, and source mix for every token-budget shard —
+    * the loader-facing index over the q81 assignment.
+    */
+  def shardManifest(corpus: DataFrame): DataFrame =
+    graft.operators.CorpusOps.shardManifestDf(corpus)
 }

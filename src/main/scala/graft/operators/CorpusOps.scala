@@ -251,7 +251,14 @@ object CorpusOps {
        |  top_source, top_source_docs,
        |  round(n_tokens * 100.0 / $TokenBudget, 2) AS fill_pct
        |FROM tot JOIN top USING (shard) ORDER BY tot.shard""".stripMargin) { (spark, dir) =>
-    val asg = shardAssign(docs(spark, dir))
+    shardManifestDf(docs(spark, dir)).orderBy("shard")
+  }
+
+  /** The q237 manifest as a reusable corpus stage (also the
+    * `Corpus.shardManifest` facade).
+    */
+  def shardManifestDf(corpus: DataFrame): DataFrame = {
+    val asg = shardAssign(corpus)
     val tot = asg.groupBy("shard").agg(
       min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
       count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
@@ -265,7 +272,6 @@ object CorpusOps {
         col("src_docs").as("top_source_docs"))
     tot.join(top, "shard")
       .withColumn("fill_pct", round(col("n_tokens") * 100.0 / TokenBudget, 2))
-      .orderBy("shard")
   }
 
   /** Within-document repetition metrics: the duplicate-3-gram

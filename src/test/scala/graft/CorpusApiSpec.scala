@@ -171,6 +171,11 @@ class CorpusApiSpec extends AnyFunSuite {
     assert((0 to 2).map(red.getLong) == Seq(0L, 0L, 0L))
   }
 
+  test("shardManifest facade matches the declared q237 result") {
+    pinEq(Corpus.shardManifest(docs), Seq("shard"),
+      graft.operators.CorpusOps.q237ShardManifest)
+  }
+
   private def pinEq(facade: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
       query: graft.QueryDef): Unit = {
     val viaFacade = facade.orderBy(sortCols.map(col): _*).collect().map(_.toSeq).toSeq
