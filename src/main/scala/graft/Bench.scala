@@ -51,14 +51,34 @@ object Bench {
     // on unchanged queries); min-of-2 separates that noise from real
     // plan changes. SPARK_GRAFT_REPEAT overrides for profiling.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    // Extra attempts granted when every base repeat carries the
+    // external-CPU-starvation signature (BENCH_NOTES.md): tasks RUN
+    // for far longer than they burn CPU, with zero GC and zero spill.
+    // Round 5/7 driver sweeps recorded 5-60x phantoms from this (q99
+    // 5.2 s driver vs 0.37 s same-HEAD builder); re-running the repeat
+    // usually lands in a calm window. Bounded so a persistently-
+    // starved environment can't stall the sweep.
+    val maxExtra = sys.env.get("SPARK_GRAFT_STARV_RETRY").map(_.toInt).getOrElse(2)
+    // Signature: material wall (>=1.5 s — sub-second queries can't be
+    // meaningfully inflated and ratio noise would trigger retry
+    // storms), taskRun > 3x taskCpu, GC < 10% of run, no spill.
+    // Driver-heavy queries (streaming micro-batches, bounded collect
+    // folds) have SMALL taskRun and are deliberately not matched.
+    def isStarved(r: BenchDiag.Rec): Boolean =
+      r.wallMs >= 1500 &&
+        r.ts.runMs > 3L * math.max(r.ts.cpuMs, 1L) &&
+        r.ts.gcMs * 10L < r.ts.runMs &&
+        r.ts.memSpillB == 0L && r.ts.diskSpillB == 0L
     val diagRecs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[BenchDiag.Rec])]
+    val starvedQs = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { q =>
       // A FAILED query records -1, never its fail-fast wall time: an
       // analysis error takes ~0.1 s and would otherwise masquerade as
       // a 20x speedup in round-over-round comparisons (this is what
       // invalidated the round-3 events numbers).
       val recs = scala.collection.mutable.ArrayBuffer.empty[BenchDiag.Rec]
-      val runs = (1 to repeat).map { _ =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      def runOnce(): Unit = {
         // each repeat builds a fresh plan, so a query's internal
         // persist() registers a new cache entry per repeat — drop the
         // previous repeat's entries so repeats are memory-identical
@@ -71,20 +91,37 @@ object Bench {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
-          recs += BenchDiag.Rec((dt * 1000).toLong, diag.snapshot - ts0,
+          val rec = BenchDiag.Rec((dt * 1000).toLong, diag.snapshot - ts0,
             BenchDiag.driverGcMs - gc0, BenchDiag.processCpuMs - cpu0)
-          dt
+          recs += rec
+          runs += ((dt, isStarved(rec)))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
-            -1.0
+            runs += ((-1.0, false))
         }
+      }
+      (1 to repeat).foreach(_ => runOnce())
+      // Starvation retry: only while EVERY successful repeat so far
+      // fired the signature — one clean repeat is enough (min-of-N
+      // keeps it), so retries stop as soon as the environment calms.
+      var extra = 0
+      while (extra < maxExtra && runs.exists(_._1 >= 0) &&
+          runs.filter(_._1 >= 0).forall(_._2)) {
+        extra += 1; runOnce()
       }
       diagRecs += ((q.name, recs.toSeq))
       // best of the SUCCESSFUL repeats; -1 only when every repeat
-      // failed (a transient failure must not erase real timings)
-      val ok = runs.filter(_ >= 0)
-      val dt = if (ok.nonEmpty) ok.min else -1.0
+      // failed (a transient failure must not erase real timings).
+      // Prefer the cleanest CLEAN repeat; if all repeats starved even
+      // after retries, keep the min wall but flag the query so the
+      // artifact of record distinguishes phantom from plan regression.
+      val ok = runs.filter(_._1 >= 0).toSeq
+      val clean = ok.filter(!_._2)
+      val dt =
+        if (clean.nonEmpty) clean.map(_._1).min
+        else if (ok.nonEmpty) { starvedQs += q.name; ok.map(_._1).min }
+        else -1.0
       // scope caches per query: intra-query persists (self-join
       // intermediates) stay effective, but nothing leaks into the
       // next query's memory budget — in a 69-query session the
@@ -103,32 +140,34 @@ object Bench {
       spark.experimental.extraOptimizations = Nil // scope rules per query
       q.name -> dt
     }
-    // The harness keeps only the last ~2000 chars of output; the JSON
-    // line must START inside that window or the round records no perf
-    // numbers (round 2's full-name map overflowed it). Keys are the
-    // unambiguous qNN prefix; the full-name map goes to a sidecar file.
+    // The harness keeps only the LAST ~2000 chars of output, and the
+    // JSON line must be COMPLETE inside that window or the round
+    // records no perf numbers at all: round 2's full-name map and
+    // round 7's 238-query short-key map (~2800 chars) both overflowed
+    // it, truncating the line's head and leaving `parsed: null`. At
+    // 238 queries no per-query map fits, so stdout now carries ONE
+    // compact line — total + the slowest 30 queries (the only ones a
+    // round-over-round comparison acts on) — and the FULL map goes to
+    // BENCH_DETAIL.json, which is committed alongside.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val nErrors = results.count(_._2 < 0)
     val errField = if (nErrors > 0) s""","errors":$nErrors""" else ""
-    def mkLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
-    }
-    // Degrade per-query precision before the line can outgrow the
-    // window (1 dp still ranks offenders; an unparseable round loses
-    // ALL perf numbers, as round 2 did).
-    val line = {
-      val l2 = mkLine(v => f"$v%.2f")
-      if (l2.length <= 1800) l2 else mkLine(v => f"$v%.1f")
-    }
+    def starvedJson(key: String => String): String =
+      if (starvedQs.isEmpty) ""
+      else starvedQs.map(n => "\"" + key(n) + "\"").mkString(""","starved":[""", ",", "]")
+    val starvedField = starvedJson(shortKey)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val line = {
+      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
+        .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$top$starvedField$errField,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    }
     val full = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full$errField,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full${starvedJson(identity)}$errField,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     // Attribution sidecar: every repeat of every query with its task/
     // GC/CPU/spill split (BenchDiag scaladoc documents how to read it).
