@@ -22,12 +22,16 @@ object Verify {
     def keep(name: String): Boolean =
       only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // owner-scoped cache lifecycle: builders register persists with
+      // the scope, which releases them right after the write action
+      try CacheScope.run(spark.sparkContext) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // scope caches per query
+      spark.catalog.clearCache() // belt-and-braces below the scope
       // RDD-level blocks (localCheckpoints) outlive clearCache
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.listTables().collect() // memory-sink temp views too

@@ -5,6 +5,7 @@ import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Corpus- and stream-audit operators: the diagnostics a training-data
   * pipeline runs BEFORE committing to a mixture — collocation mining,
@@ -590,7 +591,7 @@ object AuditOps {
     val v = corpus
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .persist()
+      .scopedPersist()
     val tot = v.groupBy("source").agg(sum("c").as("n"))
     val x = v.select(col("source").as("data_source"), col("w"), col("c").as("c_a"))
       .crossJoin(broadcast(tot.select(col("source").as("model_source"), col("n").as("n_m"))))
@@ -655,7 +656,7 @@ object AuditOps {
       val r = t.select(col("d"), shiftright(col("h"), 20).as("bucket"),
           when(rest === 0, lit(21)).otherwise(lit(21) - length(bin(rest))).as("rho"))
         .groupBy("d", "bucket").agg(max("rho").as("reg"))
-        .persist()
+        .scopedPersist()
       val days = r.select(col("d")).distinct()
       val serve = r.select(explode(expr("sequence(d, d + 6)")).as("ed"),
         col("bucket"), col("reg"))
@@ -993,7 +994,7 @@ object AuditOps {
       val t = docs(spark, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
         .select(col("source"), col("token"), TextHash.base32(col("token")).as("h"))
-        .persist()
+        .scopedPersist()
       val ex = t.groupBy("source").agg(countDistinct("token").as("n_exact"))
       val rest = col("h").bitwiseAND(lit(1048575L))
       val e = t
@@ -1160,7 +1161,16 @@ object AuditOps {
     // exact subtraction — the double-product form suffered
     // catastrophic cancellation past 2^53, losing every significant
     // digit exactly in the large-group regime; this stays exact to
-    // ~10^38 and both engines convert the same integer identically
+    // ~10^38 and both engines convert the same integer identically.
+    // PAST the exact range the engines diverge in FAILURE MODE, not
+    // value: Spark's non-ANSI DECIMAL(38,0) product returns NULL on
+    // precision loss (slope/r2 quietly NULL), DuckDB HUGEINT raises,
+    // and the caps differ (~1e38 vs ~1.7e38). With |x|,|y| ≤ 1e15 and
+    // group sizes ≤ 1e7 the cross terms stay ≤ ~1e37 — inside both
+    // regimes; a corpus past that needs a pre-scaling pass, not wider
+    // integers. PropertySpec pins BigInt-exactness at |x| = 1e15; the
+    // same regime note covers every DECIMAL(38) site that cites
+    // "olsFitDf's policy" / "q98's note".
     val e = m.select(col(key), col("n"), col("sx"), col("sy"),
       expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("a"),
       expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("b"),

@@ -5,6 +5,7 @@ import graft.functions.TextHash
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact (hash group-by), MinHash signatures, LSH candidate pairs,
@@ -38,12 +39,12 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingleHashesFromWords(col("ws")).as("hs"))
       .filter(size(col("hs")) > 0)
-      .persist()
+      .scopedPersist()
 
   private def hashed(spark: SparkSession, dir: String): DataFrame =
     hashedFromDocs(docs(spark, dir))
 
-  /** 100 TB path for the signature relation: `.persist()` implicitly
+  /** 100 TB path for the signature relation: `.scopedPersist()` implicitly
     * assumes the shingle-hash table fits cluster memory/disk cache —
     * at corpus scale the materialize-once input must be an EXPLICIT
     * parquet table instead. Writes the relation partitioned-by-hash
@@ -420,7 +421,7 @@ object Dedup {
     val b = hashed(spark, dir)
       .select(col("doc_id"), simhashCol.as("simhash"))
       .withColumn("bkt", expr("simhash >> 20"))
-      .persist() // self-joined
+      .scopedPersist() // self-joined
     // rename-projected sides, not dataset aliases (see
     // api.Vectors.nearDupPairs for the plan-reuse resolution trap)
     b.select(col("bkt"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -491,15 +492,15 @@ object Dedup {
     * carried, not recomputed).
     */
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.persist()
+    val pairs = pairsIn.scopedPersist()
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist()
+      .scopedPersist()
     var labels = pairs.select(col("doc_a").as("d"))
       .unionAll(pairs.select(col("doc_b").as("d")))
       .distinct()
       .withColumn("lab", col("d"))
-      .persist()
+      .scopedPersist()
     var converged = false
     var rounds = 0
     var labSum = labels.agg(sum("lab")).head().getLong(0)
@@ -513,7 +514,7 @@ object Dedup {
       // the Graphs loops)
       val next =
         if ((rounds + 1) % graft.operators.Graphs.CheckpointEvery == 0) step.localCheckpoint()
-        else step.persist()
+        else step.scopedPersist()
       val nextSum = next.agg(sum("lab")).head().getLong(0)
       labels.unpersist()
       labels = next

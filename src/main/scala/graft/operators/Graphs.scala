@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Iterative graph processing — the Pregel-shaped workload class
   * (label propagation already powers the near-dup clustering,
@@ -60,7 +61,7 @@ object Graphs {
     */
   def pageRankPpm(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").persist()
+    val e = edges.join(deg, "src").scopedPersist()
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank_ppm", lit(1000000L))
     (1 to iterations).foreach { i =>
@@ -148,7 +149,7 @@ object Graphs {
     // the edge relation feeds the degree count AND both sides of the
     // wedge/closure joins — pin it (and the oriented form, read three
     // times) or the whole upstream derivation re-runs per reference
-    val und = undIn.persist()
+    val und = undIn.scopedPersist()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -160,7 +161,7 @@ object Graphs {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .scopedPersist()
     val wedges = lowFirst.select(col("src").as("a"), col("dst").as("b"))
       .join(lowFirst.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
     val tris = wedges.join(
@@ -223,7 +224,7 @@ object Graphs {
     * order-insensitive ⇒ bit-deterministic.
     */
   def bfsHops(edges: DataFrame, source: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.persist()
+    val e = edges.scopedPersist()
     val nodes = e.select(col("src").as("node")).distinct()
     // LAYERED frontier form, not per-round relaxation: round k derives
     // only the k-step walk minima (one edge join + one min-aggregate
@@ -234,7 +235,7 @@ object Graphs {
     // jobs/round in broadcast builds (measured 12 s for 6 rounds at
     // bench scale vs ~3 s layered). Each tiny layer is pinned so the
     // next round's join reads a cached leaf, not a growing lineage.
-    var frontier = source.select(col("s").as("node"), lit(0L).as("d")).persist()
+    var frontier = source.select(col("s").as("node"), lit(0L).as("d")).scopedPersist()
     frontier.count()
     var layers = Seq(frontier)
     (1 to rounds).foreach { i =>
@@ -246,7 +247,7 @@ object Graphs {
       // (CheckpointEvery); both branches leave the layer materialized
       frontier =
         if (i % CheckpointEvery == 0) next.localCheckpoint()
-        else { val p = next.persist(); p.count(); p }
+        else { val p = next.scopedPersist(); p.count(); p }
       layers :+= frontier
     }
     val dist = layers.reduce(_ union _)
@@ -345,7 +346,7 @@ object Graphs {
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
       val m = if (i % CheckpointEvery == 0) next.localCheckpoint()
-        else { val p = next.persist(); p.count(); p }
+        else { val p = next.scopedPersist(); p.count(); p }
       val n = m.count()
       if (n == prevCount) done = true
       prevCount = n

@@ -5,6 +5,7 @@ import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Second wave of training-data-pipeline operators: semi-structured
   * extraction, corpus-frequency chunk dedup (CCNet-style), Bloom-set
@@ -228,7 +229,7 @@ object PipelineOps {
   def surprisalBitsDf(corpus: DataFrame, persistVocab: Boolean = false): DataFrame = {
     val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val vocabBase = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val vocab = if (persistVocab) vocabBase.persist() else vocabBase
+    val vocab = if (persistVocab) vocabBase.scopedPersist() else vocabBase
     val total = vocab.agg(sum("cnt").as("total"))
     val bits = vocab.crossJoin(broadcast(total))
       .select(col("token"),
@@ -304,7 +305,7 @@ object PipelineOps {
     val vocab = toks.groupBy("token")
       .agg(count(lit(1)).as("c_all"),
         count(when(col("lang") === "en", 1)).as("c_tgt"))
-      .persist() // two consumers: the 1-row total and the bits join
+      .scopedPersist() // two consumers: the 1-row total and the bits join
     val tot = vocab.agg(sum("c_all").as("t_all"), sum("c_tgt").as("t_tgt"),
       count(lit(1)).as("nv"))
     val bits = vocab.crossJoin(broadcast(tot))
@@ -373,7 +374,7 @@ object PipelineOps {
     // persisted: two consumers (the sampler join and the final report)
     // would otherwise each re-run the rate scan; Bench/Verify clear
     // caches per query
-    val rates = mixtureRatesDf(d).persist()
+    val rates = mixtureRatesDf(d).scopedPersist()
     val sampled = d
       .join(broadcast(rates.select("source", "rate_ppm")), "source")
       .filter(TextHash.md5Bucket(col("doc_id"), 1000000L) < col("rate_ppm"))
@@ -584,7 +585,7 @@ object PipelineOps {
     val bi = toks.withColumn("prev", lag("token", 1).over(w))
       .filter(col("prev").isNotNull)
       .select("doc_id", "prev", "token")
-      .persist()
+      .scopedPersist()
     val c2 = bi.groupBy("prev", "token").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val bits = c2.join(c1, "prev").select(col("prev"), col("token"),

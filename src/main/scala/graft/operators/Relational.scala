@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** General relational surface (aggregation, multi-way joins, top-k,
   * ranking, anti-join). The reference engine is single-table
@@ -356,20 +357,24 @@ object Relational {
     val prs = a.join(b, Seq("blk"))
       .filter(col("na") < col("nb") &&
         levenshtein(col("na"), col("nb")) <= 3)
-      .select("na", "nb").persist()
+      .select("na", "nb").scopedPersist()
     val edges = prs.select(col("na").as("a"), col("nb").as("b"))
-      .unionAll(prs.select(col("nb").as("a"), col("na").as("b"))).persist()
+      .unionAll(prs.select(col("nb").as("a"), col("na").as("b"))).scopedPersist()
     var labels = prs.select(col("na").as("d")).unionAll(prs.select(col("nb").as("d")))
-      .distinct().withColumn("lab", col("d")).persist()
+      .distinct().withColumn("lab", col("d")).scopedPersist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 40) {
       val step = labels
         .unionAll(edges.join(labels, edges("a") === labels("d"))
           .select(col("b").as("d"), col("lab")))
-        .groupBy("d").agg(min("lab").as("lab")).persist()
+        .groupBy("d").agg(min("lab").as("lab")).scopedPersist()
       changed = step.join(labels.withColumnRenamed("lab", "old"), Seq("d"))
         .filter(col("lab") =!= col("old")).count()
+      // the change count fully materializes `step`, so the previous
+      // round's labels can leave the cache now instead of stacking up
+      // one relation per round until scope exit
+      labels.unpersist()
       labels = step
       rounds += 1
     }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.TextHash
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Text analysis for training-data pipelines over `documents`:
   * language ID (word-n-gram marker voting), quality scoring, token
@@ -276,7 +277,7 @@ object TextOps {
     val tf = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist()
+      .scopedPersist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docsDf.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -336,7 +337,7 @@ object TextOps {
     val n = docsDf.agg(count(lit(1)).as("n_total"))
     val p = tf.join(df, Seq("token")).crossJoin(broadcast(n))
       .select(col("token"), col("doc_id"), expr("(n_total * 1000) div df").as("w"))
-      .persist()
+      .scopedPersist()
     val nm = p.groupBy("doc_id").agg(sum(expr("w * w")).as("norm2"))
     val pairs = p.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
       .join(p.select(col("token"), col("doc_id").as("doc_b"), col("w").as("wb")),
@@ -604,7 +605,7 @@ object TextOps {
     val tf = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .persist()
+      .scopedPersist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docsDf.agg(count(lit(1)).as("n_total"))
     val dl = docsDf.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))

@@ -18,4 +18,12 @@ object GraftExpressionBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Whether the session's CacheManager holds any cached-plan entries
+    * (`private[sql]`, hence bridged). The no-leaked-cache suite guard
+    * asserts this after each query's CacheScope drains — a stale entry
+    * here means a `persist()` escaped its owner scope.
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
