@@ -216,4 +216,18 @@ object Corpus {
     */
   def shardManifest(corpus: DataFrame): DataFrame =
     graft.operators.CorpusOps.shardManifestDf(corpus)
+
+  /** O(delta) manifest maintenance (q243): update a stored
+    * [[shardManifest]] for an APPENDED batch without rescanning the
+    * base corpus. `baseTot` is the stored per-shard relation
+    * `(shard, first_doc, last_doc, n_docs, n_tokens)`, `baseBySrc`
+    * the stored `(shard, source, src_docs)` relation, `delta` the new
+    * docs (ids beyond the base). Incremental ≡ rebuild: the appended
+    * prefix sum continues at the base's token total, so the result
+    * equals [[shardManifest]] of the concatenated corpus (q243's
+    * oracle pins exactly that).
+    */
+  def manifestDelta(baseTot: DataFrame, baseBySrc: DataFrame,
+      delta: DataFrame): DataFrame =
+    graft.operators.CorpusOps.manifestMergeFrom(baseTot, baseBySrc, delta)
 }

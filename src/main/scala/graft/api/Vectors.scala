@@ -4,6 +4,7 @@ import graft.functions.VectorMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Public DataFrame-level embedding/similarity API — the shapes the
   * declared queries (q45–q48, q67–q68) exercise, exposed as
@@ -69,24 +70,63 @@ object Vectors {
   /** Bucket-restricted near-duplicate pairs (q48): only rows sharing
     * a hyperplane bucket are compared; pairs at or above `minCos`
     * survive. Returns `(vec_a, vec_b, cos_sim)`.
+    *
+    * `cellTarget` is the q48 scale knob made explicit: `None` (the
+    * default) scans every within-bucket pair — EXACT at bucket
+    * granularity, Θ(Σ|bucket|²) work; `Some(t)` sub-splits each
+    * bucket into `B = ceil(|bucket|/t)` deterministic md5 cells and
+    * compares within cells only, bounding pair work at n·t (linear)
+    * at the cost of skipping cross-cell pairs once B > 1 — the
+    * documented recall trade that was previously implicit in the
+    * declared query. [[nearDupCellAudit]] reports each bucket's B so
+    * a caller can SEE whether the bound engaged before trusting the
+    * recall.
     */
-  def nearDupPairs(df: DataFrame, minCos: Double = 0.999): DataFrame = {
-    val bk = hyperplaneBuckets(df).select("bucket", "vec_id", "embedding").persist()
+  def nearDupPairs(df: DataFrame, minCos: Double = 0.999,
+      cellTarget: Option[Long] = None): DataFrame = {
+    val bk = hyperplaneBuckets(df).select("bucket", "vec_id", "embedding").scopedPersist()
+    val cells = cellTarget match {
+      case None => bk.withColumn("cell", lit(0L))
+      case Some(t) =>
+        // per-bucket counts are a ≤256-row relation: broadcast back
+        // and assign md5 cells, exactly the declared q48 shape
+        val sizes = bk.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        bk.join(broadcast(sizes), Seq("bucket"))
+          .withColumn("cell",
+            graft.functions.TextHash.base32Builtin(col("vec_id").cast("string"))
+              % expr(s"(bn + ${t - 1}) div $t"))
+    }
     // each side rename-projects BEFORE the join: dataset-alias self
     // joins (`bk.as("x")`) resolve both `x.vec_id` and `y.vec_id` to
     // the same attribute under some cached/reused plans, silently
     // turning `x < y` into `v < v` = empty (observed flipping with
     // driver heap size via plan-reuse differences)
-    val left = bk.select(col("bucket"), col("vec_id").as("vec_a"),
+    val left = cells.select(col("bucket"), col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
-    val right = bk.select(col("bucket"), col("vec_id").as("vec_b"),
+    val right = cells.select(col("bucket"), col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"))
-    left.join(right, Seq("bucket"))
+    left.join(right, Seq("bucket", "cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine("emb_a", "emb_b"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Per-bucket cell-bound observability for [[nearDupPairs]] /
+    * q48-class scans: for each LSH bucket, its row count and the
+    * number of md5 cells `B = ceil(n/cellTarget)` the pair scan would
+    * use. Any row with `n_cells > 1` means the linear-cost bound is
+    * ENGAGED there and cross-cell pairs in that bucket are skipped
+    * (recall < 1); all-1 means the split is a no-op and the result is
+    * bit-identical to the exact bucket scan. One narrow projection +
+    * a ≤256-row aggregate — safe to run ahead of any production scan.
+    */
+  def nearDupCellAudit(df: DataFrame,
+      cellTarget: Long = graft.operators.Similarity.NearDupCellTarget): DataFrame =
+    hyperplaneBuckets(df)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("n_cells", expr(s"(n + ${cellTarget - 1}) div $cellTarget"))
+      .withColumn("cell_bound_engaged", col("n_cells") > 1)
 
   /** Assign each row its nearest coarse centroid(s): argmin L2 over a
     * driver-side codebook via the native per-row scan (q67's shape —

@@ -190,7 +190,7 @@ object CorpusOps {
     * offsets broadcast back; the only unpartitioned window runs over
     * the |blocks|-row totals relation). Returns the input's columns
     * plus (nw, shard). Shared by q81 and q237. */
-  private[operators] def shardAssign(d: DataFrame): DataFrame = {
+  private[graft] def shardAssign(d: DataFrame): DataFrame = {
     val toks = d
       .withColumn("nw", size(split(col("text"), " ")).cast("long"))
       .withColumn("blk", expr(s"doc_id div $BlockDocs"))
@@ -695,9 +695,128 @@ object CorpusOps {
         expr("CAST(occ_cum AS DECIMAL(38,0)) * 1000000 div tot").as("coverage_ppm"))
   }
 
+  /** [[shardAssign]] continuing from a prior corpus: the prefix sum
+    * starts at `prevTokens` (a 1-row relation with column `pt` —
+    * broadcast), so an APPENDED batch lands in exactly the shards the
+    * full-corpus assignment would give it without touching the base.
+    * Token-budget sharding is a prefix sum, and prefix sums compose:
+    * `cum_full(d) = T_base + cum_delta(d)` for every delta doc.
+    */
+  private[operators] def shardAssignFrom(delta: DataFrame,
+      prevTokens: DataFrame): DataFrame = {
+    val toks = delta
+      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+      .withColumn("blk", expr(s"doc_id div $BlockDocs"))
+    val blockOffsets = toks.groupBy("blk").agg(sum("nw").as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "off")
+    val inBlock = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(blockOffsets), "blk")
+      .crossJoin(broadcast(prevTokens))
+      .withColumn("cum", sum(col("nw")).over(inBlock) + col("off") + col("pt"))
+      .withColumn("shard", expr(s"(cum - nw) div $TokenBudget"))
+  }
+
+  /** q243: INCREMENTAL manifest maintenance — q237's shard manifest
+    * kept current under corpus APPEND in O(delta), the q142 pattern
+    * applied to the manifest instead of the dedup index. The last
+    * tenth of the corpus (doc_id ≥ ⌈9/10⌉ of max+1) plays the role of
+    * a fresh ingest batch; the first nine tenths are the BASE whose
+    * per-shard totals and per-(shard, source) counts stand in for the
+    * PERSISTED manifest tables a production pipeline reuses every
+    * batch. The delta path: tokenize the delta only, run the q81
+    * two-phase prefix sum STARTING at the base's token total (prefix
+    * sums compose, so every delta doc lands in exactly the shard the
+    * from-scratch q237 assignment gives it — the boundary shard keeps
+    * filling, later shards are new), then MERGE the two bounded
+    * per-shard relations and re-derive n_sources/top_source/fill on
+    * the merged |shards|×|sources| rows. The oracle is q237's
+    * from-scratch SQL verbatim — incremental ≡ rebuild is the whole
+    * correctness claim.
+    *
+    * Scale shape: the only corpus-sized work on the delta path is the
+    * delta scan + its block-bounded prefix windows; base relations
+    * enter as aggregates (|shards| and |shards|×|sources| rows). The
+    * base scan here exists only because the fixture has no persisted
+    * manifest to read — a production caller feeds
+    * [[manifestMergeFrom]] its stored tables.
+    */
+  val q243ManifestDelta: QueryDef = QueryDef.sql(
+    "q243_manifest_delta",
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw FROM documents),
+       |c AS (SELECT doc_id, source, nw, sum(nw) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+       |s AS (SELECT doc_id, source, nw, CAST((cum - nw) // $TokenBudget AS BIGINT) AS shard FROM c),
+       |tot AS (SELECT shard, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |    count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT source) AS n_sources FROM s GROUP BY shard),
+       |bs AS (SELECT shard, source, count(*) AS src_docs FROM s GROUP BY shard, source),
+       |top AS (SELECT shard, source AS top_source, src_docs AS top_source_docs FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY shard
+       |     ORDER BY src_docs DESC, source) AS rn FROM bs) WHERE rn = 1)
+       |SELECT tot.shard, first_doc, last_doc, n_docs, n_tokens, n_sources,
+       |  top_source, top_source_docs,
+       |  round(n_tokens * 100.0 / $TokenBudget, 2) AS fill_pct
+       |FROM tot JOIN top USING (shard) ORDER BY tot.shard""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    // append boundary: last tenth of the id space is "today's batch"
+    val cut = d.agg(((max("doc_id") + 1) * 9 / 10).as("cut"))
+    val withCut = d.crossJoin(broadcast(cut))
+    val base = withCut.filter(col("doc_id") < col("cut")).drop("cut")
+    val delta = withCut.filter(col("doc_id") >= col("cut")).drop("cut")
+    // the base's stored manifest tables (per-shard totals and
+    // per-(shard, source) doc counts) — persisted in production,
+    // derived once here
+    val baseAsg = shardAssign(base)
+    val baseTot = baseAsg.groupBy("shard").agg(
+      min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+      count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+    val baseBySrc = baseAsg.groupBy("shard", "source").agg(count(lit(1)).as("src_docs"))
+    manifestMergeFrom(baseTot, baseBySrc, delta).orderBy("shard")
+  }
+
+  /** The O(delta) manifest update as a reusable stage (also the
+    * `Corpus.manifestDelta` facade): `baseTot` is the stored
+    * per-shard manifest `(shard, first_doc, last_doc, n_docs,
+    * n_tokens)`, `baseBySrc` the stored `(shard, source, src_docs)`
+    * relation, `delta` the appended docs (all ids beyond the base).
+    * Returns the full updated q237-shaped manifest.
+    */
+  def manifestMergeFrom(baseTot: DataFrame, baseBySrc: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val prevTokens = baseTot.agg(coalesce(sum("n_tokens"), lit(0L)).as("pt"))
+    val deltaAsg = shardAssignFrom(delta, prevTokens)
+    val deltaTot = deltaAsg.groupBy("shard").agg(
+      min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+      count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+    val tot = baseTot.unionAll(deltaTot)
+      .groupBy("shard").agg(
+        min("first_doc").as("first_doc"), max("last_doc").as("last_doc"),
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val bySrc = baseBySrc
+      .unionAll(deltaAsg.groupBy("shard", "source").agg(count(lit(1)).as("src_docs")))
+      .groupBy("shard", "source").agg(sum("src_docs").as("src_docs"))
+    val nSrc = bySrc.groupBy("shard").agg(count(lit(1)).as("n_sources"))
+    val top = bySrc
+      .withColumn("rn", row_number().over(Window.partitionBy("shard")
+        .orderBy(col("src_docs").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("source").as("top_source"),
+        col("src_docs").as("top_source_docs"))
+    tot.join(nSrc, "shard").join(top, "shard")
+      .select(col("shard"), col("first_doc"), col("last_doc"), col("n_docs"),
+        col("n_tokens"), col("n_sources"), col("top_source"),
+        col("top_source_docs"),
+        round(col("n_tokens") * 100.0 / TokenBudget, 2).as("fill_pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(q74VocabTopk, q75CorpusSample,
     q76RetentionPipeline, q77Contamination, q78MixtureReport, q81TokenShards,
     q82Repetition, q87SplitAssign, q88StratifiedSample, q116UnkMask,
     q121SequencePacking, q143SplitDrift, q216NegativePairs,
-    q217MixtureWaterfill, q218TableDiff, q229OovCurve, q237ShardManifest)
+    q217MixtureWaterfill, q218TableDiff, q229OovCurve, q237ShardManifest,
+    q243ManifestDelta)
 }

@@ -6,6 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.ScopedDataset
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]`, 64-dim).
@@ -122,7 +123,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
     val bk = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
-      .persist() // probed twice: query side and candidate side
+      .scopedPersist() // probed twice: query side and candidate side
     val q = bk.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -187,7 +188,7 @@ object Similarity {
          |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
       val bk = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
-        .persist()
+        .scopedPersist()
       val sizes = bk.groupBy("bucket").agg(count(lit(1)).as("bn"))
       val cells = bk.join(broadcast(sizes), Seq("bucket"))
         .withColumn("cell",
@@ -371,7 +372,7 @@ object Similarity {
         expr(normSql("embedding")).as("nrm"),
         expr("transform(embedding, x -> cast(round(cast(x as double) / scale * 127.0) as bigint))")
           .as("qe"))
-      .persist() // probed twice: query side and candidate side
+      .scopedPersist() // probed twice: query side and candidate side
     val q = qv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("qe").as("qqe"),
         col("scale").as("qscale"), col("nrm").as("qnrm"), col("embedding").as("qemb"))
@@ -420,7 +421,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
-      .persist() // scanned once per Lloyd job; harness clears per query
+      .scopedPersist() // scanned once per Lloyd job; harness clears per query
 
   private[operators] def kmeansSeed(q: DataFrame): DataFrame =
     q.orderBy("vec_id").limit(KmeansK)
@@ -537,7 +538,7 @@ object Similarity {
       zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
     val d = q.crossJoin(broadcast(c2)).select(col("vec_id"), col("cid"), dist.as("d2"))
-      .persist()
+      .scopedPersist()
     val o = d.withColumn("key", col("d2") * KmeansK + col("cid"))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), col("key")).as("cid"), min("d2").as("a2"))
@@ -631,7 +632,7 @@ object Similarity {
     val q = Tables.embeddings(spark, dir)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
-      .persist()
+      .scopedPersist()
     val m = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum(expr("v * v")).as("svv"))
@@ -729,7 +730,7 @@ object Similarity {
         .select(col("vec_id"),
           element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
           col("embedding"))
-        .persist()
+        .scopedPersist()
       // per-list counts are a K-row relation: broadcast them back and
       // sub-split each list into B = ceil(ln/target) md5 cells
       val sizes = asg.groupBy("list_id").agg(count(lit(1)).as("ln"))
@@ -784,7 +785,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
     val bk = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
-      .persist()
+      .scopedPersist()
     val probes = bk.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"),
         explode(expr(s"sequence(0, $NumPlanes)")).as("p"))
@@ -855,7 +856,7 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
-        .persist()
+        .scopedPersist()
       // DuckDB's // truncates toward zero for signed operands —
       // exactly Spark's `div` — so the two engines agree verbatim
       def fdiv(a: String, b: String): String = s"(($a)) div ($b)"
@@ -1304,7 +1305,7 @@ object Similarity {
       .join(broadcast(cq0), "list_id")
       .select(col("vec_id"), col("list_id"),
         zip_with(col("qe0"), col("cqe"), (a, b) => a - b).as("qe"))
-      .persist()
+      .scopedPersist()
     val asg = qres.select("vec_id", "list_id")
     val sv = pqSubvectors(qres, "vec_id")
     val c2 = pqRecollect(pqTrainU2(sv, qres))
@@ -1338,9 +1339,129 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** q242: IVFADC recall audit — q165's recall loop applied to the
+    * Jégou stack (TPAMI'11 §V's recall@R curves): recall@5 of the
+    * q238 probed-list ADC search against the exact exhaustive top-5,
+    * per NProbe ∈ {1, 2, 4}. This is the measurement that makes the
+    * compressed-domain index trustworthy — the nprobe knob trades
+    * scan fraction (~nprobe/K of the corpus) against exactly this
+    * recall number, and a production deployment picks nprobe off this
+    * curve. Distances stay in q234's exact int64 micro-quantized
+    * domain on both sides, so ranks cannot diverge across engines;
+    * recall is integer ppm (`hits·10⁶ div n_exact`).
+    *
+    * Scale shape: the PQ codebook/codes/LUT build is q238's (bounded
+    * Lloyd aggregates, broadcast LUT); each nprobe arm keeps q238's
+    * probed-list equi-join BELOW the ADC aggregate (PlanShapeSpec
+    * pins it), so no arm ever ADC-scans the full corpus; the exact
+    * side is ONE q45-shaped broadcast scan, persisted and reused by
+    * all three arms; the audit join and rollup are queries×k rows.
+    */
+  val q242IvfAdcRecall: QueryDef = {
+    val probes = Seq(1, 2, 4)
+    val arms = probes.map { np =>
+      s"""ap$np AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.q_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc_d2, a.vec_id) AS rank
+         |  FROM (SELECT c.q_id, c.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+         |    FROM (SELECT qp.q_id, k.vec_id, k.sub, k.cid
+         |      FROM codes k JOIN asg a ON a.vec_id = k.vec_id
+         |      JOIN (SELECT q_id, list_id FROM qd WHERE rn <= $np) qp
+         |        ON qp.list_id = a.list_id
+         |      WHERE k.vec_id <> qp.q_id) c
+         |    JOIN lut l ON l.q_id = c.q_id AND l.sub = c.sub AND l.cid = c.cid
+         |    GROUP BY c.q_id, c.vec_id) a) WHERE rank <= 5),
+         |r$np AS (SELECT CAST($np AS BIGINT) AS nprobe, ex.q_id,
+         |    count(*) AS n_exact, count(ap.vec_id) AS hits
+         |  FROM ex LEFT JOIN ap$np ap
+         |    ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY ex.q_id)""".stripMargin
+    }
+    QueryDef.sql(
+      "q242_ivfadc_recall",
+      s"""$duckPqPrefix,
+         |codes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+         |    list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+         |  FROM sv v JOIN c2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+         |$duckCentroids,
+         |asg AS (SELECT vec_id, c_id AS list_id FROM (
+         |  SELECT e.vec_id, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |qd AS (SELECT e.vec_id AS q_id, c.c_id AS list_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+         |  FROM embeddings e, cent c WHERE e.vec_id < 10),
+         |lut AS (SELECT t.q_id, c.sub, c.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+         |  FROM (SELECT vec_id AS q_id, sub, sq AS qsq FROM sv WHERE vec_id < 10) t
+         |  JOIN c2 c ON t.sub = c.sub),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(a.qe)),
+         |        i -> (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]))), b.vec_id) AS rank
+         |  FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+         |${arms.mkString(",\n")}
+         |SELECT nprobe, q_id, n_exact, hits,
+         |  CAST(hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM (${probes.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")})
+         |ORDER BY nprobe, q_id""".stripMargin) { (spark, dir) =>
+      val q = kmeansQuantized(spark, dir)
+      val sv = pqSubvectors(q, "vec_id")
+      val c2 = pqRecollect(pqTrainU2(sv, q))
+      // the code relation is rescanned by every nprobe arm
+      val codes = pqAssign(sv, c2).scopedPersist()
+      val emb = Tables.embeddings(spark, dir)
+      val asg = emb.select(col("vec_id"),
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
+      val lut = sv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
+        .join(broadcast(c2), "sub")
+        .select(col("q_id"), col("sub"), col("cid"),
+          pqDist(col("qsq"), col("cq")).as("d2"))
+      val qRows = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
+      val wEx = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      // ONE exhaustive exact scan, shared by all three recall arms
+      val exact = q.join(broadcast(qRows), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
+        .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
+        .select("q_id", "vec_id")
+        .scopedPersist()
+      def adcTop(np: Int): DataFrame = {
+        val qp = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            explode(nearestCol(spark, dir, np, col("embedding"))).as("list_id"))
+        val cand = codes.join(asg, "vec_id")
+          .join(broadcast(qp), Seq("list_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+        val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+          .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
+        val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(lit(np.toLong).as("np2"), col("q_id").as("q2"),
+            col("vec_id").as("a_vid"))
+      }
+      val approx = probes.map(adcTop).reduce(_.unionAll(_))
+      val exArms = probes.map(np => exact.withColumn("nprobe", lit(np.toLong)))
+        .reduce(_.unionAll(_))
+      exArms.join(approx,
+          col("nprobe") === col("np2") && col("q_id") === col("q2") &&
+            col("vec_id") === col("a_vid"), "left")
+        .groupBy("nprobe", "q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("a_vid")).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+        .orderBy("nprobe", "q_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
-    q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc)
+    q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc, q242IvfAdcRecall)
 }

@@ -182,4 +182,26 @@ class CorpusApiSpec extends AnyFunSuite {
     val viaQuery = query.fn(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(viaFacade == viaQuery, query.name)
   }
+
+  test("manifestDelta: incremental update ≡ from-scratch rebuild at any append cut") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    // several cut points, including one inside a shard (the boundary
+    // shard keeps filling) and the degenerate empty-base case
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    for (cut <- Seq(0L, 1L, maxId / 3, maxId * 9 / 10)) {
+      val base = docs.filter(col("doc_id") < cut)
+      val delta = docs.filter(col("doc_id") >= cut)
+      val baseAsg = graft.operators.CorpusOps.shardAssign(base)
+      val baseTot = baseAsg.groupBy("shard").agg(
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+      val baseBySrc = baseAsg.groupBy("shard", "source")
+        .agg(count(lit(1)).as("src_docs"))
+      val inc = Corpus.manifestDelta(baseTot, baseBySrc, delta)
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      val scratch = Corpus.shardManifest(docs)
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      assert(inc == scratch, s"incremental != rebuild at cut=$cut")
+    }
+  }
 }

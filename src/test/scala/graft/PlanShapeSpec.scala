@@ -152,7 +152,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q217_mixture_waterfill", // 1-row budget + 1-row fill-level broadcasts
       "q227_bm25_topk", // 1-row corpus-total + 1-row avgdl broadcasts
       "q232_dsir_weights", // q95's 1-row vocab-totals broadcast (t_all, t_tgt, nv)
-      "q235_pq_adc_topk") // 1-row query-vector broadcast (ADC re-score)
+      "q235_pq_adc_topk", // 1-row query-vector broadcast (ADC re-score)
+      "q242_ivfadc_recall", // q45-shaped 10-row broadcast theta join (exact side)
+      "q243_manifest_delta") // 1-row cut boundary + 1-row base-token-total broadcasts
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
@@ -194,8 +196,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q234_pq_codebook" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q237_shard_manifest" -> "q81's block-totals prefix relation (|blocks| rows)",
+      "q243_manifest_delta" -> "q81's block-totals prefix relation, base + delta sides",
       "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
+      "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
+      "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
@@ -218,23 +222,32 @@ class PlanShapeSpec extends AnyFunSuite {
     // see only probed-list candidates, i.e. its subtree must contain
     // the list_id equi-join, and none of the joins may be a nested loop
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    for (name <- Seq("q238_ivfadc_topk", "q241_residual_ivfadc")) {
+    // q242 runs THREE ADC arms (nprobe 1/2/4) — every one must keep
+    // the probed-list bound; its exact side is the allow-listed
+    // q45-shaped theta join, so the no-BNLJ clause applies to the
+    // first two queries only.
+    for (name <- Seq("q238_ivfadc_topk", "q241_residual_ivfadc", "q242_ivfadc_recall")) {
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
-      val adcAgg = lp.collectFirst {
+      val adcAggs = lp.collect {
         case a: Aggregate if a.groupingExpressions.size == 2 &&
           a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
             Set("q_id", "vec_id") => a
       }
-      assert(adcAgg.nonEmpty, s"$name: ADC (q_id, vec_id) aggregate missing from the plan")
-      val listJoins = adcAgg.get.collect {
-        case j: Join if j.condition.exists(
-          _.references.exists(_.name == "list_id")) => j
+      val expected = if (name == "q242_ivfadc_recall") 3 else 1
+      assert(adcAggs.size == expected,
+        s"$name: expected $expected ADC (q_id, vec_id) aggregate(s), found ${adcAggs.size}")
+      adcAggs.foreach { adcAgg =>
+        val listJoins = adcAgg.collect {
+          case j: Join if j.condition.exists(
+            _.references.exists(_.name == "list_id")) => j
+        }
+        assert(listJoins.nonEmpty,
+          s"$name: an ADC aggregate no longer has the probed-list equi-join below it (full-corpus ADC scan)")
       }
-      assert(listJoins.nonEmpty,
-        s"$name: ADC aggregate no longer has the probed-list equi-join below it (full-corpus ADC scan)")
-      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
-        s"$name must stay all-equi-join")
+      if (name != "q242_ivfadc_recall")
+        assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+          s"$name must stay all-equi-join")
     }
   }
 

@@ -34,6 +34,31 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(viaFacade == viaQuery)
   }
 
+  test("nearDupPairs cell knob: exact mode ≡ B=1 split; audit reports the engaged bound") {
+    // at sf0.001 every bucket holds far fewer than 512 vectors, so the
+    // production cell target must be a no-op (B = 1, identical pairs)
+    val exact = Vectors.nearDupPairs(emb, minCos = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Vectors.nearDupPairs(emb, minCos = 0.3,
+        cellTarget = Some(graft.operators.Similarity.NearDupCellTarget))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == split, "cell split changed output despite B = 1 everywhere")
+    val audit = Vectors.nearDupCellAudit(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (_, n, cells, engaged) =>
+      assert(cells == (n + 511) / 512)
+      assert(engaged == (cells > 1))
+    }
+    assert(audit.forall(!_._4), "bound unexpectedly engaged at sf0.001")
+    // a tiny target MUST engage the bound somewhere and can only DROP pairs
+    val tiny = Vectors.nearDupCellAudit(emb, cellTarget = 2L).collect()
+    assert(tiny.exists(_.getBoolean(3)), "cellTarget=2 never engaged — audit broken")
+    val tinyPairs = Vectors.nearDupPairs(emb, minCos = 0.3, cellTarget = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyPairs.subsetOf(exact))
+  }
+
   test("nearDupPairs finds an exact duplicate pair on seeded vectors") {
     val v = Seq(0.5f, -1.25f, 2.0f, 0.125f, -0.75f, 1.5f, -0.25f, 1.0f)
     val w = Seq(2.0f, 0.5f, -0.5f, 1.75f, 0.25f, -1.0f, 0.75f, -1.5f)
@@ -199,5 +224,52 @@ class VectorsApiSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong)).toSeq
     assert(got == expect)
+  }
+
+  test("q242 IVFADC recall reconciles with a pure-Scala recall recount") {
+    import graft.operators.Similarity.NumCentroids
+    // coarse routing + PQ replay, exactly the q238 machinery but with
+    // the probe count as a parameter
+    val floats: Seq[(Long, Array[Float])] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    val coarse = floats.take(NumCentroids)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def probes(v: Array[Float], n: Int): Seq[Long] =
+      coarse.map { case (cid, ce) => (l2(v, ce), cid) }.sortBy(identity).take(n).map(_._2)
+    val asg: Map[Long, Long] = floats.map { case (vid, v) => vid -> probes(v, 1).head }.toMap
+    val cents = pqTrainScala().map { case (k, (m, _)) => k -> m }
+    val codes: Map[(Long, Int), Long] =
+      (for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(qe, sub)
+        (vid, sub) -> cents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    val qMap = pqVecs.toMap
+    // exact exhaustive top-5 per query in the quantized domain
+    def exact5(qid: Long): Set[Long] =
+      pqVecs.filter(_._1 != qid)
+        .map { case (vid, qe) => (d2(qe, qMap(qid)), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    def adc5(qid: Long, np: Int): Set[Long] = {
+      val probed = probes(floats.find(_._1 == qid).get._2, np).toSet
+      val lut = cents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(qMap(qid), s), cq) }
+      pqVecs.collect { case (vid, _) if vid != qid && probed(asg(vid)) => vid }
+        .map(vid => (((0 until PqM).map(s => lut((s, codes((vid, s))))).sum), vid))
+        .sortBy(identity).take(5).map(_._2).toSet
+    }
+    val got = graft.operators.Similarity.q242IvfAdcRecall.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val qids = floats.map(_._1).filter(_ < 10)
+    assert(got.keySet == (for (np <- Seq(1L, 2L, 4L); q <- qids) yield (np, q)).toSet)
+    got.foreach { case ((np, qid), (nExact, hits, ppm)) =>
+      val ex = exact5(qid)
+      assert(nExact == ex.size, s"n_exact at nprobe=$np q=$qid")
+      assert(hits == (ex & adc5(qid, np.toInt)).size, s"hits at nprobe=$np q=$qid")
+      assert(ppm == hits * 1000000L / nExact, s"ppm at nprobe=$np q=$qid")
+    }
   }
 }
