@@ -73,22 +73,32 @@ n_docs = len(docs) * SCALE
 exact_rate = 8 / len(docs)        # measured: 8 exact dups in 5000
 near_rate = 256 / len(docs)       # measured: 256 near-dup pairs in 5000
 
+# Planted duplicates COPY the source document's (lang, source): real
+# exact/near dups overwhelmingly share their origin's metadata (sf0.1's
+# do), and independently resampled metadata would scatter dup pairs
+# across sources/langs at random — skewing source-conditioned dup
+# metrics (q153 cross-source span overlap, contamination queries) on
+# the very fixture that claims to preserve those distributions.
 texts, metas = [], []
 for i in range(n_docs):
     r = rng.random()
     if i > 0 and r < exact_rate:
-        texts.append(texts[rng.integers(0, i)])
+        src = int(rng.integers(0, i))
+        texts.append(texts[src])
+        metas.append(metas[src])
     elif i > 0 and r < exact_rate + near_rate:
-        words = texts[rng.integers(0, i)].split(" ")
+        src = int(rng.integers(0, i))
+        words = texts[src].split(" ")
         k = max(1, len(words) // 10)
         for p in rng.choice(len(words), size=k, replace=False):
             words[p] = vocab[rng.choice(len(vocab), p=probs)]
         texts.append(" ".join(words))
+        metas.append(metas[src])
     else:
         nw = int(rng.choice(lengths))
         texts.append(" ".join(
             vocab[j] for j in rng.choice(len(vocab), size=nw, p=probs)))
-    metas.append(langsrc[rng.integers(0, len(langsrc))])
+        metas.append(langsrc[rng.integers(0, len(langsrc))])
 
 write("documents", pa.table({
     "doc_id": pa.array(range(n_docs), pa.int64()),

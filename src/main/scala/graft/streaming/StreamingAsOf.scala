@@ -49,8 +49,11 @@ object StreamingAsOf {
     */
   def run(spark: SparkSession, dir: String, glob: String = "events.parquet",
       oneFilePerTrigger: Boolean = false,
-      samplesOverride: Option[DataFrame] = None): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-asof").toString
+      samplesOverride: Option[DataFrame] = None,
+      checkpoint: Option[String] = None,
+      outPath: Option[String] = None): DataFrame = {
+    val outDir = outPath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-stream-asof").toString)
     val purchases = samplesOverride.getOrElse(Tables.series(spark, dir))
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("s_uid"), col("t").as("s_t"),
@@ -63,13 +66,18 @@ object StreamingAsOf {
     val stream = Tables.normalizeEventTs(withTrigger.parquet(dir))
       .selectExpr("user_id", "event_id",
         "cast(ts div 1000 as double) / 1e6 as t")
-    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.plans.AsOfJoin.backward(batch, purchases,
           Seq("user_id"), Seq("s_uid"), "t", "s_t", Seq("s_eid"))
         .select(col("user_id"), col("event_id"), col("t"),
           col("s_v").as("asof_purchase"))
         .write.mode("append").parquet(outDir)
-    }.start()
+    }
+    // a checkpoint makes the drive resumable: a NEW run on the same
+    // (checkpoint, outPath) picks up at the first unprocessed file —
+    // the kill-and-resume contract StreamingSpec pins
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
     q.processAllAvailable()
     q.stop()
     spark.read.parquet(outDir)

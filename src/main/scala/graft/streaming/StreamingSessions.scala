@@ -42,7 +42,7 @@ object StreamingSessions {
     * per-key session logic), so this is purely a latency knob; a real
     * deployment sizes it to throughput x watermark instead.
     */
-  private def withStateShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+  private[graft] def withStateShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -349,10 +349,25 @@ object StreamingSessions {
     */
   def runStreamJoin(spark: SparkSession, dir: String,
       sinkName: String = "stream_joined"): DataFrame = withStateShuffle(spark, 8) {
-    val schema = Tables.rawEventsSchema(spark, dir)
-    val base = Tables.normalizeEventTs(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    val q = streamJoined(spark, dir).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  /** The joined streaming relation behind [[runStreamJoin]], exposed
+    * so the kill-and-resume spec can drive it through a checkpointed
+    * foreachBatch sink file-by-file (`glob`/`oneFilePerTrigger`).
+    */
+  private[graft] def streamJoined(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      oneFilePerTrigger: Boolean = false): DataFrame = {
+    val schema = Tables.rawEventsSchema(spark, dir, glob)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val withTrigger =
+      if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    val base = Tables.normalizeEventTs(withTrigger.parquet(dir))
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
         timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"))
     val purchases = base.filter(col("event_type") === "purchase")
@@ -369,11 +384,7 @@ object StreamingSessions {
         col("c_ets") <= col("p_ets"))
       .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
         ((col("p_us") - col("c_us")).cast("double") / lit(1e6)).as("dt"))
-    val q = joined.writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(sinkName)
+    joined
   }
 
   val q85StreamJoin: graft.QueryDef = graft.QueryDef.sql(

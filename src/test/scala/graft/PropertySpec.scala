@@ -416,4 +416,143 @@ class PropertySpec extends AnyFunSuite {
         assert(r.head.getDouble(5) == (va & vb).size.toDouble)
     }
   }
+
+  // --------------------------------------------------------------
+  // Wide-integer cross terms at adversarial magnitudes (VERDICT r7
+  // task 6): the DECIMAL(38,0) subtraction n*Sxy - Sx*Sy must stay
+  // EXACT when squared sums blow far past 2^63 and products past
+  // 10^30 — the regime where the old double-product form lost every
+  // significant digit to cancellation. BigInt recomputation is the
+  // independent referee; the double ops after the exact subtraction
+  // are replayed in the same order, so equality is bitwise.
+  // --------------------------------------------------------------
+
+  /** Spark's Round(double, s): BigDecimal.valueOf + HALF_UP. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  private val hugeXyGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 25)
+    mode <- Gen.oneOf(0, 1, 2)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-1000000000000000L, 1000000000000000L))
+    ys <- Gen.listOfN(n, Gen.chooseNum(-1000000000000000L, 1000000000000000L))
+  } yield mode match {
+    case 0 => xs.zip(ys) // independent huge x, y
+    case 1 => xs.map(x => (x, x)) // perfect correlation: r2 must hit 1
+    case 2 => ys.map(y => (xs.head, y)) // constant x: b = 0, NULL slope
+  }
+
+  test("olsFitDf wide-integer cross terms are BigInt-exact at |x| up to 1e15") {
+    var sawPast63 = false
+    forSamples(hugeXyGen, 30) { pts =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => ("g", i.toLong, x, y) }
+        .toDF("k", "i", "x", "y")
+      val got = graft.operators.AuditOps.olsFitDf(df, "k", "x", "y").collect().head
+      val n = BigInt(pts.size)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val syy = pts.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      if (sxx > BigInt(Long.MaxValue)) sawPast63 = true
+      val a = (n * sxy - sx * sy).toDouble
+      val b = (n * sxx - sx * sx).toDouble
+      val c = (n * syy - sy * sy).toDouble
+      assert(got.getLong(1) == pts.size)
+      if (b == 0.0) {
+        assert(got.isNullAt(2) && got.isNullAt(3) && got.isNullAt(4))
+      } else {
+        val slope = roundHalfUp(a / b, 6)
+        val icept = roundHalfUp((sy.toDouble - a / b * sx.toDouble) / n.toDouble, 6)
+        assert(got.getDouble(2) == slope, s"slope: ${got.getDouble(2)} != $slope")
+        assert(got.getDouble(3) == icept, s"intercept: ${got.getDouble(3)} != $icept")
+        if (c == 0.0) assert(got.isNullAt(4))
+        else assert(got.getDouble(4) == roundHalfUp(a * a / (b * c), 6),
+          s"r2 mismatch")
+      }
+    }
+    assert(sawPast63, "generator never exceeded 2^63 - magnitudes too small")
+  }
+
+  /** Writes a synthetic one-user-per-key events.parquet with values
+    * large enough that q = round(value*1e3) reaches ~1e15, and
+    * returns (dir, per-user time-ordered q series). The q replay
+    * applies the same double multiply + HALF_UP as Spark's Round, so
+    * the recount sees bit-identical quantized longs.
+    */
+  private def writeHugeEvents(nUsers: Int, rowsPer: Int, seedBase: Long): (String, Map[Long, Seq[Long]]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_huge").toString
+    val valGen = Gen.chooseNum(-1.0e12, 1.0e12)
+    val rows = for {
+      u <- 0 until nUsers
+      i <- 0 until rowsPer
+    } yield {
+      val v = valGen(Gen.Parameters.default, Seed(seedBase + u * 1000 + i)).get
+      (u * 1000L + i, (i.toLong + 1) * 1000000000L, u.toLong, v, "view")
+    }
+    rows.toDF("event_id", "ts", "user_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val series = rows.groupBy(_._3).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._1)).map(r =>
+        roundHalfUp(r._4 * 1000.0, 0).toLong).toSeq
+    }
+    (dir, series)
+  }
+
+  test("q98 lag-1 Pearson r is BigInt-exact at quantized |x| ~ 1e15") {
+    val (dir, series) = writeHugeEvents(nUsers = 4, rowsPer = 18, seedBase = 7000L)
+    val got = graft.operators.PipelineOps.q98Autocorr.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == series.size)
+    series.foreach { case (u, q) =>
+      val pairs = q.zip(q.drop(1)).map { case (prev, cur) => (cur, prev) } // (x, lag y)
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      assert(sxx > BigInt(Long.MaxValue), "fixture too small to stress the widening")
+      val num = (n * sxy - sx * sy).toDouble
+      val dx = (n * sxx - sx * sx).toDouble
+      val dy = (n * syy - sy * sy).toDouble
+      val expect = if (dx == 0.0 || dy == 0.0) None
+        else Some(roundHalfUp(num / (math.sqrt(dx) * math.sqrt(dy)), 6))
+      assert(got(u) == expect, s"user $u: ${got(u)} != $expect")
+    }
+  }
+
+  test("q198 breakpoint SSE split is BigInt-exact at quantized |y| ~ 1e15") {
+    val (dir, series) = writeHugeEvents(nUsers = 3, rowsPer = 14, seedBase = 9100L)
+    val got = graft.operators.EventSeries.q198Breakpoint.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    series.foreach { case (u, q) =>
+      val n = q.size
+      val ys = q.map(BigInt(_))
+      val is = (1 to n).map(BigInt(_))
+      def cum(v: Seq[BigInt]): Seq[BigInt] = v.scanLeft(BigInt(0))(_ + _).drop(1)
+      val csx = cum(is); val csy = cum(ys)
+      val csxx = cum(is.map(x => x * x)); val csyy = cum(ys.map(y => y * y))
+      val csxy = cum(is.zip(ys).map { case (x, y) => x * y })
+      val (tx, ty, txx, tyy, txy) =
+        (csx.last, csy.last, csxx.last, csyy.last, csxy.last)
+      assert(tyy > BigInt(Long.MaxValue), "fixture too small to stress the widening")
+      val cand = (2 to n - 2).map { i =>
+        val bi = BigInt(i); val wr = BigInt(n) - bi
+        val cl = (bi * csyy(i - 1) - csy(i - 1) * csy(i - 1)).toDouble
+        val bl = (bi * csxx(i - 1) - csx(i - 1) * csx(i - 1)).toDouble
+        val al = (bi * csxy(i - 1) - csx(i - 1) * csy(i - 1)).toDouble
+        val cr = (wr * (tyy - csyy(i - 1)) - (ty - csy(i - 1)) * (ty - csy(i - 1))).toDouble
+        val br = (wr * (txx - csxx(i - 1)) - (tx - csx(i - 1)) * (tx - csx(i - 1))).toDouble
+        val ar = (wr * (txy - csxy(i - 1)) - (tx - csx(i - 1)) * (ty - csy(i - 1))).toDouble
+        val sse = (cl * bl - al * al) / (i.toDouble * bl) +
+          (cr * br - ar * ar) / (wr.toDouble * br)
+        (i.toLong, sse)
+      }
+      val best = cand.minBy { case (i, sse) => (sse, i) }
+      assert(got(u) == best, s"user $u: ${got(u)} != $best")
+    }
+  }
 }

@@ -847,4 +847,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(upserted.size == single.size)
     upserted.foreach { case (k, r) => assert(r == single(k), s"cell $k diverged") }
   }
+
+  // --------------------------------------------------------------
+  // Kill-and-resume parity for the two JOIN-state streams (VERDICT r7
+  // task 5): q85's stream-stream interval join buffers both sides'
+  // unmatched rows in the state store; q127's as-of enrichment holds
+  // only file-source progress (each batch probes the static reference
+  // independently). Both must resume from the checkpoint reading ONLY
+  // the new file and produce batch-equal output across the kill.
+  // --------------------------------------------------------------
+
+  test("stream-stream interval join restart: checkpoint resumes buffered join state (q85)") {
+    import graft.streaming.StreamingSessions
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sjck").toString
+    val ckpt = s"$tmp/ckpt"
+    val writeHalf = eventHalfWriter()
+    // append contract (not upsert): each matched pair emits exactly
+    // once, so the multiset across both phases must equal the
+    // single-run multiset — a reprocessed phase-1 file would surface
+    // as duplicate pairs here even before the batch-count assert
+    val rows = mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    var dataBatches = 0
+    def runToCompletion(): Unit = StreamingSessions.withStateShuffle(spark, 8) {
+      val q = StreamingSessions
+        .streamJoined(spark, tmp, "sjck_*.parquet", oneFilePerTrigger = true)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.collect()
+          // watermark advancement runs no-data cleanup batches; only
+          // data batches count toward the no-reprocessing assert
+          if (got.nonEmpty) dataBatches += 1
+          got.foreach(r => rows += ((r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeHalf(tmp, "sjck_a.parquet")
+    runToCompletion()
+    val afterA = dataBatches
+    val rowsAfterA = rows.size
+    assert(afterA >= 1 && rowsAfterA > 0)
+    writeHalf(tmp, "sjck_b.parquet")
+    runToCompletion()
+    assert(dataBatches == afterA + 1,
+      s"restart reprocessed old files: $afterA -> $dataBatches data batches")
+    assert(rows.size > rowsAfterA, "resume emitted no new matches")
+    val single = StreamingSessions
+      .runStreamJoin(spark, "/root/testdata/sf0.001", "sj_ckpt_single")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.size == single.length,
+      s"restart multiset size ${rows.size} != single-run ${single.length}")
+    assert(rows.groupBy(identity).view.mapValues(_.size).toMap ==
+      single.groupBy(identity).view.mapValues(_.size).toMap,
+      "pair multiset diverged across the kill")
+  }
+
+  test("stream as-of enrichment restart: checkpoint resumes file progress (q127)") {
+    import graft.streaming.StreamingAsOf
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asofck").toString
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/out"
+    val writeHalf = eventHalfWriter()
+    // the static reference side comes from the canonical table; the
+    // STREAM side is the two-phase file copy
+    val samples = graft.sources.Tables.series(spark, sfDir)
+    def commits(): Int = {
+      val d = new java.io.File(s"$ckpt/commits")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.getName.forall(_.isDigit))
+    }
+    writeHalf(tmp, "asofck_a.parquet")
+    StreamingAsOf.run(spark, tmp, "asofck_*.parquet", oneFilePerTrigger = true,
+      samplesOverride = Some(samples), checkpoint = Some(ckpt), outPath = Some(out))
+    val afterA = commits()
+    val rowsAfterA = spark.read.parquet(out).count()
+    assert(afterA >= 1 && rowsAfterA > 0)
+    writeHalf(tmp, "asofck_b.parquet")
+    StreamingAsOf.run(spark, tmp, "asofck_*.parquet", oneFilePerTrigger = true,
+      samplesOverride = Some(samples), checkpoint = Some(ckpt), outPath = Some(out))
+    assert(commits() == afterA + 1,
+      s"restart reprocessed old files: $afterA -> ${commits()} commits")
+    // batch-equal across the kill: the appended union equals the
+    // declared q127 result (each micro-batch probes independently)
+    val got = spark.read.parquet(out)
+      .select("user_id", "event_id", "t", "asof_purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2)).toSeq
+    val single = graft.streaming.StreamingAsOf.q127StreamAsof.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got.nonEmpty && got == single, "as-of output diverged across the kill")
+  }
 }
