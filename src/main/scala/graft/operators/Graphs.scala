@@ -214,6 +214,95 @@ object Graphs {
     triangleCounts(und).orderBy("user_id")
   }
 
+  /** q244: DOULION-sampled triangle census (Tsourakakis et al.,
+    * KDD'09) — the documented 100 TB SCALE PATH for [[q130Triangles]],
+    * whose exact count is the repo's one workload-inherent >2 scaling
+    * exponent (BENCH_SF1: edge densification makes the triangle join
+    * itself superlinear). DOULION keeps each UNDIRECTED edge with
+    * probability p BEFORE the wedge join, shrinking the quadratic
+    * stage by p² and the closure probe by p, and rescales the sampled
+    * count by 1/p³ (each triangle survives iff all 3 edges do). Here
+    * p = 1/2 via the deterministic md5 edge hash — the same
+    * derandomization every sampler in this repo uses (q75, q88), so
+    * both engines keep the identical edge subset and the "estimate"
+    * is reproducible, auditable, and oracle-checkable; 1/p³ = 8 keeps
+    * the estimator integer-exact.
+    *
+    * Output is the one-row census a pipeline acts on: edge totals
+    * before/after sampling, the sampled triangle count, and the
+    * unbiased estimate. Scale shape: the census is one hash aggregate
+    * over the (persisted) edge relation; the triangle join runs on
+    * the HALVED edge set through [[triangleCounts]]'s degree-oriented
+    * form; the two 1-row results meet in a broadcast cross join.
+    */
+  val q244SampledTriangles: QueryDef = QueryDef.sql(
+    "q244_sampled_triangles",
+    s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+       |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+       |ei AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'error'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pi AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'purchase'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+       |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+       |    AND e.user_id <> p.user_id),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pr),
+       |k AS (SELECT u, v,
+       |  ${graft.functions.TextHash.duckMd5Bucket("(u::VARCHAR || ':' || v::VARCHAR)", 2)} = 0 AS keep
+       |  FROM und),
+       |kept AS (SELECT u, v FROM k WHERE keep),
+       |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM kept e1 JOIN kept e2 ON e2.u = e1.v
+       |  JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |ec AS (SELECT count(*) AS n_edges, count(*) FILTER (WHERE keep) AS n_kept FROM k),
+       |tc AS (SELECT count(*) AS tri_sampled FROM tr)
+       |SELECT n_edges, n_kept, tri_sampled, tri_sampled * 8 AS tri_estimate
+       |FROM ec, tc""".stripMargin) { (spark, dir) =>
+    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+    def bursts(tpe: String) =
+      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+          col("event_type") === tpe)
+        .filter(col("n_rows") >= 3)
+        .select(col("user_id"), col("seg_start").as("start"),
+          col("seg_end").as("end"))
+    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+    val und = pairs
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    doulionCensus(und)
+  }
+
+  /** The DOULION census behind [[q244SampledTriangles]], reusable over
+    * any canonical (u < v) undirected edge list: keep each edge iff
+    * md5("u:v") is even (p = 1/2), count triangles on the kept
+    * subgraph, return ONE row `(n_edges, n_kept, tri_sampled,
+    * tri_estimate = tri_sampled·8)`.
+    */
+  private[graft] def doulionCensus(undIn: DataFrame): DataFrame = {
+    // read twice (census + triangle join input) — pin within the scope
+    val und = undIn
+      .withColumn("keep",
+        graft.functions.TextHash.md5Bucket(
+          concat_ws(":", col("u"), col("v")), 2) === 0)
+      .scopedPersist()
+    val census = und.agg(count(lit(1)).as("n_edges"),
+      count(when(col("keep"), 1)).as("n_kept"))
+    // per-user counts triple-count each triangle (one credit per
+    // corner), so the global sampled total is the sum div 3 — exact,
+    // since the sum is 3·|triangles| by construction
+    val tri = triangleCounts(und.filter(col("keep")).select("u", "v"))
+      .agg(coalesce(sum("n_triangles"), lit(0L)).as("t3"))
+      .select(expr("t3 div 3").as("tri_sampled"))
+    census.crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_kept"), col("tri_sampled"),
+        (col("tri_sampled") * 8).as("tri_estimate"))
+  }
+
   /** Single-source BFS hop distances over a symmetric edge list, a
     * FIXED number of relaxation rounds: each round is one shuffle
     * join of the current distance relation to the edges plus one
@@ -409,5 +498,6 @@ object Graphs {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops, q183Kcore)
+  val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops, q183Kcore,
+    q244SampledTriangles)
 }

@@ -1459,9 +1459,58 @@ object Similarity {
     }
   }
 
+  /** q245: IVF imbalance factor (Jégou et al. TPAMI'11 §V-A) — the
+    * index-quality audit that closes the IVFADC ops loop: γ =
+    * K·Σ(nᵢ/N)² over the coarse lists. γ = 1 means perfectly balanced
+    * lists; the expected fraction of the corpus an nprobe=1 query
+    * ADC-scans is γ/K, so γ is the multiplier between the IDEAL probe
+    * cost the q238/q241 plans promise and what a skewed codebook
+    * actually delivers (and the trigger for re-training the q105
+    * Lloyd codebook when ingest drift unbalances it — the batch twin
+    * of q156's streaming distortion monitor). Integer-exact:
+    * γ_ppm = K·Σnᵢ²·10⁶ div N². The long product K·Σnᵢ²·10⁶ is exact
+    * to N ≈ 7.6e5·√K vectors — far past any single index shard; a
+    * 100 TB deployment audits per shard and widens to DECIMAL(38)
+    * under olsFitDf's policy if it ever pools shards.
+    *
+    * Scale shape: the assignment is the q67 zero-shuffle native
+    * per-row codebook scan; on top of it ONE K-row hash aggregate and
+    * ONE 1-row rollup — the whole audit is a single pass over the
+    * index at full scan parallelism.
+    */
+  val q245IvfImbalance: QueryDef = QueryDef.sql(
+    "q245_ivf_imbalance",
+    s"""WITH $duckCentroids,
+       |asg AS (SELECT vec_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2("e.embedding", "c.ce")}, c.c_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |l AS (SELECT list_id, count(*) AS n_vecs FROM asg GROUP BY list_id)
+       |SELECT CAST($NumCentroids AS BIGINT) AS k,
+       |  CAST(sum(n_vecs) AS BIGINT) AS n,
+       |  count(*) AS n_lists_used,
+       |  CAST(max(n_vecs) AS BIGINT) AS max_list,
+       |  CAST(min(n_vecs) AS BIGINT) AS min_list,
+       |  CAST($NumCentroids * sum(n_vecs * n_vecs) * 1000000
+       |    // (sum(n_vecs) * sum(n_vecs)) AS BIGINT) AS gamma_ppm
+       |FROM l""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
+      .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .agg(sum("n_vecs").as("n"), count(lit(1)).as("n_lists_used"),
+        max("n_vecs").as("max_list"), min("n_vecs").as("min_list"),
+        sum(expr("n_vecs * n_vecs")).as("s2"))
+      .select(lit(NumCentroids.toLong).as("k"), col("n"),
+        col("n_lists_used"), col("max_list"), col("min_list"),
+        expr(s"$NumCentroids * s2 * 1000000 div (n * n)").as("gamma_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
-    q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc, q242IvfAdcRecall)
+    q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc, q242IvfAdcRecall,
+    q245IvfImbalance)
 }

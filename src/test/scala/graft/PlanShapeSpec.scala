@@ -154,7 +154,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q232_dsir_weights", // q95's 1-row vocab-totals broadcast (t_all, t_tgt, nv)
       "q235_pq_adc_topk", // 1-row query-vector broadcast (ADC re-score)
       "q242_ivfadc_recall", // q45-shaped 10-row broadcast theta join (exact side)
-      "q243_manifest_delta") // 1-row cut boundary + 1-row base-token-total broadcasts
+      "q243_manifest_delta", // 1-row cut boundary + 1-row base-token-total broadcasts
+      "q244_sampled_triangles") // 1-row edge census × 1-row sampled-triangle total
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))

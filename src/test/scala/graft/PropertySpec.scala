@@ -341,6 +341,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DOULION census matches brute-force on the md5-kept subgraph (p=1/2, x8 estimator)") {
+    // the derandomized sampler must keep EXACTLY the edges whose
+    // md5("u:v") first-32-bit value is even — recompute the hash and
+    // the kept-subgraph triangles independently
+    def keepEdge(u: Long, v: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 2 == 0
+    }
+    forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
+      val row = graft.operators.Graphs.doulionCensus(und.toSeq.toDF("u", "v"))
+        .collect().head
+      val kept = und.filter { case (u, v) => keepEdge(u, v) }
+      def adj(a: Long, b: Long) = kept((math.min(a, b), math.max(a, b)))
+      val nodes = kept.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val tri = nodes.combinations(3)
+        .count { case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c) }.toLong
+      assert(row.getLong(0) == und.size.toLong, s"n_edges, graph=$und")
+      assert(row.getLong(1) == kept.size.toLong, s"n_kept, graph=$und")
+      assert(row.getLong(2) == tri, s"tri_sampled, graph=$und")
+      assert(row.getLong(3) == tri * 8, s"tri_estimate, graph=$und")
+    }
+  }
+
   test("bfs hops match brute-force shortest paths on random graphs") {
     forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
       val rounds = 6

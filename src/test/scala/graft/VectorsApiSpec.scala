@@ -226,6 +226,32 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q245 imbalance factor reconciles with a pure-Scala gamma recount") {
+    import graft.operators.Similarity.NumCentroids
+    val floats: Seq[(Long, Array[Float])] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    val coarse = floats.take(NumCentroids)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val sizes = floats
+      .map { case (_, v) => coarse.map { case (cid, ce) => (l2(v, ce), cid) }.min._2 }
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val n = sizes.sum
+    val s2 = sizes.map(s => s * s).sum
+    val row = graft.operators.Similarity.q245IvfImbalance.fn(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) == NumCentroids.toLong)
+    assert(row.getLong(1) == n, "n")
+    assert(row.getLong(2) == sizes.size.toLong, "n_lists_used")
+    assert(row.getLong(3) == sizes.max, "max_list")
+    assert(row.getLong(4) == sizes.min, "min_list")
+    assert(row.getLong(5) == NumCentroids * s2 * 1000000L / (n * n), "gamma_ppm")
+    // a balanced index has gamma = 1; any skew pushes it strictly up
+    assert(row.getLong(5) >= 1000000L)
+  }
+
   test("q242 IVFADC recall reconciles with a pure-Scala recall recount") {
     import graft.operators.Similarity.NumCentroids
     // coarse routing + PQ replay, exactly the q238 machinery but with
