@@ -279,16 +279,23 @@ object Graphs {
 
   /** The DOULION census behind [[q244SampledTriangles]], reusable over
     * any canonical (u < v) undirected edge list: keep each edge iff
-    * md5("u:v") is even (p = 1/2), count triangles on the kept
-    * subgraph, return ONE row `(n_edges, n_kept, tri_sampled,
-    * tri_estimate = tri_sampled·8)`.
+    * md5("u:v") ≡ 0 (mod pInv) — sampling rate p = 1/pInv — count
+    * triangles on the kept subgraph, return ONE row `(n_edges,
+    * n_kept, tri_sampled, tri_estimate = tri_sampled·pInv³)`.
+    *
+    * `pInv` is the scale knob: the declared q244 pins 2 (so the
+    * oracle hash stays fixed), but a 100 TB graph samples far
+    * sparser — wedge work shrinks by p², and Tsourakakis' variance
+    * bound holds as long as p³·T ≫ 1. The estimator stays
+    * integer-exact at every pInv.
     */
-  private[graft] def doulionCensus(undIn: DataFrame): DataFrame = {
+  private[graft] def doulionCensus(undIn: DataFrame, pInv: Int = 2): DataFrame = {
+    require(pInv >= 2, s"pInv must be >= 2, got $pInv")
     // read twice (census + triangle join input) — pin within the scope
     val und = undIn
       .withColumn("keep",
         graft.functions.TextHash.md5Bucket(
-          concat_ws(":", col("u"), col("v")), 2) === 0)
+          concat_ws(":", col("u"), col("v")), pInv) === 0)
       .scopedPersist()
     val census = und.agg(count(lit(1)).as("n_edges"),
       count(when(col("keep"), 1)).as("n_kept"))
@@ -300,7 +307,7 @@ object Graphs {
       .select(expr("t3 div 3").as("tri_sampled"))
     census.crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_kept"), col("tri_sampled"),
-        (col("tri_sampled") * 8).as("tri_estimate"))
+        (col("tri_sampled") * pInv.toLong * pInv * pInv).as("tri_estimate"))
   }
 
   /** Single-source BFS hop distances over a symmetric edge list, a

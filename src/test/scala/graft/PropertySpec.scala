@@ -345,25 +345,28 @@ class PropertySpec extends AnyFunSuite {
     // the derandomized sampler must keep EXACTLY the edges whose
     // md5("u:v") first-32-bit value is even — recompute the hash and
     // the kept-subgraph triangles independently
-    def keepEdge(u: Long, v: Long): Boolean = {
+    def keepEdge(u: Long, v: Long, pInv: Int): Boolean = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$u:$v".getBytes("UTF-8"))
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      h % 2 == 0
+      h % pInv == 0
     }
     forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
-      val row = graft.operators.Graphs.doulionCensus(und.toSeq.toDF("u", "v"))
-        .collect().head
-      val kept = und.filter { case (u, v) => keepEdge(u, v) }
-      def adj(a: Long, b: Long) = kept((math.min(a, b), math.max(a, b)))
-      val nodes = kept.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
-      val tri = nodes.combinations(3)
-        .count { case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c) }.toLong
-      assert(row.getLong(0) == und.size.toLong, s"n_edges, graph=$und")
-      assert(row.getLong(1) == kept.size.toLong, s"n_kept, graph=$und")
-      assert(row.getLong(2) == tri, s"tri_sampled, graph=$und")
-      assert(row.getLong(3) == tri * 8, s"tri_estimate, graph=$und")
+      for (pInv <- Seq(2, 4)) {
+        val row = graft.operators.Graphs
+          .doulionCensus(und.toSeq.toDF("u", "v"), pInv).collect().head
+        val kept = und.filter { case (u, v) => keepEdge(u, v, pInv) }
+        def adj(a: Long, b: Long) = kept((math.min(a, b), math.max(a, b)))
+        val nodes = kept.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val tri = nodes.combinations(3)
+          .count { case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c) }.toLong
+        assert(row.getLong(0) == und.size.toLong, s"n_edges, pInv=$pInv graph=$und")
+        assert(row.getLong(1) == kept.size.toLong, s"n_kept, pInv=$pInv graph=$und")
+        assert(row.getLong(2) == tri, s"tri_sampled, pInv=$pInv graph=$und")
+        assert(row.getLong(3) == tri * pInv * pInv * pInv,
+          s"tri_estimate, pInv=$pInv graph=$und")
+      }
     }
   }
 
