@@ -1351,11 +1351,16 @@ object Similarity {
     * recall is integer ppm (`hits·10⁶ div n_exact`).
     *
     * Scale shape: the PQ codebook/codes/LUT build is q238's (bounded
-    * Lloyd aggregates, broadcast LUT); each nprobe arm keeps q238's
-    * probed-list equi-join BELOW the ADC aggregate (PlanShapeSpec
-    * pins it), so no arm ever ADC-scans the full corpus; the exact
-    * side is ONE q45-shaped broadcast scan, persisted and reused by
-    * all three arms; the audit join and rollup are queries×k rows.
+    * Lloyd aggregates, broadcast LUT); candidates are scored by ONE
+    * ADC aggregate at nprobe = max with the probe rank carried
+    * (smaller-nprobe probed sets are prefixes of the max set and ADC
+    * scores are arm-independent), keeping q238's probed-list
+    * equi-join BELOW the aggregate (PlanShapeSpec pins it) — so the
+    * full corpus is never ADC-scanned and the three arms are `pr ≤
+    * np` filters plus top-5 windows over the one persisted scored
+    * relation; the exact side is ONE q45-shaped broadcast scan,
+    * persisted and reused by all three arms; the audit join and
+    * rollup are queries×k rows.
     */
   val q242IvfAdcRecall: QueryDef = {
     val probes = Seq(1, 2, 4)
@@ -1432,17 +1437,38 @@ object Similarity {
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
         .scopedPersist()
+      // ONE ADC scan shared by all three arms: probed lists at
+      // nprobe < max are PREFIXES of the nprobe = max list (the coarse
+      // ranking doesn't depend on nprobe), and a candidate's ADC score
+      // doesn't depend on the arm — so score once at nprobe = max with
+      // each candidate's probe rank `pr` carried (a vector belongs to
+      // exactly one list, hence one pr per (q_id, vec_id)), and each
+      // arm is just `pr <= np` + its own tiny top-5 window. This
+      // replaced three full candidate-scoring passes (the dominant
+      // stage: the r8 sweep had q242 as the suite's most expensive
+      // query) with one.
+      val npMax = probes.max
+      val qp = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          posexplode(nearestCol(spark, dir, npMax, col("embedding")))
+            .as(Seq("p0", "list_id")))
+        .select(col("q_id"), col("list_id"), (col("p0") + 1).as("pr"))
+      val cand = codes.join(asg, "vec_id")
+        .join(broadcast(qp), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      // NOT persisted: the three arms are built from this same
+      // DataFrame instance, so their aggregate subtrees canonicalize
+      // equal and ReuseExchange materializes the scored relation's
+      // shuffle once — same one-scan guarantee, but the logical plan
+      // keeps the aggregate visible for the PlanShapeSpec bound pin
+      // (a persist would hide it inside an InMemoryRelation)
+      val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
       def adcTop(np: Int): DataFrame = {
-        val qp = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"),
-            explode(nearestCol(spark, dir, np, col("embedding"))).as("list_id"))
-        val cand = codes.join(asg, "vec_id")
-          .join(broadcast(qp), Seq("list_id"))
-          .filter(col("vec_id") =!= col("q_id"))
-        val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
-          .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
         val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
-        adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        adc.filter(col("pr") <= np)
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
           .select(lit(np.toLong).as("np2"), col("q_id").as("q2"),
             col("vec_id").as("a_vid"))
       }

@@ -223,10 +223,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // see only probed-list candidates, i.e. its subtree must contain
     // the list_id equi-join, and none of the joins may be a nested loop
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    // q242 runs THREE ADC arms (nprobe 1/2/4) — every one must keep
-    // the probed-list bound; its exact side is the allow-listed
-    // q45-shaped theta join, so the no-BNLJ clause applies to the
-    // first two queries only.
+    // q242's three nprobe arms filter ONE shared scored relation
+    // (ADC at nprobe = max with the probe rank carried; smaller
+    // probed sets are prefixes) — its aggregate appears once per arm
+    // in the LOGICAL plan but the subtrees are identical, so
+    // ReuseExchange materializes the candidate-scoring shuffle once
+    // (pinned below); every copy must keep the probed-list bound.
+    // q242's exact side is the allow-listed q45-shaped theta join, so
+    // the no-BNLJ clause applies to the first two queries only.
     for (name <- Seq("q238_ivfadc_topk", "q241_residual_ivfadc", "q242_ivfadc_recall")) {
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
@@ -238,6 +242,17 @@ class PlanShapeSpec extends AnyFunSuite {
       val expected = if (name == "q242_ivfadc_recall") 3 else 1
       assert(adcAggs.size == expected,
         s"$name: expected $expected ADC (q_id, vec_id) aggregate(s), found ${adcAggs.size}")
+      if (name == "q242_ivfadc_recall") {
+        // the one-scan guarantee's PRECONDITION: the three arm
+        // aggregates must canonicalize identically, which is what
+        // both static ReuseExchange (AQE off — the bench session) and
+        // AQE's runtime stage cache key on. If an arm ever filters
+        // BELOW the aggregate again, its canonical form diverges and
+        // this catches it without executing the query.
+        val canon = adcAggs.map(_.canonicalized).distinct
+        assert(canon.size == 1,
+          s"$name: arm aggregates no longer canonicalize equal (${canon.size} distinct forms) - the scoring exchange cannot be reused")
+      }
       adcAggs.foreach { adcAgg =>
         val listJoins = adcAgg.collect {
           case j: Join if j.condition.exists(
