@@ -141,4 +141,21 @@ object Vectors {
     if (nprobe == 1) df.withColumn("list_id", element_at(nearest, 1))
     else df.withColumn("list_ids", nearest)
   }
+
+  /** IVF imbalance-factor audit (q245's shape over a caller-supplied
+    * codebook): γ_ppm = K·Σnᵢ²·10⁶ div N² plus the list-size extremes,
+    * one row. γ/K is the expected fraction of the index an nprobe=1
+    * query scans — run this before trusting any probe-cost budget, and
+    * re-train the codebook when γ drifts up. One [[ivfAssign]] scan +
+    * one K-row aggregate + one 1-row rollup.
+    */
+  def ivfImbalance(df: DataFrame, centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    ivfAssign(df, centroids)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .agg(sum("n_vecs").as("n"), count(lit(1)).as("n_lists_used"),
+        max("n_vecs").as("max_list"), min("n_vecs").as("min_list"),
+        sum(expr("n_vecs * n_vecs")).as("s2"))
+      .select(lit(centroids.size.toLong).as("k"), col("n"),
+        col("n_lists_used"), col("max_list"), col("min_list"),
+        expr(s"${centroids.size}L * s2 * 1000000L div (n * n)").as("gamma_ppm"))
 }

@@ -226,6 +226,17 @@ class VectorsApiSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("ivfImbalance facade matches the declared q245 result") {
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val viaFacade = Vectors.ivfImbalance(emb, centroids)
+      .collect().map(_.toSeq).toSeq
+    val viaQuery = graft.operators.Similarity.q245IvfImbalance.fn(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == viaQuery)
+  }
+
   test("q245 imbalance factor reconciles with a pure-Scala gamma recount") {
     import graft.operators.Similarity.NumCentroids
     val floats: Seq[(Long, Array[Float])] =
