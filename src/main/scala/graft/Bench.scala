@@ -62,8 +62,12 @@ object Bench {
     // Signature: material wall (>=1.5 s — sub-second queries can't be
     // meaningfully inflated and ratio noise would trigger retry
     // storms), taskRun > 3x taskCpu, GC < 10% of run, no spill.
-    // Driver-heavy queries (streaming micro-batches, bounded collect
-    // folds) have SMALL taskRun and are deliberately not matched.
+    // Streaming queries ALSO fire this signature — their micro-batch
+    // tasks idle on trigger waits (r8: q85 taskRun 63 s vs taskCpu
+    // 5.4 s), which is the trigger cadence, not the environment — so
+    // they are classified separately as `trigger_wait` (constant,
+    // un-retryable) and never enter the starvation retry loop; only
+    // BATCH queries land in `starved`.
     def isStarved(r: BenchDiag.Rec): Boolean =
       r.wallMs >= 1500 &&
         r.ts.runMs > 3L * math.max(r.ts.cpuMs, 1L) &&
@@ -71,6 +75,7 @@ object Bench {
         r.ts.memSpillB == 0L && r.ts.diskSpillB == 0L
     val diagRecs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[BenchDiag.Rec])]
     val starvedQs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val triggerWaitQs = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { q =>
       // A FAILED query records -1, never its fail-fast wall time: an
       // analysis error takes ~0.1 s and would otherwise masquerade as
@@ -105,8 +110,12 @@ object Bench {
       // Starvation retry: only while EVERY successful repeat so far
       // fired the signature — one clean repeat is enough (min-of-N
       // keeps it), so retries stop as soon as the environment calms.
+      // Streaming queries are exempt: their trigger-wait idling is
+      // the plan's constant, so a retry can never come back clean and
+      // would only add maxExtra wasted repeats per stream query.
+      val isStream = q.name.contains("_stream_")
       var extra = 0
-      while (extra < maxExtra && runs.exists(_._1 >= 0) &&
+      while (!isStream && extra < maxExtra && runs.exists(_._1 >= 0) &&
           runs.filter(_._1 >= 0).forall(_._2)) {
         extra += 1; runOnce()
       }
@@ -115,13 +124,17 @@ object Bench {
       // failed (a transient failure must not erase real timings).
       // Prefer the cleanest CLEAN repeat; if all repeats starved even
       // after retries, keep the min wall but flag the query so the
-      // artifact of record distinguishes phantom from plan regression.
+      // artifact of record distinguishes phantom from plan regression
+      // (batch → `starved`) or documents the expected micro-batch
+      // idling (stream → `trigger_wait`).
       val ok = runs.filter(_._1 >= 0).toSeq
       val clean = ok.filter(!_._2)
       val dt =
         if (clean.nonEmpty) clean.map(_._1).min
-        else if (ok.nonEmpty) { starvedQs += q.name; ok.map(_._1).min }
-        else -1.0
+        else if (ok.nonEmpty) {
+          (if (isStream) triggerWaitQs else starvedQs) += q.name
+          ok.map(_._1).min
+        } else -1.0
       // scope caches per query: intra-query persists (self-join
       // intermediates) stay effective, but nothing leaks into the
       // next query's memory budget — in a 69-query session the
@@ -144,30 +157,67 @@ object Bench {
     // JSON line must be COMPLETE inside that window or the round
     // records no perf numbers at all: round 2's full-name map and
     // round 7's 238-query short-key map (~2800 chars) both overflowed
-    // it, truncating the line's head and leaving `parsed: null`. At
-    // 238 queries no per-query map fits, so stdout now carries ONE
-    // compact line — total + the slowest 30 queries (the only ones a
-    // round-over-round comparison acts on) — and the FULL map goes to
-    // BENCH_DETAIL.json, which is committed alongside.
+    // it. A 242-query NAMED map can never fit, but the full per-query
+    // VECTOR does: every query name starts with a unique qNN/qNNN id,
+    // so `qi` range-encodes the ascending id list ("1-7,10-68,…") and
+    // `qv` carries one time per id in that order — all 242 numbers
+    // land inside the window and a round-over-round diff is
+    // self-contained. BENCH_DETAIL.json (committed alongside) still
+    // holds the named map at 3-decimal precision plus the FULL
+    // starved/trigger_wait lists; the stdout starved list is capped
+    // at 20 keys (an environment starving most of the sweep would
+    // otherwise overflow the window — the round-2/7 failure mode).
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    def qNum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
+    def rangeEncode(ids: Seq[Int]): String = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      ids.foreach { i =>
+        if (spans.nonEmpty && spans.last._2 + 1 == i)
+          spans(spans.size - 1) = (spans.last._1, i)
+        else spans += ((i, i))
+      }
+      spans.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }.mkString(",")
+    }
     val nErrors = results.count(_._2 < 0)
     val errField = if (nErrors > 0) s""","errors":$nErrors""" else ""
-    def starvedJson(key: String => String): String =
-      if (starvedQs.isEmpty) ""
-      else starvedQs.map(n => "\"" + key(n) + "\"").mkString(""","starved":[""", ",", "]")
-    val starvedField = starvedJson(shortKey)
+    def flagJson(field: String, qs: Seq[String], key: String => String,
+        cap: Int = Int.MaxValue): String =
+      if (qs.isEmpty) ""
+      else {
+        val capped = qs.take(cap).map(n => "\"" + key(n) + "\"")
+          .mkString(s""","n_$field":${qs.size},"$field":[""", ",", "]")
+        capped
+      }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = {
+    val flagFields =
+      flagJson("starved", starvedQs.toSeq, shortKey, cap = 20) +
+        (if (triggerWaitQs.isEmpty) "" else s""","n_trigger_wait":${triggerWaitQs.size}""")
+    val byId = results.sortBy(r => qNum(r._1))
+    val idsField = rangeEncode(byId.map(r => qNum(r._1)))
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}"""
+    val tail = s"""$flagFields$errField,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    def vecLine(dec: Int): String = {
+      val qv = byId.map(r => if (r._2 < 0) "-1" else s"%.${dec}f".format(r._2))
+        .mkString("[", ",", "]")
+      s"""$head,"qi":"$idsField","qv":$qv$tail"""
+    }
+    // Degrade precision before dropping coverage: 2-dp fits 242
+    // typical values with ~400 chars of headroom; a sweep of large
+    // times falls back to 1 dp, and only a pathological line falls
+    // back to the slowest-30 named map (pre-r9 format).
+    val line = Seq(vecLine(2), vecLine(1)).find(_.length <= 1850).getOrElse {
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
         .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$top$starvedField$errField,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""$head,"queries":$top$tail"""
     }
     val full = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val fullFlags = flagJson("starved", starvedQs.toSeq, identity) +
+      flagJson("trigger_wait", triggerWaitQs.toSeq, identity)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full${starvedJson(identity)}$errField,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$full$fullFlags$errField,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     // Attribution sidecar: every repeat of every query with its task/
     // GC/CPU/spill split (BenchDiag scaladoc documents how to read it).
