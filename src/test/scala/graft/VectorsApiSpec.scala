@@ -36,11 +36,13 @@ class VectorsApiSpec extends AnyFunSuite {
 
   test("nearDupPairs cell knob: exact mode ≡ B=1 split; audit reports the engaged bound") {
     // at sf0.001 every bucket holds far fewer than 512 vectors, so the
-    // production cell target must be a no-op (B = 1, identical pairs)
-    val exact = Vectors.nearDupPairs(emb, minCos = 0.3)
+    // production cell target must be a no-op (B = 1, identical pairs).
+    // cellTarget = None is the explicit opt-in to the quadratic exact
+    // scan; the DEFAULT is the production bound, aligned with the
+    // audit's default so no-argument pairs + no-argument audit agree.
+    val exact = Vectors.nearDupPairs(emb, minCos = 0.3, cellTarget = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val split = Vectors.nearDupPairs(emb, minCos = 0.3,
-        cellTarget = Some(graft.operators.Similarity.NearDupCellTarget))
+    val split = Vectors.nearDupPairs(emb, minCos = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact == split, "cell split changed output despite B = 1 everywhere")
     val audit = Vectors.nearDupCellAudit(emb).collect()
@@ -307,6 +309,79 @@ class VectorsApiSpec extends AnyFunSuite {
       assert(nExact == ex.size, s"n_exact at nprobe=$np q=$qid")
       assert(hits == (ex & adc5(qid, np.toInt)).size, s"hits at nprobe=$np q=$qid")
       assert(ppm == hits * 1000000L / nExact, s"ppm at nprobe=$np q=$qid")
+    }
+  }
+
+  test("q246 residual-vs-raw recall reconciles with a pure-Scala recount") {
+    import graft.operators.Similarity.NumCentroids
+    val floats: Seq[(Long, Array[Float])] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1).toSeq
+    val coarse = floats.take(NumCentroids)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def probes(v: Array[Float], n: Int): Seq[Long] =
+      coarse.map { case (cid, ce) => (l2(v, ce), cid) }.sortBy(identity).take(n).map(_._2)
+    val asg: Map[Long, Long] = floats.map { case (vid, v) => vid -> probes(v, 1).head }.toMap
+    val qMap = pqVecs.toMap
+    // raw-code machinery (the q242 recount's)
+    val cents = pqTrainScala().map { case (k, (m, _)) => k -> m }
+    val codes: Map[(Long, Int), Long] =
+      (for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(qe, sub)
+        (vid, sub) -> cents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    // residual-code machinery (the q241 recount's)
+    def residual(vid: Long, listId: Long): Array[Long] =
+      qMap(vid).zip(qMap(listId)).map { case (x, c) => x - c }
+    val residVecs = pqVecs.map { case (vid, _) => vid -> residual(vid, asg(vid)) }
+    val rcents = pqTrainScala(residVecs).map { case (k, (m, _)) => k -> m }
+    val rcodes: Map[(Long, Int), Long] =
+      (for ((vid, rqe) <- residVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(rqe, sub)
+        (vid, sub) -> rcents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    def exact5(qid: Long): Set[Long] =
+      pqVecs.filter(_._1 != qid)
+        .map { case (vid, qe) => (d2(qe, qMap(qid)), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    def adc5raw(qid: Long, np: Int): Set[Long] = {
+      val probed = probes(floats.find(_._1 == qid).get._2, np).toSet
+      val lut = cents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(qMap(qid), s), cq) }
+      pqVecs.collect { case (vid, _) if vid != qid && probed(asg(vid)) => vid }
+        .map(vid => (((0 until PqM).map(s => lut((s, codes((vid, s))))).sum), vid))
+        .sortBy(identity).take(5).map(_._2).toSet
+    }
+    def adc5res(qid: Long, np: Int): Set[Long] = {
+      val probed = probes(floats.find(_._1 == qid).get._2, np)
+      val luts = probed.map(l => l ->
+        rcents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(residual(qid, l), s), cq) }).toMap
+      pqVecs.collect { case (vid, _) if vid != qid && probed.contains(asg(vid)) => vid }
+        .map(vid => (((0 until PqM).map(s => luts(asg(vid))((s, rcodes((vid, s))))).sum), vid))
+        .sortBy(identity).take(5).map(_._2).toSet
+    }
+    val got = graft.operators.Similarity.q246ResidualRecall.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val qids = floats.map(_._1).filter(_ < 10)
+    assert(got.keySet == (for (np <- Seq(1L, 2L, 4L); q <- qids) yield (np, q)).toSet)
+    got.foreach { case ((np, qid), (nExact, hitsRaw, ppmRaw, hitsRes, ppmRes)) =>
+      val ex = exact5(qid)
+      assert(nExact == ex.size, s"n_exact at nprobe=$np q=$qid")
+      assert(hitsRaw == (ex & adc5raw(qid, np.toInt)).size, s"hits_raw at nprobe=$np q=$qid")
+      assert(ppmRaw == hitsRaw * 1000000L / nExact, s"raw ppm at nprobe=$np q=$qid")
+      assert(hitsRes == (ex & adc5res(qid, np.toInt)).size, s"hits_res at nprobe=$np q=$qid")
+      assert(ppmRes == hitsRes * 1000000L / nExact, s"res ppm at nprobe=$np q=$qid")
+    }
+    // the raw numbers must be EXACTLY q242's — same encoding, same arms
+    val q242 = graft.operators.Similarity.q242IvfAdcRecall.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got.foreach { case (k, (nExact, hitsRaw, ppmRaw, _, _)) =>
+      assert(q242(k) == ((nExact, hitsRaw, ppmRaw)), s"raw side diverged from q242 at $k")
     }
   }
 }
