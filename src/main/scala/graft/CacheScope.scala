@@ -19,24 +19,36 @@ import org.apache.spark.sql.Dataset
   *     active scope via [[persist]] (persist + track) or [[track]]
   *     (already-persisted relations, e.g. the surviving label relation
   *     of an iterative loop);
+  *   - iterative builders cut lineage through [[checkpoint]], which
+  *     runs the eager `localCheckpoint()` AND records the id of the
+  *     persistent RDD it created with the innermost scope;
   *   - the ACTION-OWNING caller wraps build + action in [[run]]; at
   *     exit every tracked dataset is unpersisted through the catalog
   *     (so CacheManager entries are removed, not just RDD blocks), and
-  *     any persistent RDD that appeared during the scope but was never
-  *     tracked is swept by id — in practice only `localCheckpoint`
-  *     lineage cuts, which have no catalog entry to clean.
+  *     every recorded checkpoint RDD is unpersisted by id.
   *
-  * Outside any scope, [[persist]] degrades to a plain `persist()` —
-  * ad-hoc callers keep today's behavior and own the cleanup.
+  * Outside any scope, [[persist]] / [[checkpoint]] degrade to the
+  * plain Spark calls — ad-hoc callers keep today's behavior and own
+  * the cleanup.
   *
-  * The sweep is SCOPED, not global: RDDs already persistent at scope
-  * entry (a user's own cached tables) are untouched — the difference
-  * between this and the harness's unpersist-all.
+  * The sweep releases ONLY what this scope's thread registered —
+  * never a SparkContext-global diff. Frame tracking is thread-local
+  * and so is ownership: a concurrent session's or sibling suite's
+  * fresh persists (which land in the global persistent-RDD map during
+  * this scope's window) are untouched, so concurrent scopes cannot
+  * drain each other. Scope-NEW persistent RDDs that were neither
+  * tracked nor checkpoint-recorded are a lifecycle bug in the builder
+  * (a `persist()`/`localCheckpoint()` that bypassed CacheScope) — or
+  * another thread's legitimate cache, which is exactly why they are
+  * NOT swept; they are counted in [[lastSweep]] and the no-leaked-
+  * cache suite guard fails on them, on the single-threaded suite
+  * where the count is unambiguous.
   */
 object CacheScope {
 
   private final class Frame(val baseline: Set[Int]) {
     val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    val ownedIds = scala.collection.mutable.ArrayBuffer.empty[Int]
   }
 
   // Thread-local so concurrent sessions/test suites can't drain each
@@ -62,24 +74,45 @@ object CacheScope {
     ds
   }
 
-  /** Diagnostics from the most recent [[run]] on this thread: how many
-    * persistent RDDs appeared during the scope without being tracked,
-    * split by whether they were localCheckpoint lineage cuts (expected
-    * — no catalog entry exists to unpersist through) or untracked
-    * dataset persists (a lifecycle bug: the catalog entry goes stale).
-    * The no-leaked-cache suite guard asserts the latter is zero.
+  /** Eager `localCheckpoint()` with scope-recorded ownership: the
+    * checkpointed RDD has no catalog entry to unpersist through, so
+    * its id (read off the returned plan's LogicalRDD leaf — precise,
+    * not a global-map diff) is recorded with the innermost scope and
+    * released by id at scope exit. Outside a scope this is exactly
+    * `ds.localCheckpoint()`.
     */
-  final case class SweepDiag(sweptCheckpoints: Int, sweptUntracked: Int)
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val cp = ds.localCheckpoint()
+    frames.get() match {
+      case f :: _ =>
+        org.apache.spark.sql.GraftExpressionBridge.checkpointedRddId(cp)
+          .foreach(f.ownedIds += _)
+      case Nil => ()
+    }
+    cp
+  }
+
+  /** Diagnostics from the most recent [[run]] on this thread:
+    * `sweptCheckpoints` — checkpoint RDDs released by recorded id;
+    * `leftUntracked` — persistent RDDs that appeared during the scope
+    * without being tracked or recorded. The latter are NOT swept
+    * (they may belong to a concurrent thread); on a single-threaded
+    * suite a nonzero count means a builder bypassed CacheScope and
+    * the no-leaked-cache guard fails on it.
+    */
+  final case class SweepDiag(sweptCheckpoints: Int, leftUntracked: Int)
   private val lastDiag = new ThreadLocal[SweepDiag] {
     override def initialValue: SweepDiag = SweepDiag(0, 0)
   }
   def lastSweep: SweepDiag = lastDiag.get()
 
   /** Run `body` in a fresh cache scope and release everything the
-    * scope created: tracked datasets unpersist through the catalog;
-    * scope-new untracked RDDs (localCheckpoints) unpersist by id.
-    * Safe to nest — an inner scope only releases its own relations.
-    * After exit the returned value must not trigger recomputation of
+    * scope registered: tracked datasets unpersist through the
+    * catalog; recorded checkpoint RDDs unpersist by id. The release
+    * runs on ANY exit — normal or exceptional — so a failed job
+    * cannot leak its pins (the sweep sits in a `finally`). Safe to
+    * nest — an inner scope only releases its own relations. After
+    * exit the returned value must not trigger recomputation of
     * scope-cached lineage (checkpoint data is gone), so materialize
     * inside the scope.
     */
@@ -92,16 +125,20 @@ object CacheScope {
       frame.tracked.foreach { ds =>
         try ds.unpersist(blocking = false) catch { case _: Throwable => () }
       }
-      val leftovers = sc.getPersistentRDDs
-        .filter { case (id, _) => !frame.baseline.contains(id) }.values.toSeq
-      // isCheckpointed is the public probe (covers eager
-      // localCheckpoint, the only checkpoint form graft uses)
-      lastDiag.set(SweepDiag(
-        leftovers.count(_.isCheckpointed),
-        leftovers.count(!_.isCheckpointed)))
-      leftovers.foreach { r =>
-        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      val persistent = sc.getPersistentRDDs
+      val owned = frame.ownedIds.toSet
+      var sweptCp = 0
+      owned.foreach { id =>
+        persistent.get(id).foreach { r =>
+          try { r.unpersist(blocking = false); sweptCp += 1 }
+          catch { case _: Throwable => () }
+        }
       }
+      // diagnostics only — deliberately NOT swept (see scaladoc)
+      val leftUntracked = sc.getPersistentRDDs.count { case (id, _) =>
+        !frame.baseline.contains(id) && !owned.contains(id)
+      }
+      lastDiag.set(SweepDiag(sweptCp, leftUntracked))
     }
   }
 

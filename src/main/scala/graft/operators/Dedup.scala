@@ -513,7 +513,7 @@ object Dedup {
       // the label chain's plan depth stays bounded (same cadence as
       // the Graphs loops)
       val next =
-        if ((rounds + 1) % graft.operators.Graphs.CheckpointEvery == 0) step.localCheckpoint()
+        if ((rounds + 1) % graft.operators.Graphs.CheckpointEvery == 0) graft.CacheScope.checkpoint(step)
         else step.scopedPersist()
       val nextSum = next.agg(sum("lab")).head().getLong(0)
       labels.unpersist()

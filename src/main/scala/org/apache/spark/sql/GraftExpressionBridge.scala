@@ -26,4 +26,16 @@ object GraftExpressionBridge {
     */
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** The persistent RDD behind an (eager) `localCheckpoint()` result —
+    * its plan is a `LogicalRDD` leaf wrapping the checkpointed RDD.
+    * Lets graft.CacheScope record checkpoint ownership PRECISELY (by
+    * the id of the RDD the call created) instead of diffing the
+    * SparkContext-global persistent-RDD map, which would mis-own a
+    * concurrent thread's persists.
+    */
+  def checkpointedRddId(ds: Dataset[_]): Option[Int] =
+    ds.queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD => l.rdd.id
+    }
 }

@@ -41,8 +41,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
         leaks += s"${q.name}: ${leftover.size} persistent RDD(s) survived the scope"
       if (!GraftExpressionBridge.cacheManagerIsEmpty(spark))
         leaks += s"${q.name}: CacheManager entry survived the scope"
-      if (CacheScope.lastSweep.sweptUntracked > 0)
-        leaks += s"${q.name}: ${CacheScope.lastSweep.sweptUntracked} persist(s) untracked (swept by id, catalog entry went stale)"
+      if (CacheScope.lastSweep.leftUntracked > 0)
+        leaks += s"${q.name}: ${CacheScope.lastSweep.leftUntracked} persist(s) bypassed CacheScope (left pinned: the thread-owned sweep deliberately does not touch them)"
       // clean up between queries so one leak doesn't cascade the report
       sc.getPersistentRDDs.values
         .filter(r => !baseline.contains(r.id)).foreach(_.unpersist(blocking = false))
@@ -52,5 +52,72 @@ class CacheLifecycleSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations = Nil
     }
     assert(leaks.isEmpty, s"\n${leaks.mkString("\n")}")
+  }
+
+  test("a scope that throws mid-build still sweeps on unwind") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    // a library caller's failed job: two scopedPersists land, then the
+    // build throws — the scope must release both on the way out
+    val boom = intercept[RuntimeException] {
+      CacheScope.run(sc) {
+        import CacheScope.ScopedDataset
+        val a = spark.range(100).toDF("x").scopedPersist(); a.count()
+        val b = spark.range(50).toDF("y").scopedPersist(); b.count()
+        assert(sc.getPersistentRDDs.keySet.diff(baseline).size == 2,
+          "persists not registered before the failure")
+        throw new RuntimeException("mid-build failure")
+      }
+    }
+    assert(boom.getMessage == "mid-build failure")
+    assert(sc.getPersistentRDDs.keySet.diff(baseline).isEmpty,
+      "persistent RDDs survived an exceptional scope exit")
+    assert(GraftExpressionBridge.cacheManagerIsEmpty(spark),
+      "CacheManager entry survived an exceptional scope exit")
+  }
+
+  test("checkpoint ownership: scope releases its localCheckpoint by recorded id") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    CacheScope.run(sc) {
+      val cp = CacheScope.checkpoint(spark.range(1000).toDF("v"))
+      cp.count()
+      assert(sc.getPersistentRDDs.keySet.diff(baseline).nonEmpty,
+        "eager localCheckpoint left no persistent RDD")
+    }
+    assert(CacheScope.lastSweep.sweptCheckpoints == 1)
+    assert(CacheScope.lastSweep.leftUntracked == 0)
+    assert(sc.getPersistentRDDs.keySet.diff(baseline).isEmpty,
+      "checkpoint RDD survived its scope")
+  }
+
+  test("a concurrent thread's persist survives another scope's sweep") {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    // simulate a concurrent session: a persist from ANOTHER thread
+    // lands inside this scope's window, untracked by this scope
+    @volatile var otherDf: org.apache.spark.sql.DataFrame = null
+    CacheScope.run(sc) {
+      import CacheScope.ScopedDataset
+      val mine = spark.range(10).toDF("m").scopedPersist(); mine.count()
+      val t = new Thread(() => {
+        otherDf = spark.range(99).toDF("w").persist()
+        otherDf.count()
+      })
+      t.start(); t.join()
+    }
+    // the scope swept ITS persist but counted (not drained) the other
+    // thread's cache — the pre-r9 global diff would have unpersisted it
+    val survivors = sc.getPersistentRDDs.keySet.diff(baseline)
+    assert(survivors.nonEmpty, "concurrent thread's persist was drained by the scope")
+    assert(CacheScope.lastSweep.leftUntracked == survivors.size)
+    assert(spark.range(99).toDF("w").collect().length == 99)
+    otherDf.unpersist(blocking = true)
+    spark.catalog.clearCache()
   }
 }
