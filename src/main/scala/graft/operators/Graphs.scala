@@ -71,7 +71,7 @@ object Graphs {
         .groupBy("node")
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("rank_ppm"))
       // deep runs: cut the chain every k rounds (see CheckpointEvery)
-      if (i % CheckpointEvery == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % CheckpointEvery == 0 && i < iterations) ranks = graft.CacheScope.checkpoint(ranks)
     }
     ranks
   }
@@ -290,7 +290,10 @@ object Graphs {
     * integer-exact at every pInv.
     */
   private[graft] def doulionCensus(undIn: DataFrame, pInv: Int = 2): DataFrame = {
-    require(pInv >= 2, s"pInv must be >= 2, got $pInv")
+    // pInv = 1 is the exact degenerate (keep-all, ×1 estimator) so
+    // [[doulionAuto]] can fall back to exact counting when the graph
+    // is too triangle-sparse for ANY sampling to meet the target.
+    require(pInv >= 1, s"pInv must be >= 1, got $pInv")
     // read twice (census + triangle join input) — pin within the scope
     val und = undIn
       .withColumn("keep",
@@ -308,6 +311,186 @@ object Graphs {
     census.crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_kept"), col("tri_sampled"),
         (col("tri_sampled") * pInv.toLong * pInv * pInv).as("tri_estimate"))
+  }
+
+  /** [[doulionCensus]] with the sampling knob picked FROM Tsourakakis'
+    * concentration bound instead of guessed by the caller: the
+    * estimator's relative std is √((pInv³ − 1)/T), so the sparsest
+    * admissible sampling for a target relative error ε and a triangle
+    * estimate T̃ is `pInv = ⌊(ε²·T̃ + 1)^(1/3)⌋` (equivalently the
+    * paper's p³·T ≫ 1 regime with the constant made explicit: at this
+    * pInv, p³·T̃ ≥ 1/ε²).
+    *
+    * T̃ comes from a CHEAP pre-census — one degree aggregate gives the
+    * wedge count W = Σᵥ C(dᵥ, 2), and T = κ·W/3 where κ is the global
+    * closure ratio (transitivity). κ is unknowable without counting
+    * the triangles themselves, so it enters as a PRIOR, default 0.05:
+    * deliberately LOW, because underestimating T picks a smaller pInv
+    * (denser sampling) and the error bound then holds a fortiori for
+    * any true κ ≥ the prior. A caller who has measured κ on an earlier
+    * snapshot of the same graph (estimate ÷ (W/3)) passes it and gets
+    * sparser, cheaper sampling. pInv floors at 1 = exact keep-all: a
+    * graph too triangle-sparse for ANY sampling to meet ε is counted
+    * exactly rather than noisily.
+    *
+    * Scale shape: the pre-census is one shuffle (degree aggregate) +
+    * one 1-row rollup collected to the driver (bounded fold — the
+    * knob must be a plan CONSTANT so the md5 predicate stays a pushed
+    * scan filter); then the census runs exactly as [[doulionCensus]]
+    * with the chosen pInv carried in a `p_inv` column.
+    */
+  def doulionAuto(und: DataFrame, targetRelErr: Double,
+      closureRatio: Double = 0.05): DataFrame = {
+    require(targetRelErr > 0 && targetRelErr <= 1,
+      s"targetRelErr must be in (0, 1], got $targetRelErr")
+    require(closureRatio > 0 && closureRatio <= 1,
+      s"closureRatio must be in (0, 1], got $closureRatio")
+    val pre = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("w"))
+      .head()
+    val wedges = pre.getLong(0)
+    val tTilde = math.max(1.0, closureRatio * wedges / 3.0)
+    val pInv = math.max(1,
+      math.floor(math.cbrt(targetRelErr * targetRelErr * tTilde + 1.0)).toInt)
+    doulionCensus(und, pInv).withColumn("p_inv", lit(pInv.toLong))
+  }
+
+  /** Degree-split HYBRID triangle census: exact below the √m degree
+    * threshold, DOULION-sampled above — the production shape that
+    * caps [[q130Triangles]]' workload-inherent superlinearity without
+    * giving up exactness on the low-degree mass (which on a power-law
+    * graph is almost all of it).
+    *
+    * The decomposition is a partition, not a heuristic: under the
+    * (degree, node) total order every triangle has a unique MINIMUM
+    * vertex (its wedge apex in the degree-oriented enumeration). If
+    * that apex has degree ≤ τ the triangle is counted EXACTLY — wedges
+    * are enumerated only from low-apex out-edges, so the quadratic
+    * stage is bounded by Σ_{deg≤τ} outdeg² ≤ τ·2m ≤ 2m^1.5 regardless
+    * of densification. If the apex is high, ALL THREE vertices are
+    * high (the apex is the min), i.e. the triangle lives entirely in
+    * the high-vertex-induced subgraph — at most 2m/τ = 2√m vertices —
+    * and that subgraph is DOULION-sampled (md5-derandomized, as
+    * [[doulionCensus]]) with the ×pInv³ unbiased estimator. Total =
+    * exact low count + high estimate; when no vertex exceeds τ the
+    * high side is empty and the "estimate" IS the exact q130 total.
+    *
+    * Scale shape: one degree aggregate; τ enters as a 1-row broadcast
+    * (the plan constant that keeps the md5 predicate a scan filter);
+    * the exact wedge join reads only low-apex legs; the sampled side
+    * runs [[triangleCounts]]' degree-oriented join on the p-thinned
+    * high subgraph; all four 1-row partial censuses meet in broadcast
+    * cross joins.
+    */
+  private[graft] def hybridTriangleCensus(undIn: DataFrame, pInv: Int = 2): DataFrame = {
+    val und = undIn.scopedPersist()
+    val stats = und.agg(count(lit(1)).as("n_edges"))
+      .withColumn("tau", floor(sqrt(col("n_edges").cast("double"))).cast("long"))
+      .scopedPersist()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .crossJoin(broadcast(stats.select("tau")))
+      .withColumn("high", col("d") > col("tau"))
+      .scopedPersist()
+    val du = deg.select(col("node").as("u"), col("d").as("du"), col("high").as("hu"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"), col("high").as("hv"))
+    val e = und.join(du, "u").join(dv, "v").scopedPersist()
+    val oriented = e.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("hu").as("hsrc")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("hv").as("hsrc"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.hsrc").as("hsrc"))
+      .scopedPersist()
+    // exact part: wedges whose APEX (first-leg source) is low; second
+    // leg and closure probe run against the full oriented relation
+    val lowLeg = oriented.filter(!col("hsrc"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val wedges = lowLeg
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+    val triLow = wedges
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("tri_low_exact"))
+    // sampled part: DOULION on the high-induced subgraph
+    val he = e.filter(col("hu") && col("hv")).select("u", "v")
+    val hn = deg.filter(col("high")).agg(count(lit(1)).as("n_high"))
+    val dou = doulionCensus(he, pInv)
+      .select(col("n_edges").as("n_high_edges"),
+        col("tri_sampled").as("tri_high_sampled"),
+        col("tri_estimate").as("tri_high_estimate"))
+    stats.crossJoin(broadcast(hn)).crossJoin(broadcast(triLow))
+      .crossJoin(broadcast(dou))
+      .select(col("n_edges"), col("tau"), col("n_high"), col("n_high_edges"),
+        col("tri_low_exact"), col("tri_high_sampled"), col("tri_high_estimate"),
+        (col("tri_low_exact") + col("tri_high_estimate")).as("tri_total_estimate"))
+  }
+
+  /** q247: the hybrid census over the q130 incident graph — the
+    * measured middle point between q130 (exact, superlinear) and q244
+    * (all-sampled): same one-row census contract, exact wherever the
+    * degree profile permits, sampled only where it doesn't.
+    */
+  val q247HybridTriangles: QueryDef = QueryDef.sql(
+    "q247_hybrid_triangles",
+    s"""WITH s AS (${graft.sources.Tables.seriesSql}),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+       |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS rnt FROM s),
+       |ei AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'error'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pi AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+       |  FROM f WHERE event_type = 'purchase'
+       |  GROUP BY user_id, rn - rnt HAVING count(*) >= 3),
+       |pr AS (SELECT DISTINCT e.user_id AS a, p.user_id AS b
+       |  FROM ei e JOIN pi p ON e.s0 <= p.e0 AND p.s0 <= e.e0
+       |    AND e.user_id <> p.user_id),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pr),
+       |st AS (SELECT count(*) AS m,
+       |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS tau FROM und),
+       |deg AS (SELECT node, count(*) AS d FROM (
+       |  SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+       |dg AS (SELECT g.node, g.d, g.d > st.tau AS high FROM deg g, st),
+       |ore AS (SELECT
+       |    CASE WHEN a.d < b.d OR (a.d = b.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+       |    CASE WHEN a.d < b.d OR (a.d = b.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
+       |    CASE WHEN a.d < b.d OR (a.d = b.d AND e.u < e.v) THEN a.high ELSE b.high END AS hsrc
+       |  FROM und e JOIN dg a ON a.node = e.u JOIN dg b ON b.node = e.v),
+       |tlow AS (SELECT count(*) AS tri_low FROM
+       |  (SELECT src AS a, dst AS b FROM ore WHERE NOT hsrc) e1
+       |  JOIN (SELECT src AS b, dst AS c FROM ore) e2 ON e2.b = e1.b
+       |  JOIN (SELECT src AS a, dst AS c FROM ore) e3 ON e3.a = e1.a AND e3.c = e2.c),
+       |he AS (SELECT e.u, e.v FROM und e JOIN dg a ON a.node = e.u
+       |  JOIN dg b ON b.node = e.v WHERE a.high AND b.high),
+       |hk AS (SELECT u, v,
+       |  ${graft.functions.TextHash.duckMd5Bucket("(u::VARCHAR || ':' || v::VARCHAR)", 2)} = 0 AS keep
+       |  FROM he),
+       |kept AS (SELECT u, v FROM hk WHERE keep),
+       |htr AS (SELECT count(*) AS tri_high FROM kept e1
+       |  JOIN kept e2 ON e2.u = e1.v
+       |  JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |hn AS (SELECT count(*) FILTER (WHERE high) AS n_high FROM dg),
+       |hec AS (SELECT count(*) AS n_high_edges FROM he)
+       |SELECT st.m AS n_edges, st.tau, hn.n_high, hec.n_high_edges,
+       |  tlow.tri_low AS tri_low_exact, htr.tri_high AS tri_high_sampled,
+       |  htr.tri_high * 8 AS tri_high_estimate,
+       |  tlow.tri_low + htr.tri_high * 8 AS tri_total_estimate
+       |FROM st, hn, hec, tlow, htr""".stripMargin) { (spark, dir) =>
+    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+    def bursts(tpe: String) =
+      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
+          col("event_type") === tpe)
+        .filter(col("n_rows") >= 3)
+        .select(col("user_id"), col("seg_start").as("start"),
+          col("seg_end").as("end"))
+    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
+        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+    val und = pairs
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    hybridTriangleCensus(und)
   }
 
   /** Single-source BFS hop distances over a symmetric edge list, a
@@ -342,7 +525,7 @@ object Graphs {
       // every k-th layer truncates lineage instead of just pinning it
       // (CheckpointEvery); both branches leave the layer materialized
       frontier =
-        if (i % CheckpointEvery == 0) next.localCheckpoint()
+        if (i % CheckpointEvery == 0) graft.CacheScope.checkpoint(next)
         else { val p = next.scopedPersist(); p.count(); p }
       layers :+= frontier
     }
@@ -441,7 +624,7 @@ object Graphs {
       val next = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
-      val m = if (i % CheckpointEvery == 0) next.localCheckpoint()
+      val m = if (i % CheckpointEvery == 0) graft.CacheScope.checkpoint(next)
         else { val p = next.scopedPersist(); p.count(); p }
       val n = m.count()
       if (n == prevCount) done = true
@@ -506,5 +689,5 @@ object Graphs {
   }
 
   val all: Seq[QueryDef] = Seq(q122PageRank, q130Triangles, q139BfsHops, q183Kcore,
-    q244SampledTriangles)
+    q244SampledTriangles, q247HybridTriangles)
 }

@@ -155,7 +155,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q235_pq_adc_topk", // 1-row query-vector broadcast (ADC re-score)
       "q242_ivfadc_recall", // q45-shaped 10-row broadcast theta join (exact side)
       "q243_manifest_delta", // 1-row cut boundary + 1-row base-token-total broadcasts
-      "q244_sampled_triangles") // 1-row edge census × 1-row sampled-triangle total
+      "q244_sampled_triangles", // 1-row edge census × 1-row sampled-triangle total
+      "q246_residual_recall", // q242's exact-side 10-row broadcast theta join
+      "q247_hybrid_triangles") // 1-row tau/census broadcasts (q244's combine shape)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
@@ -200,7 +202,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q243_manifest_delta" -> "q81's block-totals prefix relation, base + delta sides",
       "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)")
+      "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
+      "q246_residual_recall" -> "sub-codebook inits (raw + residual) over GlobalLimit(K) relations")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
@@ -231,7 +234,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // (pinned below); every copy must keep the probed-list bound.
     // q242's exact side is the allow-listed q45-shaped theta join, so
     // the no-BNLJ clause applies to the first two queries only.
-    for (name <- Seq("q238_ivfadc_topk", "q241_residual_ivfadc", "q242_ivfadc_recall")) {
+    // expected ADC-aggregate copies and distinct canonical forms per
+    // query: q242's three arms filter ONE shared scored relation;
+    // q246 carries TWO scored relations (raw + residual), three arm
+    // copies each — 6 aggregates, exactly 2 canonical forms, so each
+    // chain's scoring exchange is still materialized once.
+    val shape = Map(
+      "q238_ivfadc_topk" -> (1, 1), "q241_residual_ivfadc" -> (1, 1),
+      "q242_ivfadc_recall" -> (3, 1), "q246_residual_recall" -> (6, 2))
+    for ((name, (expected, expectedCanon)) <- shape) {
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
       val adcAggs = lp.collect {
@@ -239,19 +250,18 @@ class PlanShapeSpec extends AnyFunSuite {
           a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
             Set("q_id", "vec_id") => a
       }
-      val expected = if (name == "q242_ivfadc_recall") 3 else 1
       assert(adcAggs.size == expected,
         s"$name: expected $expected ADC (q_id, vec_id) aggregate(s), found ${adcAggs.size}")
-      if (name == "q242_ivfadc_recall") {
-        // the one-scan guarantee's PRECONDITION: the three arm
-        // aggregates must canonicalize identically, which is what
-        // both static ReuseExchange (AQE off — the bench session) and
-        // AQE's runtime stage cache key on. If an arm ever filters
-        // BELOW the aggregate again, its canonical form diverges and
-        // this catches it without executing the query.
+      if (expected > 1) {
+        // the one-scan guarantee's PRECONDITION: arm aggregates over
+        // the same scored relation must canonicalize identically,
+        // which is what both static ReuseExchange (AQE off — the
+        // bench session) and AQE's runtime stage cache key on. If an
+        // arm ever filters BELOW the aggregate again, its canonical
+        // form diverges and this catches it without executing.
         val canon = adcAggs.map(_.canonicalized).distinct
-        assert(canon.size == 1,
-          s"$name: arm aggregates no longer canonicalize equal (${canon.size} distinct forms) - the scoring exchange cannot be reused")
+        assert(canon.size == expectedCanon,
+          s"$name: expected $expectedCanon distinct arm-aggregate forms, found ${canon.size} - a scoring exchange cannot be reused")
       }
       adcAggs.foreach { adcAgg =>
         val listJoins = adcAgg.collect {
@@ -261,7 +271,7 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(listJoins.nonEmpty,
           s"$name: an ADC aggregate no longer has the probed-list equi-join below it (full-corpus ADC scan)")
       }
-      if (name != "q242_ivfadc_recall")
+      if (name == "q238_ivfadc_topk" || name == "q241_residual_ivfadc")
         assert(!plan(name).contains("BroadcastNestedLoopJoin"),
           s"$name must stay all-equi-join")
     }

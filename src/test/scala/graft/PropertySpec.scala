@@ -370,6 +370,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid triangle census reconciles with brute force on random graphs") {
+    // recompute every census column independently: the (degree, node)
+    // apex split, the exact low-apex count, the md5-kept high-induced
+    // subgraph and its sampled count — and the exact-degenerate claim
+    // (no high vertex ⇒ the "estimate" IS the exact total)
+    def keepEdge(u: Long, v: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 2 == 0
+    }
+    forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
+      val row = graft.operators.Graphs
+        .hybridTriangleCensus(und.toSeq.toDF("u", "v")).collect().head
+      val m = und.size.toLong
+      val tau = math.floor(math.sqrt(m.toDouble)).toLong
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def adj(a: Long, b: Long) = und((math.min(a, b), math.max(a, b)))
+      val nodes = deg.keySet.toSeq.sorted
+      val tris = nodes.combinations(3)
+        .filter { case Seq(a, b, c) => adj(a, b) && adj(b, c) && adj(a, c) }
+        .map(_.minBy(x => (deg(x), x))).toSeq
+      val triLow = tris.count(apex => deg(apex) <= tau).toLong
+      val high = deg.filter(_._2 > tau).keySet
+      val he = und.filter { case (u, v) => high(u) && high(v) }
+      val kept = he.filter { case (u, v) => keepEdge(u, v) }
+      def kadj(a: Long, b: Long) = kept((math.min(a, b), math.max(a, b)))
+      val knodes = kept.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val triHigh = knodes.combinations(3)
+        .count { case Seq(a, b, c) => kadj(a, b) && kadj(b, c) && kadj(a, c) }.toLong
+      assert(row.getLong(0) == m, s"n_edges graph=$und")
+      assert(row.getLong(1) == tau, s"tau graph=$und")
+      assert(row.getLong(2) == high.size.toLong, s"n_high graph=$und")
+      assert(row.getLong(3) == he.size.toLong, s"n_high_edges graph=$und")
+      assert(row.getLong(4) == triLow, s"tri_low_exact graph=$und")
+      assert(row.getLong(5) == triHigh, s"tri_high_sampled graph=$und")
+      assert(row.getLong(6) == triHigh * 8, s"tri_high_estimate graph=$und")
+      assert(row.getLong(7) == triLow + triHigh * 8, s"tri_total graph=$und")
+      if (high.isEmpty)
+        assert(row.getLong(7) == tris.size.toLong,
+          s"no-high-vertex estimate must equal the exact total, graph=$und")
+    }
+  }
+
+  test("doulionAuto picks pInv from the variance bound and lands inside the target") {
+    // a 30-clique: T = C(30,3) = 4060 triangles, W = 30·C(29,2) = 12180
+    // wedges — dense enough that the bound admits real sampling. With
+    // ε = 0.5 and the default κ = 0.05 prior: T̃ = 203,
+    // pInv = ⌊(0.25·203 + 1)^(1/3)⌋ = 3. The md5 sampler is
+    // deterministic, so this is a fixed (reproducible) outcome, and
+    // the measured relative error must land inside ε.
+    val n = 30
+    val clique = (for (u <- 1 to n; v <- u + 1 to n) yield (u.toLong, v.toLong)).toSeq
+    val exactT = n.toLong * (n - 1) * (n - 2) / 6
+    val row = graft.operators.Graphs
+      .doulionAuto(clique.toDF("u", "v"), targetRelErr = 0.5).collect().head
+    assert(row.getLong(4) == 3L, "chosen pInv off the bound")
+    assert(row.getLong(0) == clique.size.toLong)
+    val est = row.getLong(3)
+    assert(math.abs(est - exactT).toDouble / exactT <= 0.5,
+      s"estimate $est vs exact $exactT misses the 0.5 target")
+    // triangle-sparse graph: the bound must refuse to sample (pInv = 1
+    // keep-all ⇒ the census IS the exact count, error 0)
+    val path = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val sparse = graft.operators.Graphs
+      .doulionAuto(path.toDF("u", "v"), targetRelErr = 0.3).collect().head
+    assert(sparse.getLong(4) == 1L, "sparse graph must fall back to exact")
+    assert(sparse.getLong(1) == path.size.toLong, "pInv=1 must keep every edge")
+    assert(sparse.getLong(3) == 0L, "a path has no triangles")
+  }
+
   test("bfs hops match brute-force shortest paths on random graphs") {
     forSamples(graphGen.suchThat(_.nonEmpty), 6) { und =>
       val rounds = 6
