@@ -71,19 +71,25 @@ object Vectors {
     * a hyperplane bucket are compared; pairs at or above `minCos`
     * survive. Returns `(vec_a, vec_b, cos_sim)`.
     *
-    * `cellTarget` is the q48 scale knob made explicit: `None` (the
-    * default) scans every within-bucket pair — EXACT at bucket
-    * granularity, Θ(Σ|bucket|²) work; `Some(t)` sub-splits each
-    * bucket into `B = ceil(|bucket|/t)` deterministic md5 cells and
-    * compares within cells only, bounding pair work at n·t (linear)
-    * at the cost of skipping cross-cell pairs once B > 1 — the
-    * documented recall trade that was previously implicit in the
-    * declared query. [[nearDupCellAudit]] reports each bucket's B so
-    * a caller can SEE whether the bound engaged before trusting the
-    * recall.
+    * `cellTarget` is the q48 scale knob made explicit: `Some(t)`
+    * sub-splits each bucket into `B = ceil(|bucket|/t)` deterministic
+    * md5 cells and compares within cells only, bounding pair work at
+    * n·t (linear) at the cost of skipping cross-cell pairs once
+    * B > 1; `None` scans every within-bucket pair — EXACT at bucket
+    * granularity, Θ(Σ|bucket|²) work, which on a skewed 100 TB bucket
+    * is the quadratic blowup the knob exists to bound. The DEFAULT is
+    * the declared q48 production bound ([[graft.operators.Similarity
+    * .NearDupCellTarget]]), the SAME default [[nearDupCellAudit]]
+    * describes — so a caller running both with defaults reads an
+    * audit of the bound the pair scan actually applies; pass
+    * `cellTarget = None` explicitly to accept the quadratic exact
+    * scan. The audit reports each bucket's B so a caller can SEE
+    * whether the bound engaged (B > 1 anywhere means cross-cell pairs
+    * were skipped and recall < 1) before trusting the output.
     */
   def nearDupPairs(df: DataFrame, minCos: Double = 0.999,
-      cellTarget: Option[Long] = None): DataFrame = {
+      cellTarget: Option[Long] =
+        Some(graft.operators.Similarity.NearDupCellTarget)): DataFrame = {
     val bk = hyperplaneBuckets(df).select("bucket", "vec_id", "embedding").scopedPersist()
     val cells = cellTarget match {
       case None => bk.withColumn("cell", lit(0L))
@@ -120,6 +126,8 @@ object Vectors {
     * (recall < 1); all-1 means the split is a no-op and the result is
     * bit-identical to the exact bucket scan. One narrow projection +
     * a ≤256-row aggregate — safe to run ahead of any production scan.
+    * The default `cellTarget` matches [[nearDupPairs]]'s default, so
+    * the no-argument audit describes the no-argument pair scan.
     */
   def nearDupCellAudit(df: DataFrame,
       cellTarget: Long = graft.operators.Similarity.NearDupCellTarget): DataFrame =
