@@ -230,4 +230,15 @@ object Corpus {
   def manifestDelta(baseTot: DataFrame, baseBySrc: DataFrame,
       delta: DataFrame): DataFrame =
     graft.operators.CorpusOps.manifestMergeFrom(baseTot, baseBySrc, delta)
+
+  /** The stored-table update behind [[manifestDelta]]: the post-append
+    * `(per-shard totals, per-(shard, source) counts)` a pipeline
+    * persists as the NEXT batch's `baseTot`/`baseBySrc`. Write these
+    * after every batch and the O(delta) loop composes indefinitely —
+    * generation k's incremental manifest equals the from-scratch
+    * rebuild of everything ingested so far.
+    */
+  def manifestDeltaTables(baseTot: DataFrame, baseBySrc: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) =
+    graft.operators.CorpusOps.manifestTablesFrom(baseTot, baseBySrc, delta)
 }

@@ -785,8 +785,18 @@ object CorpusOps {
     * relation, `delta` the appended docs (all ids beyond the base).
     * Returns the full updated q237-shaped manifest.
     */
-  def manifestMergeFrom(baseTot: DataFrame, baseBySrc: DataFrame,
-      delta: DataFrame): DataFrame = {
+  /** The stored-table UPDATE step behind [[manifestMergeFrom]]:
+    * returns the post-append `(per-shard totals, per-(shard, source)
+    * counts)` — the two relations a production pipeline persists for
+    * the NEXT batch. Exposing them (not just the derived manifest) is
+    * what makes the O(delta) loop self-sustaining across generations:
+    * batch k's outputs are batch k+1's `baseTot`/`baseBySrc`, and
+    * prefix-sum composition guarantees the k-th incremental result
+    * equals the from-scratch rebuild (CorpusApiSpec pins the
+    * two-generation persisted round-trip).
+    */
+  def manifestTablesFrom(baseTot: DataFrame, baseBySrc: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) = {
     val prevTokens = baseTot.agg(coalesce(sum("n_tokens"), lit(0L)).as("pt"))
     val deltaAsg = shardAssignFrom(delta, prevTokens)
     val deltaTot = deltaAsg.groupBy("shard").agg(
@@ -799,6 +809,12 @@ object CorpusOps {
     val bySrc = baseBySrc
       .unionAll(deltaAsg.groupBy("shard", "source").agg(count(lit(1)).as("src_docs")))
       .groupBy("shard", "source").agg(sum("src_docs").as("src_docs"))
+    (tot, bySrc)
+  }
+
+  def manifestMergeFrom(baseTot: DataFrame, baseBySrc: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val (tot, bySrc) = manifestTablesFrom(baseTot, baseBySrc, delta)
     val nSrc = bySrc.groupBy("shard").agg(count(lit(1)).as("n_sources"))
     val top = bySrc
       .withColumn("rn", row_number().over(Window.partitionBy("shard")

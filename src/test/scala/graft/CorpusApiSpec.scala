@@ -204,4 +204,49 @@ class CorpusApiSpec extends AnyFunSuite {
       assert(inc == scratch, s"incremental != rebuild at cut=$cut")
     }
   }
+
+  test("manifestDelta composes across generations through a PERSISTED parquet base") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    // the production loop, run for real: gen-0 stored tables go to
+    // parquet; gen 1 reads them back, merges batch 1, and persists its
+    // own updated tables; gen 2 reads THOSE back and merges batch 2.
+    // The gen-2 incremental manifest must equal the from-scratch
+    // rebuild of the whole corpus — prefix-sum composition across two
+    // generations and a disk round-trip, not one derived in-query cut
+    // (q243's documented fixture limitation).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest_gen").toString
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (cut1, cut2) = (maxId / 3, maxId * 2 / 3)
+    val gen0 = docs.filter(col("doc_id") < cut1)
+    val delta1 = docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2)
+    val delta2 = docs.filter(col("doc_id") >= cut2)
+    val asg0 = graft.operators.CorpusOps.shardAssign(gen0)
+    asg0.groupBy("shard").agg(
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$tmp/tot_g0")
+    asg0.groupBy("shard", "source").agg(count(lit(1)).as("src_docs"))
+      .write.mode("overwrite").parquet(s"$tmp/bysrc_g0")
+    val (tot1, bySrc1) = Corpus.manifestDeltaTables(
+      spark.read.parquet(s"$tmp/tot_g0"), spark.read.parquet(s"$tmp/bysrc_g0"), delta1)
+    tot1.write.mode("overwrite").parquet(s"$tmp/tot_g1")
+    bySrc1.write.mode("overwrite").parquet(s"$tmp/bysrc_g1")
+    val inc = Corpus.manifestDelta(
+        spark.read.parquet(s"$tmp/tot_g1"), spark.read.parquet(s"$tmp/bysrc_g1"), delta2)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    val scratch = Corpus.shardManifest(docs)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(inc == scratch, "two-generation persisted composition != from-scratch rebuild")
+    // the persisted gen-1 tables must THEMSELVES match a gen-1 rebuild
+    // (the invariant that lets generation k+1 trust what k stored)
+    val asg01 = graft.operators.CorpusOps.shardAssign(
+      docs.filter(col("doc_id") < cut2))
+    val tot1Rebuild = asg01.groupBy("shard").agg(
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    val tot1Stored = spark.read.parquet(s"$tmp/tot_g1")
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(tot1Stored == tot1Rebuild, "stored gen-1 totals diverge from a gen-1 rebuild")
+  }
 }
