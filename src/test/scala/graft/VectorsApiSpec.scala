@@ -384,4 +384,77 @@ class VectorsApiSpec extends AnyFunSuite {
       assert(q242(k) == ((nExact, hitsRaw, ppmRaw)), s"raw side diverged from q242 at $k")
     }
   }
+
+  test("q248 trained-coarse recall reconciles with a pure-Scala recount") {
+    import graft.operators.Similarity.KmeansK
+    val dims = pqVecs.head._2.length
+    // trained coarse codebook replay: 64-dim integer Lloyd, K = 8,
+    // 2 iterations, q105's seed and packed-argmin tie rule
+    var cents: Map[Long, Array[Long]] = pqVecs.take(KmeansK).zipWithIndex
+      .map { case ((_, qe), i) => i.toLong -> qe }.toMap
+    for (_ <- 1 to 2) {
+      val asgIt = pqVecs.map { case (_, qe) =>
+        (cents.map { case (c, cq) => c -> (d2(qe, cq) * KmeansK + c) }.minBy(_._2)._1, qe)
+      }
+      cents = asgIt.groupBy(_._1).map { case (c, xs) =>
+        val n = xs.size
+        c -> Array.tabulate(dims)(d => xs.map(_._2(d)).sum / n)
+      }
+    }
+    val qMap = pqVecs.toMap
+    def cprobes(qe: Array[Long], n: Int): Seq[Long] =
+      cents.toSeq.map { case (c, cq) => (d2(qe, cq), c) }.sortBy(identity).take(n).map(_._2)
+    val asg: Map[Long, Long] = pqVecs.map { case (vid, qe) => vid -> cprobes(qe, 1).head }.toMap
+    // raw PQ (coarse-codebook-independent)
+    val pqCents = pqTrainScala().map { case (k, (m, _)) => k -> m }
+    val codes: Map[(Long, Int), Long] =
+      (for ((vid, qe) <- pqVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(qe, sub)
+        (vid, sub) -> pqCents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    // residual PQ vs the trained centroids
+    def residual(vid: Long, listId: Long): Array[Long] =
+      qMap(vid).zip(cents(listId)).map { case (x, c) => x - c }
+    val residVecs = pqVecs.map { case (vid, _) => vid -> residual(vid, asg(vid)) }
+    val rcents = pqTrainScala(residVecs).map { case (k, (m, _)) => k -> m }
+    val rcodes: Map[(Long, Int), Long] =
+      (for ((vid, rqe) <- residVecs; sub <- 0 until PqM) yield {
+        val sq = pqSlice(rqe, sub)
+        (vid, sub) -> rcents.collect { case ((s, c), cq) if s == sub =>
+          c -> (d2(sq, cq) * PqK + c) }.minBy(_._2)._1
+      }).toMap
+    def exact5(qid: Long): Set[Long] =
+      pqVecs.filter(_._1 != qid)
+        .map { case (vid, qe) => (d2(qe, qMap(qid)), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    def adc5raw(qid: Long, np: Int): Set[Long] = {
+      val probed = cprobes(qMap(qid), np).toSet
+      val lut = pqCents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(qMap(qid), s), cq) }
+      pqVecs.collect { case (vid, _) if vid != qid && probed(asg(vid)) => vid }
+        .map(vid => (((0 until PqM).map(s => lut((s, codes((vid, s))))).sum), vid))
+        .sortBy(identity).take(5).map(_._2).toSet
+    }
+    def adc5res(qid: Long, np: Int): Set[Long] = {
+      val probed = cprobes(qMap(qid), np)
+      val luts = probed.map(l => l ->
+        rcents.map { case ((s, c), cq) => (s, c) -> d2(pqSlice(residual(qid, l), s), cq) }).toMap
+      pqVecs.collect { case (vid, _) if vid != qid && probed.contains(asg(vid)) => vid }
+        .map(vid => (((0 until PqM).map(s => luts(asg(vid))((s, rcodes((vid, s))))).sum), vid))
+        .sortBy(identity).take(5).map(_._2).toSet
+    }
+    val got = graft.operators.Similarity.q248TrainedCoarseRecall.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val qids = pqVecs.map(_._1).filter(_ < 10)
+    assert(got.keySet == (for (np <- Seq(1L, 2L, 4L); q <- qids) yield (np, q)).toSet)
+    got.foreach { case ((np, qid), (nExact, hitsRaw, ppmRaw, hitsRes, ppmRes)) =>
+      val ex = exact5(qid)
+      assert(nExact == ex.size, s"n_exact at nprobe=$np q=$qid")
+      assert(hitsRaw == (ex & adc5raw(qid, np.toInt)).size, s"hits_raw at nprobe=$np q=$qid")
+      assert(ppmRaw == hitsRaw * 1000000L / nExact, s"raw ppm at nprobe=$np q=$qid")
+      assert(hitsRes == (ex & adc5res(qid, np.toInt)).size, s"hits_res at nprobe=$np q=$qid")
+      assert(ppmRes == hitsRes * 1000000L / nExact, s"res ppm at nprobe=$np q=$qid")
+    }
+  }
 }
