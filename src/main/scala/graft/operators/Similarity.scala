@@ -1897,10 +1897,21 @@ object Similarity {
       val cd2 = aggregate(
         zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
-      // corpus assignment: packed-argmin aggregate, no corpus window
-      val asg = q.crossJoin(broadcast(coarse))
+      // corpus assignment AND residual in ONE packed-argmin aggregate:
+      // min_by carries the residual against the winning centroid, so
+      // no corpus self-join materializes the assignment before the
+      // subtraction (the first cut joined q ⋈ asg ⋈ centroids — three
+      // corpus-sized shuffles; this is one). The broadcast cross join
+      // emits a row's K centroid copies inside its own task, so the
+      // map-side partial aggregate collapses them before the shuffle —
+      // the exchange carries exactly n rows.
+      val qres = q.crossJoin(broadcast(coarse))
         .withColumn("key", cd2 * KmeansK + col("cid"))
-        .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("list_id"))
+        .groupBy("vec_id").agg(
+          min_by(col("cid"), col("key")).as("list_id"),
+          min_by(zip_with(col("qe"), col("cq"), (a, b) => a - b), col("key")).as("qe"))
+        .scopedPersist()
+      val asg = qres.select("vec_id", "list_id")
       // probe ranks for the 10 queries over the K-row codebook
       val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("list_id"))
       val qp = q.filter(col("vec_id") < 10)
@@ -1934,13 +1945,9 @@ object Similarity {
       val adcRaw = candRaw.join(broadcast(lut), Seq("q_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
-      // residual chain vs the TRAINED centroids (quantized domain)
+      // residual chain vs the TRAINED centroids (quantized domain);
+      // the residual relation is qres from the assignment aggregate
       val cqT = coarse.select(col("cid").as("list_id"), col("cq").as("cqe"))
-      val qres = q.join(asg, "vec_id")
-        .join(broadcast(cqT), "list_id")
-        .select(col("vec_id"), col("list_id"),
-          zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
-        .scopedPersist()
       val rsv = pqSubvectors(qres, "vec_id")
       val rc2 = pqRecollect(pqTrainU2(rsv, qres))
       val rcodes = pqAssign(rsv, rc2).scopedPersist()
