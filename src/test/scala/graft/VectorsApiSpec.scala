@@ -456,5 +456,20 @@ class VectorsApiSpec extends AnyFunSuite {
       assert(hitsRes == (ex & adc5res(qid, np.toInt)).size, s"hits_res at nprobe=$np q=$qid")
       assert(ppmRes == hitsRes * 1000000L / nExact, s"res ppm at nprobe=$np q=$qid")
     }
+    // q249: the trained index's gamma must reconcile with the SAME
+    // trained-assignment replay (list labels shared with the recall
+    // recount above by construction)
+    val sizes = pqVecs.map { case (vid, _) => asg(vid) }
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    val n = sizes.sum
+    val s2 = sizes.map(s => s * s).sum
+    val g = graft.operators.Similarity.q249TrainedIvfImbalance.fn(spark, sfDir)
+      .collect().head
+    assert(g.getLong(0) == KmeansK.toLong)
+    assert(g.getLong(1) == n, "n")
+    assert(g.getLong(2) == sizes.size.toLong, "n_lists_used")
+    assert(g.getLong(3) == sizes.max, "max_list")
+    assert(g.getLong(4) == sizes.min, "min_list")
+    assert(g.getLong(5) == KmeansK * s2 * 1000000L / (n * n), "gamma_ppm")
   }
 }
