@@ -21,8 +21,11 @@ object Bench {
       // 64.6 s -> 74.0 s at sf0.1; the iterative q70 doubles). The
       // deploy-facing session (api.Graft.sparkSession) enables AQE —
       // at 100 TB runtime re-planning (skew-join splitting, partition
-      // coalescing) is the correct posture.
-      .config("spark.sql.adaptive.enabled", "false")
+      // coalescing) is the correct posture. SPARK_GRAFT_AQE=true
+      // re-measures that trade locally (r9 re-check — the off-default
+      // measurement predates the many-tiny-stage Lloyd/recall queries).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -196,21 +199,25 @@ object Bench {
     val idsField = rangeEncode(byId.map(r => qNum(r._1)))
     val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}"""
     val tail = s"""$flagFields$errField,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
-    def vecLine(dec: Int): String = {
-      val qv = byId.map(r => if (r._2 < 0) "-1" else s"%.${dec}f".format(r._2))
-        .mkString("[", ",", "]")
-      s"""$head,"qi":"$idsField","qv":$qv$tail"""
-    }
-    // Degrade precision before dropping coverage: 2-dp fits 242
-    // typical values with ~400 chars of headroom; a sweep of large
-    // times falls back to 1 dp, and only a pathological line falls
-    // back to the slowest-30 named map (pre-r9 format).
-    val line = Seq(vecLine(2), vecLine(1)).find(_.length <= 1850).getOrElse {
-      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(30)
+    // The driver contract's JSON line carries a `queries` NAMED map —
+    // keep it (slowest-N, short keys) next to the full qi/qv vector;
+    // N and the vector precision degrade together to stay inside the
+    // ~2000-char harness tail window (see below).
+    def topMap(n: Int): String =
+      results.filter(_._2 >= 0).sortBy(-_._2).take(n)
         .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
         .mkString("{", ",", "}")
-      s"""$head,"queries":$top$tail"""
+    def vecLine(dec: Int, topN: Int): String = {
+      val qv = byId.map(r => if (r._2 < 0) "-1" else s"%.${dec}f".format(r._2))
+        .mkString("[", ",", "]")
+      s"""$head,"queries":${topMap(topN)},"qi":"$idsField","qv":$qv$tail"""
     }
+    // Degrade the named-map size, then precision, before dropping the
+    // full vector; only a pathological line falls back to the named
+    // slowest-30 map alone (the pre-r9 format).
+    val line = Seq(vecLine(2, 10), vecLine(2, 5), vecLine(1, 5))
+      .find(_.length <= 1850)
+      .getOrElse(s"""$head,"queries":${topMap(30)}$tail""")
     val full = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fullFlags = flagJson("starved", starvedQs.toSeq, identity) +

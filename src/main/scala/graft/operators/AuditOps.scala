@@ -238,6 +238,9 @@ object AuditOps {
         explode(TextHash.shinglesFromWords(col("ws"), spanWords)).as("span"))
       .select(md5(col("span")).as("h"), col("source"))
       .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      // consumed twice (per-source totals + the pair matrix) — pinned
+      // so the corpus shingle pass and its shuffle run once
+      .scopedPersist()
     // everything below reads only the aggregated (h, srcs) relation:
     // explode fan-out per digest is ≤ |sources| (totals) and
     // ≤ |sources|² (pairs), and both aggregates combine map-side down

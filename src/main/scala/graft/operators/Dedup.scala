@@ -792,6 +792,11 @@ object Dedup {
     val t = docs(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= L)
+    // consumed twice (cross-doc census + the survivor join's probe
+    // side) — pinned so the tokenize/explode/md5 pass runs once per
+    // query instead of twice. At corpus scale the same relation is
+    // materialized to parquet instead (the materializeSignatures
+    // pattern); the persist is the bench-scale stand-in.
     val grams = t.select(col("doc_id"), col("source"),
         size(col("w")).cast("long").as("nw"),
         posexplode(transform(sequence(lit(1), size(col("w")) - (L - 1)),
@@ -799,6 +804,7 @@ object Dedup {
           .as(Seq("st", "dig")))
       .select(col("doc_id"), col("source"), col("nw"),
         col("st").cast("long").as("st"), col("dig"))
+      .scopedPersist()
     val dup = grams.groupBy("dig")
       .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
       .select("dig")

@@ -29,6 +29,61 @@ object Graphs {
 
   val Iterations = 5
 
+  /** The incident-correlation pair relation every graph query derives
+    * its edges from: users whose ≥3-event error bursts overlap
+    * someone else's ≥3-event purchase bursts in absolute time
+    * (q113's relation). BOTH burst-island sides come from ONE pass
+    * over the events series — the two type flags ride the same
+    * (user_id, t, event_id) window sort and the flagged rows persist
+    * once, where the historical per-type [[SeriesOps.islands]] calls
+    * scanned + exchanged + sorted the events twice (guide §2.4: two
+    * operations keyed the same way share one exchange). Value-
+    * identical: the lag/running-sum island ids and the ≥3 filters are
+    * unchanged per type.
+    */
+  private def incidentPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
+    val s = graft.sources.Tables.series(spark, dir)
+    def fl(tpe: String) = (col("event_type") === tpe).cast("int")
+    def islandId(f: org.apache.spark.sql.Column) =
+      sum(when(f === 1 && lag(f, 1, 0).over(sAbs.ordered) === 0, 1).otherwise(0))
+        .over(sAbs.running)
+    val flagged = s
+      .withColumn("__fe", fl("error")).withColumn("__fp", fl("purchase"))
+      .withColumn("__ie", islandId(col("__fe")))
+      .withColumn("__ip", islandId(col("__fp")))
+      .filter(col("__fe") === 1 || col("__fp") === 1)
+      .select("user_id", "t", "__fe", "__fp", "__ie", "__ip")
+      .scopedPersist()
+    def bursts(flag: String, island: String) = flagged.filter(col(flag) === 1)
+      .groupBy(col("user_id"), col(island))
+      .agg(min(col("t")).as("seg_start"), max(col("t")).as("seg_end"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= 3)
+      .select(col("user_id"), col("seg_start").as("start"),
+        col("seg_end").as("end"))
+    Intervals.overlapJoin(bursts("__fe", "__ie"), bursts("__fp", "__ip"),
+        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
+      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
+  }
+
+  /** [[incidentPairs]] symmetrized to a distinct directed edge list. */
+  private def incidentEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val pairs = incidentPairs(spark, dir)
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** [[incidentPairs]] canonicalized to distinct undirected u < v edges. */
+  private def incidentUnd(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    incidentPairs(spark, dir)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
   /** Lineage-truncation cadence for the iterative loops. Persisting
     * per round caps recomputation but the LOGICAL plan still grows a
     * join per round — at real convergence depths (or a lost
@@ -110,20 +165,7 @@ object Graphs {
          |${iterCtes.mkString(",\n")}
          |SELECT node AS user_id, CAST(rank_ppm AS BIGINT) AS rank_ppm
          |FROM it$Iterations ORDER BY user_id""".stripMargin) { (spark, dir) =>
-      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-      def bursts(tpe: String) =
-        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-            col("event_type") === tpe)
-          .filter(col("n_rows") >= 3)
-          .select(col("user_id"), col("seg_start").as("start"),
-            col("seg_end").as("end"))
-      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
+      val edges = incidentEdges(spark, dir)
       pageRankPpm(edges)
         .select(col("node").as("user_id"), col("rank_ppm"))
         .orderBy("user_id")
@@ -198,20 +240,7 @@ object Graphs {
        |  SELECT b FROM tr UNION ALL SELECT c FROM tr)
        |SELECT user_id, count(*) AS n_triangles
        |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
-    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-    def bursts(tpe: String) =
-      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-          col("event_type") === tpe)
-        .filter(col("n_rows") >= 3)
-        .select(col("user_id"), col("seg_start").as("start"),
-          col("seg_end").as("end"))
-    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-    val und = pairs
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    triangleCounts(und).orderBy("user_id")
+    triangleCounts(incidentUnd(spark, dir)).orderBy("user_id")
   }
 
   /** q244: DOULION-sampled triangle census (Tsourakakis et al.,
@@ -261,20 +290,7 @@ object Graphs {
        |tc AS (SELECT count(*) AS tri_sampled FROM tr)
        |SELECT n_edges, n_kept, tri_sampled, tri_sampled * 8 AS tri_estimate
        |FROM ec, tc""".stripMargin) { (spark, dir) =>
-    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-    def bursts(tpe: String) =
-      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-          col("event_type") === tpe)
-        .filter(col("n_rows") >= 3)
-        .select(col("user_id"), col("seg_start").as("start"),
-          col("seg_end").as("end"))
-    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-    val und = pairs
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    doulionCensus(und)
+    doulionCensus(incidentUnd(spark, dir))
   }
 
   /** The DOULION census behind [[q244SampledTriangles]], reusable over
@@ -477,20 +493,7 @@ object Graphs {
        |  htr.tri_high * 8 AS tri_high_estimate,
        |  tlow.tri_low + htr.tri_high * 8 AS tri_total_estimate
        |FROM st, hn, hec, tlow, htr""".stripMargin) { (spark, dir) =>
-    val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-    def bursts(tpe: String) =
-      SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-          col("event_type") === tpe)
-        .filter(col("n_rows") >= 3)
-        .select(col("user_id"), col("seg_start").as("start"),
-          col("seg_end").as("end"))
-    val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-        "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-      .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-    val und = pairs
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    hybridTriangleCensus(und)
+    hybridTriangleCensus(incidentUnd(spark, dir))
   }
 
   /** Single-source BFS hop distances over a symmetric edge list, a
@@ -572,20 +575,7 @@ object Graphs {
          |${stepCtes.mkString(",\n")}
          |SELECT node AS user_id, CAST(dist AS BIGINT) AS hops
          |FROM d$rounds ORDER BY user_id""".stripMargin) { (spark, dir) =>
-      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-      def bursts(tpe: String) =
-        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-            col("event_type") === tpe)
-          .filter(col("n_rows") >= 3)
-          .select(col("user_id"), col("seg_start").as("start"),
-            col("seg_end").as("end"))
-      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
+      val edges = incidentEdges(spark, dir)
       val source = edges.agg(min("src").as("s"))
       bfsHops(edges, source, rounds)
         .select(col("node").as("user_id"), col("dist").as("hops"))
@@ -624,8 +614,11 @@ object Graphs {
       val next = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
+      // one count materializes the persisted round AND reads the
+      // fixpoint size (the previous extra p.count() was a second job
+      // per round for nothing)
       val m = if (i % CheckpointEvery == 0) graft.CacheScope.checkpoint(next)
-        else { val p = next.scopedPersist(); p.count(); p }
+        else next.scopedPersist()
       val n = m.count()
       if (n == prevCount) done = true
       prevCount = n
@@ -668,20 +661,7 @@ object Graphs {
          |${peelCtes.mkString(",\n")}
          |SELECT src AS user_id, CAST(count(*) AS BIGINT) AS core_deg
          |FROM pe$rounds GROUP BY src ORDER BY user_id""".stripMargin) { (spark, dir) =>
-      val sAbs = SeriesOps.Series(Seq("user_id"), "t", Seq("event_id"))
-      def bursts(tpe: String) =
-        SeriesOps.islands(graft.sources.Tables.series(spark, dir), sAbs,
-            col("event_type") === tpe)
-          .filter(col("n_rows") >= 3)
-          .select(col("user_id"), col("seg_start").as("start"),
-            col("seg_end").as("end"))
-      val pairs = Intervals.overlapJoin(bursts("error"), bursts("purchase"),
-          "start", "end", 86400.0, col("l_user_id") =!= col("r_user_id"))
-        .select(col("l_user_id").as("a"), col("r_user_id").as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
+      val edges = incidentEdges(spark, dir)
       kCore(edges, k, rounds)
         .select(col("node").as("user_id"), col("core_deg"))
         .orderBy("user_id")

@@ -1271,11 +1271,14 @@ object PipelineOps {
     * filter/mixture stages as the quality score).
     */
   def boilerplateDf(corpus: DataFrame, spanWords: Int = SpanWords): DataFrame = {
+    // consumed twice (duplicated-span census + the join back) — pinned
+    // so the tokenize/shingle/md5 pass runs once per query
     val sp = corpus
       .withColumn("__ws", split(col("text"), " "))
       .select(col("doc_id"),
         explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
+      .scopedPersist()
     val dup = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     sp.join(dup.withColumn("dup", lit(1L)), Seq("h"), "left")

@@ -36,6 +36,39 @@ object Similarity {
     s"""aggregate($a, cast(0 as double),
        |  (s, x) -> s + cast(x as double) * cast(x as double))""".stripMargin
 
+  // Native (one primitive loop per row) forms of the fold-left dot /
+  // norm / integer-L2 compositions — bit-identical values by
+  // construction (see graft.functions.VectorExprs scaladoc); the HOF
+  // forms above pay an interpreted lambda frame per ELEMENT per
+  // candidate row, which dominated the ANN/Lloyd scans' CPU.
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftExpressionBridge.expression(c)
+  private def dotCol(a: Column, b: Column): Column =
+    bridge(graft.functions.FloatDot(ex(a), ex(b)))
+  private def normCol(a: Column): Column =
+    bridge(graft.functions.FloatNormSq(ex(a)))
+  private[operators] def l2Col(a: Column, b: Column): Column =
+    bridge(graft.functions.LongL2Sq(ex(a), ex(b)))
+  private def dotLongCol(a: Column, b: Column): Column =
+    bridge(graft.functions.LongDot(ex(a), ex(b)))
+  private def subArrCol(a: Column, b: Column): Column =
+    bridge(graft.functions.LongSub(ex(a), ex(b)))
+
+  /** Micro-quantization of a float vector column (the q105
+    * convention) — the one shared expression every integer chain
+    * derives `qe` from. */
+  private def quantizeCol(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Driver-collected (id → quantized vector) pairs of a bounded
+    * relation, id-ascending — the residual chains' coarse-centroid
+    * lookup as a literal map instead of a broadcast join. */
+  private def collectIdVecs(df: DataFrame, idCol: String): Seq[(Long, Seq[Long])] =
+    df.select(col(idCol), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform($a, (x, i) -> x::DOUBLE * $b[i]::DOUBLE), (s, x) -> s + x)"
 
@@ -85,8 +118,8 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(
-        expr(dotSql("qe", "embedding")) /
-          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+        dotCol(col("qe"), col("embedding")) /
+          (sqrt(normCol(col("qe"))) * sqrt(normCol(col("embedding")))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "vec_id", "cos_sim", "rank")
@@ -130,8 +163,8 @@ object Similarity {
     bk.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(
-        expr(dotSql("qe", "embedding")) /
-          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+        dotCol(col("qe"), col("embedding")) /
+          (sqrt(normCol(col("qe"))) * sqrt(normCol(col("embedding")))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("q_id", "vec_id", "cos_sim", "rank")
@@ -198,13 +231,13 @@ object Similarity {
       // self join can resolve both sides to one attribute under plan
       // reuse (see api.Vectors.nearDupPairs) — rename first, always
       val lhs = cells.select(col("bucket"), col("cell"), col("vec_id").as("keep_id"),
-        col("embedding").as("emb_a"), sqrt(expr(normSql("embedding"))).as("na"))
+        col("embedding").as("emb_a"), sqrt(normCol(col("embedding"))).as("na"))
       val rhs = cells.select(col("bucket"), col("cell"), col("vec_id").as("dup_id"),
-        col("embedding").as("emb_b"), sqrt(expr(normSql("embedding"))).as("nb"))
+        col("embedding").as("emb_b"), sqrt(normCol(col("embedding"))).as("nb"))
       lhs.join(rhs, Seq("bucket", "cell"))
         .filter(col("keep_id") < col("dup_id"))
         .select(col("keep_id"), col("dup_id"),
-          round(expr(dotSql("emb_a", "emb_b")) / (col("na") * col("nb")), 6)
+          round(dotCol(col("emb_a"), col("emb_b")) / (col("na") * col("nb")), 6)
             .as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
         .orderBy("keep_id", "dup_id")
@@ -315,8 +348,8 @@ object Similarity {
     asg.join(broadcast(qp), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(
-        expr(dotSql("qe", "embedding")) /
-          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+        dotCol(col("qe"), col("embedding")) /
+          (sqrt(normCol(col("qe"))) * sqrt(normCol(col("embedding")))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("q_id", "vec_id", "cos_sim", "rank")
@@ -369,7 +402,7 @@ object Similarity {
         expr("""aggregate(embedding, cast(0 as double),
                 |  (s, x) -> greatest(s, abs(cast(x as double))))""".stripMargin))
       .select(col("vec_id"), col("embedding"), col("scale"),
-        expr(normSql("embedding")).as("nrm"),
+        normCol(col("embedding")).as("nrm"),
         expr("transform(embedding, x -> cast(round(cast(x as double) / scale * 127.0) as bigint))")
           .as("qe"))
       .scopedPersist() // probed twice: query side and candidate side
@@ -379,11 +412,11 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("est_cos").desc, col("vec_id"))
     qv.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("est_cos", round(
-        expr("""aggregate(zip_with(qqe, qe, (x, y) -> x * y), 0L, (s, x) -> s + x)""")
+        dotLongCol(col("qqe"), col("qe"))
           .cast("double") / lit(16129.0) * col("qscale") * col("scale") /
           (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6))
       .withColumn("cos_exact", round(
-        expr(dotSql("qemb", "embedding")) / (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6))
+        dotCol(col("qemb"), col("embedding")) / (sqrt(col("qnrm")) * sqrt(col("nrm"))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "vec_id", "est_cos", "cos_exact", "rank")
@@ -423,30 +456,66 @@ object Similarity {
           x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
       .scopedPersist() // scanned once per Lloyd job; harness clears per query
 
-  private[operators] def kmeansSeed(q: DataFrame): DataFrame =
-    q.orderBy("vec_id").limit(KmeansK)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"),
-        col("qe").as("cq"))
+  /** A driver-collected integer codebook: ascending cids and their
+    * centroid arrays. K×dims int64s — the same bounded driver fold
+    * [[nearestColFrom]] already performs for the coarse quantizer;
+    * collecting the TRAINED codebook between Lloyd steps turns every
+    * assignment into a narrow zero-shuffle projection (guide §2.4)
+    * instead of a K-way centroid join + corpus re-aggregation. At
+    * 100 TB the codebook is still K×dims values, so the fold stays
+    * bounded by construction.
+    */
+  private[operators] type Codebook = (Seq[Long], Seq[Seq[Long]])
 
-  private[operators] def kmeansAssign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    q.crossJoin(broadcast(cents))
-      .withColumn("key", dist * KmeansK + col("cid"))
-      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
+  /** Seed codebook: the K lowest vec_ids' quantized vectors (cid =
+    * rank in vec_id order), collected — K rows. */
+  private[operators] def kmeansSeedCents(q: DataFrame): Codebook = {
+    val rows = q.orderBy("vec_id").limit(KmeansK).select("qe").collect()
+    (rows.indices.map(_.toLong).toSeq, rows.map(_.getSeq[Long](0).toSeq).toSeq)
   }
 
-  private[operators] def kmeansUpdate(q: DataFrame, asg: DataFrame): DataFrame =
-    q.join(asg, "vec_id")
-      .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "v")))
+  /** Per-row argmin assignment against a collected codebook — the
+    * q105 packed (dist, cid) tie rule as one native loop. */
+  private[operators] def nearestCodeCol(c: Codebook, v: Column): Column =
+    bridge(graft.functions.NearestCodeLong(ex(v), c._1, c._2))
+
+  /** Truncating-integer-mean update under a collected codebook: one
+    * narrow argmin projection + one (cid, dim)-bounded hash aggregate
+    * — no assignment shuffle, no centroid join. Value-identical to
+    * the historical crossJoin + min_by + join chain. */
+  private[operators] def kmeansUpdateNative(q: DataFrame, c: Codebook): DataFrame =
+    q.select(nearestCodeCol(c, col("qe")).as("cid"),
+        posexplode(col("qe")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
       .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
 
-  private[operators] def kmeansRecollect(upd: DataFrame): DataFrame =
-    upd.groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
-        s => s.getField("cqv")).as("cq"))
+  /** Assemble a collected (cid, dim, cqv) update relation into a
+    * [[Codebook]] (K×dims rows — bounded). */
+  private def collectCents(u: DataFrame): Codebook = {
+    val rows = u.select(col("cid"), col("dim").cast("long").as("dim"),
+      col("cqv")).collect()
+    val byCid = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    (byCid.map(_._1),
+      byCid.map(_._2.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq))
+  }
+
+  /** Two Lloyd iterations; the FINAL update stays a lazy relation so
+    * q105 can emit it (the intermediate codebook is collected — one
+    * bounded driver sync per iteration, exactly the allreduce a
+    * production Lloyd runs). */
+  private[operators] def kmeansTrainU2(q: DataFrame): DataFrame =
+    kmeansUpdateNative(q, collectCents(kmeansUpdateNative(q, kmeansSeedCents(q))))
+
+  /** The trained codebook after two Lloyd iterations, collected. */
+  private[operators] def kmeansTrainedCents(q: DataFrame): Codebook =
+    collectCents(kmeansTrainU2(q))
+
+  /** The (cid, centroid) pairs of a collected codebook as an
+    * exploded-literal relation — replaces the K-row broadcast
+    * crossJoin (one Generate over a constant, zero broadcast builds,
+    * no nested-loop join). */
+  private[operators] def codebookLit(c: Codebook): Column =
+    typedlit(c._1.zip(c._2))
 
   /** One Lloyd iteration in DuckDB: assignment (argmin over the K
     * crossed centroids) then truncating-integer-mean update. Shared
@@ -486,8 +555,7 @@ object Similarity {
          |  round(CAST(cqv AS DOUBLE) / 1e6, 6) AS centroid
          |FROM u2 ORDER BY cid, dim""".stripMargin) { (spark, dir) =>
       val q = kmeansQuantized(spark, dir)
-      val u2 = kmeansUpdate(q, kmeansAssign(q,
-        kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q))))))
+      val u2 = kmeansTrainU2(q)
       u2.select(col("cid"), col("dim").cast("long").as("dim"),
           col("n").as("n_members"),
           round(col("cqv").cast("double") / 1e6, 6).as("centroid"))
@@ -532,12 +600,12 @@ object Similarity {
        |FROM o JOIN bb ON bb.vec_id = o.vec_id
        |ORDER BY o.vec_id""".stripMargin) { (spark, dir) =>
     val q = kmeansQuantized(spark, dir)
-    val c2 = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
-      kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
-    val dist = aggregate(
-      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val d = q.crossJoin(broadcast(c2)).select(col("vec_id"), col("cid"), dist.as("d2"))
+    val c2 = kmeansTrainedCents(q)
+    // distances to ALL centroids via one Generate over the collected-
+    // codebook literal — no broadcast build, no nested-loop join
+    val d = q.select(col("vec_id"), col("qe"), explode(codebookLit(c2)).as("c"))
+      .select(col("vec_id"), col("c._1").as("cid"),
+        l2Col(col("qe"), col("c._2")).as("d2"))
       .scopedPersist()
     val o = d.withColumn("key", col("d2") * KmeansK + col("cid"))
       .groupBy("vec_id")
@@ -742,12 +810,12 @@ object Similarity {
       // pair) — bit-identical to the per-pair form, ~3x fewer flops
       // in the pair scan
       val lhs = cells.select(col("list_id"), col("cell"), col("vec_id").as("lo_id"),
-        col("embedding").as("emb_a"), sqrt(expr(normSql("embedding"))).as("na"))
+        col("embedding").as("emb_a"), sqrt(normCol(col("embedding"))).as("na"))
       val rhs = cells.select(col("list_id"), col("cell"), col("vec_id").as("vec_id"),
-        col("embedding").as("emb_b"), sqrt(expr(normSql("embedding"))).as("nb"))
+        col("embedding").as("emb_b"), sqrt(normCol(col("embedding"))).as("nb"))
       val close = lhs.join(rhs, Seq("list_id", "cell"))
         .filter(col("lo_id") < col("vec_id"))
-        .filter(round(expr(dotSql("emb_a", "emb_b")) /
+        .filter(round(dotCol(col("emb_a"), col("emb_b")) /
           (col("na") * col("nb")), 6) >= threshold)
         .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
       asg.select("vec_id", "list_id")
@@ -796,8 +864,8 @@ object Similarity {
     bk.join(broadcast(probes), col("bucket") === col("pb"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(
-        expr(dotSql("qe", "embedding")) /
-          (sqrt(expr(normSql("qe"))) * sqrt(expr(normSql("embedding")))), 6))
+        dotCol(col("qe"), col("embedding")) /
+          (sqrt(normCol(col("qe"))) * sqrt(normCol(col("embedding")))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("q_id", "vec_id", "cos_sim", "rank")
@@ -862,9 +930,8 @@ object Similarity {
       def fdiv(a: String, b: String): String = s"(($a)) div ($b)"
       def iter(v: DataFrame): DataFrame = {
         val s = q.crossJoin(broadcast(v))
-          .withColumn("s", expr(fdiv(
-            "aggregate(zip_with(qe, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)",
-            "1000000L")))
+          .withColumn("__dotqv", dotLongCol(col("qe"), col("v")))
+          .withColumn("s", expr(fdiv("__dotqv", "1000000L")))
         val u = s.select(col("s"), posexplode(col("qe")).as(Seq("dim", "x")))
           .groupBy("dim").agg(sum(expr(fdiv("x * s", "1000000L"))).as("sj"))
         val ma = u.agg(max(abs(col("sj"))).as("ma"))
@@ -953,46 +1020,82 @@ object Similarity {
         s => slice(col("qe"), s * lit(PqDsub) + 1, lit(PqDsub))))
       .as(Seq("sub", "sq")))
 
+  /** Driver-collected per-subspace PQ codebooks: index `sub` holds
+    * that subspace's ascending cids and Dsub-dim centroid arrays.
+    * M×K×Dsub int64s — the bounded-codebook fold of [[Codebook]]
+    * applied per subspace. */
+  private[operators] type SubCodebooks = (Seq[Seq[Long]], Seq[Seq[Seq[Long]]])
+
   /** Seed sub-codebooks: the K lowest vec_ids' subvectors (the q105
-    * deterministic seed, sliced per subspace). K rows → M×K rows. */
-  private[operators] def pqSeed(q: DataFrame): DataFrame = {
-    val sid = q.orderBy("vec_id").limit(PqK)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("long").as("cid"), col("qe"))
-    pqSubvectors(sid, "cid").select(col("cid"), col("sub"), col("sq").as("cq"))
+    * deterministic seed, sliced per subspace driver-side). */
+  private[operators] def pqSeedCents(q: DataFrame): SubCodebooks = {
+    val rows = q.orderBy("vec_id").limit(PqK).select("qe").collect()
+    val ids = rows.indices.map(_.toLong).toSeq
+    val bySub = (0 until PqM).map { sub =>
+      rows.map(_.getSeq[Long](0).slice(sub * PqDsub, (sub + 1) * PqDsub).toSeq).toSeq
+    }
+    ((0 until PqM).map(_ => ids), bySub)
   }
 
-  /** Sub-space squared distance — exact int64 fold over Dsub dims. */
-  private def pqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+  /** Sub-space squared distance — exact int64 sum over Dsub dims
+    * (native loop; value-identical to the historical
+    * `aggregate(zip_with(...))` fold, see [[l2Col]]). */
+  private def pqDist(a: Column, b: Column): Column = l2Col(a, b)
 
-  /** Per-subspace assignment: broadcast the M×K sub-codebook, join on
-    * the `sub` key, argmin via q105's packed (dist, cid) key (unique,
-    * so no tie ambiguity on any engine). One hash aggregate keyed by
-    * (vec_id, sub) — no vector-pair join. */
-  private[operators] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
-    sv.join(broadcast(cents), "sub")
-      .withColumn("key", pqDist(col("sq"), col("cq")) * PqK + col("cid"))
-      .groupBy("vec_id", "sub").agg(min_by(col("cid"), col("key")).as("cid"))
+  /** Per-(sub, sq) argmin against collected sub-codebooks — q105's
+    * packed (dist, cid) tie rule as one native loop per row. */
+  private def nearestSubCodeCol(c: SubCodebooks, sub: Column, sq: Column): Column =
+    bridge(graft.functions.NearestSubCode(ex(sub), ex(sq), c._1, c._2))
 
-  /** Truncating-integer-mean centroid update per (sub, cid, dim). */
-  private[operators] def pqUpdate(sv: DataFrame, asg: DataFrame): DataFrame =
-    sv.join(asg, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cid"), posexplode(col("sq")).as(Seq("dim", "v")))
+  /** All M PQ codes of a full vector in one native per-row loop
+    * (element `sub` = argmin cid of the sub-th Dsub slice) — the
+    * search-side code relation becomes a narrow projection with no
+    * explode-join at all. */
+  private[operators] def pqEncodeCol(c: SubCodebooks, v: Column): Column =
+    bridge(graft.functions.PqEncode(ex(v), c._1, c._2, PqDsub))
+
+  /** Truncating-integer-mean update under collected sub-codebooks:
+    * one narrow argmin projection over the (sub, sq) explode + one
+    * (sub, cid, dim)-bounded hash aggregate — no assignment shuffle,
+    * no sub-codebook join. Value-identical to the historical
+    * join + min_by + join chain. */
+  private[operators] def pqUpdateNative(sv: DataFrame, c: SubCodebooks): DataFrame =
+    sv.select(col("sub"), nearestSubCodeCol(c, col("sub"), col("sq")).as("cid"),
+        posexplode(col("sq")).as(Seq("dim", "v")))
       .groupBy("sub", "cid", "dim")
       .agg(expr("sum(v) div count(1)").as("cqv"), count(lit(1)).as("n"))
 
-  private[operators] def pqRecollect(upd: DataFrame): DataFrame =
-    upd.groupBy("sub", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cqv")))),
-        s => s.getField("cqv")).as("cq"))
+  /** Assemble a collected (sub, cid, dim, cqv) update relation into
+    * [[SubCodebooks]] (M×K×Dsub rows — bounded). */
+  private def collectSubCents(u: DataFrame): SubCodebooks = {
+    val rows = u.select(col("sub").cast("long").as("sub"), col("cid"),
+      col("dim").cast("long").as("dim"), col("cqv")).collect()
+    val bySub = (0 until PqM).map { sub =>
+      val subRows = rows.filter(_.getLong(0) == sub)
+      val byCid = subRows.groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+      (byCid.map(_._1),
+        byCid.map(_._2.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq))
+    }
+    (bySub.map(_._1), bySub.map(_._2))
+  }
 
   /** Train the M sub-codebooks through two Lloyd iterations and
-    * return the final update relation (sub, cid, dim, cqv, n). */
+    * return the final update relation (sub, cid, dim, cqv, n); the
+    * intermediate codebook is a collected driver sync, the final
+    * update stays lazy so q234 can emit it. */
   private[operators] def pqTrainU2(sv: DataFrame, q: DataFrame): DataFrame =
-    pqUpdate(sv, pqAssign(sv,
-      pqRecollect(pqUpdate(sv, pqAssign(sv, pqSeed(q))))))
+    pqUpdateNative(sv, collectSubCents(pqUpdateNative(sv, pqSeedCents(q))))
+
+  /** The trained sub-codebooks after two Lloyd iterations, collected. */
+  private[operators] def pqTrainedCents(sv: DataFrame, q: DataFrame): SubCodebooks =
+    collectSubCents(pqTrainU2(sv, q))
+
+  /** Per-subspace (cid, centroid) pairs of collected sub-codebooks as
+    * a literal (outer index = sub) — the LUT build reads it with
+    * `explode(element_at(…, sub + 1))`, replacing the sub-codebook
+    * broadcast join. */
+  private def subCodebooksLit(c: SubCodebooks): Column =
+    typedlit(c._1.indices.map(s => c._1(s).zip(c._2(s))))
 
   /** One per-subspace Lloyd iteration in DuckDB (the q105 oracle
     * pattern with a `sub` key threaded through); `sv` names the
@@ -1108,12 +1211,19 @@ object Similarity {
        |ORDER BY t.adc_d2, t.vec_id""".stripMargin) { (spark, dir) =>
     val q = kmeansQuantized(spark, dir)
     val sv = pqSubvectors(q, "vec_id")
-    val c2 = pqRecollect(pqTrainU2(sv, q))
-    val codes = pqAssign(sv, c2)
+    val c2 = pqTrainedCents(sv, q)
+    // code relation = one narrow projection (native per-row encode
+    // against the collected codebook) — no sub-codebook join, no
+    // (vec_id, sub) re-aggregation
+    val codes = q.select(col("vec_id"),
+      posexplode(pqEncodeCol(c2, col("qe"))).as(Seq("sub", "cid")))
     val qv = q.orderBy("vec_id").limit(1)
     val qsv = pqSubvectors(qv, "vec_id").select(col("sub"), col("sq").as("qsq"))
-    val lut = qsv.join(c2, "sub")
-      .select(col("sub"), col("cid"), pqDist(col("qsq"), col("cq")).as("d2"))
+    val lut = qsv
+      .select(col("sub"), col("qsq"),
+        explode(element_at(subCodebooksLit(c2), col("sub") + 1)).as("c"))
+      .select(col("sub"), col("c._1").as("cid"),
+        pqDist(col("qsq"), col("c._2")).as("d2"))
     val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy("vec_id").agg(sum("d2").as("adc_d2"))
     val qRow = qv.select(col("vec_id").as("q_vid"), col("qe").as("qqe"))
@@ -1188,22 +1298,28 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (spark, dir) =>
     val q = kmeansQuantized(spark, dir)
     val sv = pqSubvectors(q, "vec_id")
-    val c2 = pqRecollect(pqTrainU2(sv, q))
-    val codes = pqAssign(sv, c2)
+    val c2 = pqTrainedCents(sv, q)
     val emb = Tables.embeddings(spark, dir)
-    val asg = emb.select(col("vec_id"),
-      element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
     val qp = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         explode(nearestCol(spark, dir, NProbe, col("embedding"))).as("list_id"))
     val lut = sv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
-      .join(broadcast(c2), "sub")
-      .select(col("q_id"), col("sub"), col("cid"),
-        pqDist(col("qsq"), col("cq")).as("d2"))
-    val cand = codes.join(asg, "vec_id")
+      .select(col("q_id"), col("sub"), col("qsq"),
+        explode(element_at(subCodebooksLit(c2), col("sub") + 1)).as("c"))
+      .select(col("q_id"), col("sub"), col("c._1").as("cid"),
+        pqDist(col("qsq"), col("c._2")).as("d2"))
+    // ONE narrow corpus scan carries the coarse list AND all M PQ
+    // codes per row (both native per-row expressions), so the
+    // codes ⋈ asg corpus self-join disappears; the probed-list
+    // equi-join still bounds candidates BEFORE any scoring
+    val cand = emb.select(col("vec_id"),
+        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+        pqEncodeCol(c2, quantizeCol(col("embedding"))).as("codes"))
       .join(broadcast(qp), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
     val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
       .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
@@ -1296,42 +1412,46 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (spark, dir) =>
     val q0 = kmeansQuantized(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val cq0 = q0.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("list_id"), col("qe").as("cqe"))
-    // one scan computes quantization AND the coarse list inline (the
-    // native per-row codebook expression — no corpus⋈corpus shuffle),
-    // then the 16-row centroid broadcast subtracts; persisted because
+    // the 16-row coarse codebook (quantized) as a collected literal
+    // map — the residual subtraction becomes a per-row lookup, no join
+    val cq0 = typedlit(collectIdVecs(
+      q0.filter(col("vec_id") < NumCentroids), "vec_id").toMap)
+    // one scan computes quantization, the coarse list AND the
+    // residual inline (all native per-row expressions — no
+    // corpus⋈corpus shuffle, no centroid join); persisted because
     // every Lloyd job downstream rescans it (kmeansQuantized's policy)
     val qres = emb
       .select(col("vec_id"),
         element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("qe0"))
-      .join(broadcast(cq0), "list_id")
+        quantizeCol(col("embedding")).as("qe0"))
       .select(col("vec_id"), col("list_id"),
-        zip_with(col("qe0"), col("cqe"), (a, b) => a - b).as("qe"))
+        subArrCol(col("qe0"), element_at(cq0, col("list_id"))).as("qe"))
       .scopedPersist()
-    val asg = qres.select("vec_id", "list_id")
     val sv = pqSubvectors(qres, "vec_id")
-    val c2 = pqRecollect(pqTrainU2(sv, qres))
-    val codes = pqAssign(sv, c2)
+    val c2 = pqTrainedCents(sv, qres)
     val qp = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         explode(nearestCol(spark, dir, NProbe, col("embedding"))).as("list_id"))
     val qr = qp.join(q0.select(col("vec_id").as("q_id"), col("qe")), "q_id")
-      .join(broadcast(cq0), "list_id")
       .select(col("q_id"), col("list_id"),
-        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("rqe"))
+        subArrCol(col("qe"), element_at(cq0, col("list_id"))).as("rqe"))
     val qsv = qr.select(col("q_id"), col("list_id"), posexplode(
       transform(sequence(lit(0), lit(PqM - 1)),
         s => slice(col("rqe"), s * lit(PqDsub) + 1, lit(PqDsub))))
       .as(Seq("sub", "qsq")))
-    val lut = qsv.join(broadcast(c2), "sub")
-      .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
-        pqDist(col("qsq"), col("cq")).as("d2"))
-    val cand = codes.join(asg, "vec_id")
+    val lut = qsv
+      .select(col("q_id"), col("list_id"), col("sub"), col("qsq"),
+        explode(element_at(subCodebooksLit(c2), col("sub") + 1)).as("c"))
+      .select(col("q_id"), col("list_id"), col("sub"), col("c._1").as("cid"),
+        pqDist(col("qsq"), col("c._2")).as("d2"))
+    // the persisted residual relation already carries list + residual
+    // per row, so candidates need only the probed-list equi-join —
+    // codes are a native per-row encode of the residual
+    val cand = qres
       .join(broadcast(qp), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("list_id"), col("vec_id"),
+        posexplode(pqEncodeCol(c2, col("qe"))).as(Seq("sub", "cid")))
     val adc = cand.join(broadcast(lut), Seq("q_id", "list_id", "sub", "cid"))
       .groupBy("q_id", "vec_id").agg(sum("d2").as("adc_d2"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("vec_id"))
@@ -1422,17 +1542,14 @@ object Similarity {
          |ORDER BY nprobe, q_id""".stripMargin) { (spark, dir) =>
       val q = kmeansQuantized(spark, dir)
       val sv = pqSubvectors(q, "vec_id")
-      val c2 = pqRecollect(pqTrainU2(sv, q))
-      // the code relation is rescanned by every nprobe arm
-      val codes = pqAssign(sv, c2).scopedPersist()
+      val c2 = pqTrainedCents(sv, q)
       val emb = Tables.embeddings(spark, dir)
-      val asg = emb.select(col("vec_id"),
-        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
       val lut = sv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
-        .join(broadcast(c2), "sub")
-        .select(col("q_id"), col("sub"), col("cid"),
-          pqDist(col("qsq"), col("cq")).as("d2"))
+        .select(col("q_id"), col("sub"), col("qsq"),
+          explode(element_at(subCodebooksLit(c2), col("sub") + 1)).as("c"))
+        .select(col("q_id"), col("sub"), col("c._1").as("cid"),
+          pqDist(col("qsq"), col("c._2")).as("d2"))
       val qRows = q.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
       val wEx = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
@@ -1458,9 +1575,17 @@ object Similarity {
           posexplode(nearestCol(spark, dir, npMax, col("embedding")))
             .as(Seq("p0", "list_id")))
         .select(col("q_id"), col("list_id"), (col("p0") + 1).as("pr"))
-      val cand = codes.join(asg, "vec_id")
+      // ONE narrow corpus scan carries the coarse list AND all M PQ
+      // codes per row (native per-row expressions — the codes ⋈ asg
+      // corpus self-join is gone); the probed-list equi-join still
+      // bounds candidates BEFORE any scoring
+      val cand = emb.select(col("vec_id"),
+          element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+          pqEncodeCol(c2, quantizeCol(col("embedding"))).as("codes"))
         .join(broadcast(qp), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"),
+          posexplode(col("codes")).as(Seq("sub", "cid")))
       // NOT persisted: the three arms are built from this same
       // DataFrame instance, so their aggregate subtrees canonicalize
       // equal and ReuseExchange materializes the scored relation's
@@ -1716,68 +1841,73 @@ object Similarity {
          |  FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
          |${arms.mkString(",\n")}
          |${duckRecallTail(probes)}""".stripMargin) { (spark, dir) =>
-      val q = kmeansQuantized(spark, dir)
       val emb = Tables.embeddings(spark, dir)
-      // ---- shared: coarse assignment, probe ranks, exact top-5 ----
-      val asg = emb.select(col("vec_id"),
-        element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"))
+      // the 16-row coarse codebook (quantized) as a collected literal
+      // map — the residual subtraction is a per-row lookup, no join
+      val cq0 = typedlit(collectIdVecs(
+        emb.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), quantizeCol(col("embedding")).as("qe")),
+        "vec_id").toMap)
+      // ---- shared: ONE persisted base scan carries the quantized
+      // vector, its coarse list AND its residual (all native per-row
+      // expressions) — both chains and the exact side read it, so the
+      // old q/asg/qres trio of corpus relations collapses to one
+      val base = emb
+        .select(col("vec_id"),
+          element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
+          quantizeCol(col("embedding")).as("qe0"))
+        .withColumn("qeres", subArrCol(col("qe0"), element_at(cq0, col("list_id"))))
+        .scopedPersist()
+      val qn = base.select(col("vec_id"), col("qe0").as("qe"))
+      val qres = base.select(col("vec_id"), col("list_id"), col("qeres").as("qe"))
       val qp = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"),
           posexplode(nearestCol(spark, dir, npMax, col("embedding")))
             .as(Seq("p0", "list_id")))
         .select(col("q_id"), col("list_id"), (col("p0") + 1).as("pr"))
-      val qRows = q.filter(col("vec_id") < 10)
+      val qRows = qn.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qqe"))
       val wEx = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
-      val exact = q.join(broadcast(qRows), col("vec_id") =!= col("q_id"))
+      val exact = qn.join(broadcast(qRows), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
         .scopedPersist()
       // ---- raw chain (q242's scored relation) ----
-      val sv = pqSubvectors(q, "vec_id")
-      val c2 = pqRecollect(pqTrainU2(sv, q))
-      val codes = pqAssign(sv, c2).scopedPersist()
+      val sv = pqSubvectors(qn, "vec_id")
+      val c2 = pqTrainedCents(sv, qn)
       val lut = sv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
-        .join(broadcast(c2), "sub")
-        .select(col("q_id"), col("sub"), col("cid"),
-          pqDist(col("qsq"), col("cq")).as("d2"))
-      val candRaw = codes.join(asg, "vec_id")
-        .join(broadcast(qp), Seq("list_id"))
+        .select(col("q_id"), col("sub"), col("qsq"),
+          explode(element_at(subCodebooksLit(c2), col("sub") + 1)).as("c"))
+        .select(col("q_id"), col("sub"), col("c._1").as("cid"),
+          pqDist(col("qsq"), col("c._2")).as("d2"))
+      val candRaw = base.join(broadcast(qp), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"),
+          posexplode(pqEncodeCol(c2, col("qe0"))).as(Seq("sub", "cid")))
       val adcRaw = candRaw.join(broadcast(lut), Seq("q_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
       // ---- residual chain (q241's, with the probe rank carried) ----
-      val cq0 = q.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("list_id"), col("qe").as("cqe"))
-      val qres = emb
-        .select(col("vec_id"),
-          element_at(nearestCol(spark, dir, 1, col("embedding")), 1).as("list_id"),
-          transform(col("embedding"),
-            x => round(x.cast("double") * 1e6).cast("long")).as("qe0"))
-        .join(broadcast(cq0), "list_id")
-        .select(col("vec_id"), col("list_id"),
-          zip_with(col("qe0"), col("cqe"), (a, b) => a - b).as("qe"))
-        .scopedPersist()
       val rsv = pqSubvectors(qres, "vec_id")
-      val rc2 = pqRecollect(pqTrainU2(rsv, qres))
-      val rcodes = pqAssign(rsv, rc2).scopedPersist()
-      val qr = qp.join(q.select(col("vec_id").as("q_id"), col("qe")), "q_id")
-        .join(broadcast(cq0), "list_id")
+      val rc2 = pqTrainedCents(rsv, qres)
+      val qr = qp.join(qn.select(col("vec_id").as("q_id"), col("qe")), "q_id")
         .select(col("q_id"), col("list_id"),
-          zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("rqe"))
+          subArrCol(col("qe"), element_at(cq0, col("list_id"))).as("rqe"))
       val rqsv = qr.select(col("q_id"), col("list_id"), posexplode(
         transform(sequence(lit(0), lit(PqM - 1)),
           s => slice(col("rqe"), s * lit(PqDsub) + 1, lit(PqDsub))))
         .as(Seq("sub", "qsq")))
-      val rlut = rqsv.join(broadcast(rc2), "sub")
-        .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
-          pqDist(col("qsq"), col("cq")).as("d2"))
-      val candRes = rcodes.join(asg, "vec_id")
-        .join(broadcast(qp), Seq("list_id"))
+      val rlut = rqsv
+        .select(col("q_id"), col("list_id"), col("sub"), col("qsq"),
+          explode(element_at(subCodebooksLit(rc2), col("sub") + 1)).as("c"))
+        .select(col("q_id"), col("list_id"), col("sub"), col("c._1").as("cid"),
+          pqDist(col("qsq"), col("c._2")).as("d2"))
+      val candRes = base.join(broadcast(qp), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("list_id"), col("vec_id"), col("pr"),
+          posexplode(pqEncodeCol(rc2, col("qeres"))).as(Seq("sub", "cid")))
       val adcRes = candRes.join(broadcast(rlut), Seq("q_id", "list_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
@@ -1890,34 +2020,28 @@ object Similarity {
          |${arms.mkString(",\n")}
          |${duckRecallTail(probes)}""".stripMargin) { (spark, dir) =>
       val q = kmeansQuantized(spark, dir)
-      // trained coarse codebook: q105's final centroids (K = 8)
-      val coarse = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
-        kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
+      // trained coarse codebook: q105's final centroids (K = 8),
+      // collected — assignment, residual and probe ranking all become
+      // per-row expressions / tiny literal explodes
+      val coarse = kmeansTrainedCents(q)
+      val coarseMap = typedlit(coarse._1.zip(coarse._2).toMap)
+      // ONE persisted base scan: trained list id AND residual per row
+      // (native argmin + literal-map subtract — the historical version
+      // was a K-way crossJoin + packed-argmin re-aggregation of the
+      // corpus; this is a narrow zero-shuffle projection)
+      val base = q
+        .select(col("vec_id"), nearestCodeCol(coarse, col("qe")).as("list_id"),
+          col("qe").as("qe0"))
+        .withColumn("qe", subArrCol(col("qe0"), element_at(coarseMap, col("list_id"))))
         .scopedPersist()
-      val cd2 = aggregate(
-        zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      // corpus assignment AND residual in ONE packed-argmin aggregate:
-      // min_by carries the residual against the winning centroid, so
-      // no corpus self-join materializes the assignment before the
-      // subtraction (the first cut joined q ⋈ asg ⋈ centroids — three
-      // corpus-sized shuffles; this is one). The broadcast cross join
-      // emits a row's K centroid copies inside its own task, so the
-      // map-side partial aggregate collapses them before the shuffle —
-      // the exchange carries exactly n rows.
-      val qres = q.crossJoin(broadcast(coarse))
-        .withColumn("key", cd2 * KmeansK + col("cid"))
-        .groupBy("vec_id").agg(
-          min_by(col("cid"), col("key")).as("list_id"),
-          min_by(zip_with(col("qe"), col("cq"), (a, b) => a - b), col("key")).as("qe"))
-        .scopedPersist()
-      val asg = qres.select("vec_id", "list_id")
-      // probe ranks for the 10 queries over the K-row codebook
+      val qres = base.select("vec_id", "list_id", "qe")
+      // probe ranks for the 10 queries over the K-row codebook literal
       val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("list_id"))
       val qp = q.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qe"))
-        .crossJoin(broadcast(coarse))
-        .select(col("q_id"), col("cid").as("list_id"), cd2.as("d2"))
+        .select(col("vec_id").as("q_id"), col("qe"),
+          explode(codebookLit(coarse)).as("c"))
+        .select(col("q_id"), col("c._1").as("list_id"),
+          l2Col(col("qe"), col("c._2")).as("d2"))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= npMax)
         .select("q_id", "list_id", "pr")
@@ -1930,41 +2054,45 @@ object Similarity {
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
         .scopedPersist()
-      // raw PQ chain (independent of the coarse codebook)
+      // raw PQ chain (independent of the coarse codebook); candidates
+      // read the persisted qres for the trained list id and encode the
+      // raw vector natively — the codes ⋈ asg joins are gone
       val sv = pqSubvectors(q, "vec_id")
-      val pc2 = pqRecollect(pqTrainU2(sv, q))
-      val codes = pqAssign(sv, pc2).scopedPersist()
+      val pc2 = pqTrainedCents(sv, q)
       val lut = sv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("sub"), col("sq").as("qsq"))
-        .join(broadcast(pc2), "sub")
-        .select(col("q_id"), col("sub"), col("cid"),
-          pqDist(col("qsq"), col("cq")).as("d2"))
-      val candRaw = codes.join(asg, "vec_id")
-        .join(broadcast(qp), Seq("list_id"))
+        .select(col("q_id"), col("sub"), col("qsq"),
+          explode(element_at(subCodebooksLit(pc2), col("sub") + 1)).as("c"))
+        .select(col("q_id"), col("sub"), col("c._1").as("cid"),
+          pqDist(col("qsq"), col("c._2")).as("d2"))
+      val candRaw = base.join(broadcast(qp), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"),
+          posexplode(pqEncodeCol(pc2, col("qe0"))).as(Seq("sub", "cid")))
       val adcRaw = candRaw.join(broadcast(lut), Seq("q_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
       // residual chain vs the TRAINED centroids (quantized domain);
-      // the residual relation is qres from the assignment aggregate
-      val cqT = coarse.select(col("cid").as("list_id"), col("cq").as("cqe"))
+      // the residual relation is the persisted qres
       val rsv = pqSubvectors(qres, "vec_id")
-      val rc2 = pqRecollect(pqTrainU2(rsv, qres))
-      val rcodes = pqAssign(rsv, rc2).scopedPersist()
+      val rc2 = pqTrainedCents(rsv, qres)
       val qr = qp.join(q.select(col("vec_id").as("q_id"), col("qe")), "q_id")
-        .join(broadcast(cqT), "list_id")
         .select(col("q_id"), col("list_id"),
-          zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("rqe"))
+          subArrCol(col("qe"), element_at(coarseMap, col("list_id"))).as("rqe"))
       val rqsv = qr.select(col("q_id"), col("list_id"), posexplode(
         transform(sequence(lit(0), lit(PqM - 1)),
           s => slice(col("rqe"), s * lit(PqDsub) + 1, lit(PqDsub))))
         .as(Seq("sub", "qsq")))
-      val rlut = rqsv.join(broadcast(rc2), "sub")
-        .select(col("q_id"), col("list_id"), col("sub"), col("cid"),
-          pqDist(col("qsq"), col("cq")).as("d2"))
-      val candRes = rcodes.join(asg, "vec_id")
+      val rlut = rqsv
+        .select(col("q_id"), col("list_id"), col("sub"), col("qsq"),
+          explode(element_at(subCodebooksLit(rc2), col("sub") + 1)).as("c"))
+        .select(col("q_id"), col("list_id"), col("sub"), col("c._1").as("cid"),
+          pqDist(col("qsq"), col("c._2")).as("d2"))
+      val candRes = qres
         .join(broadcast(qp), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("list_id"), col("vec_id"), col("pr"),
+          posexplode(pqEncodeCol(rc2, col("qe"))).as(Seq("sub", "cid")))
       val adcRes = candRes.join(broadcast(rlut), Seq("q_id", "list_id", "sub", "cid"))
         .groupBy("q_id", "vec_id")
         .agg(sum("d2").as("adc_d2"), min("pr").as("pr"))
@@ -2011,14 +2139,10 @@ object Similarity {
        |    // (sum(n_vecs) * sum(n_vecs)) AS BIGINT) AS gamma_ppm
        |FROM l""".stripMargin) { (spark, dir) =>
     val q = kmeansQuantized(spark, dir)
-    val coarse = kmeansRecollect(kmeansUpdate(q, kmeansAssign(q,
-      kmeansRecollect(kmeansUpdate(q, kmeansAssign(q, kmeansSeed(q)))))))
-    val cd2 = aggregate(
-      zip_with(col("qe"), col("cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    q.crossJoin(broadcast(coarse))
-      .withColumn("key", cd2 * KmeansK + col("cid"))
-      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("list_id"))
+    // collected trained codebook → assignment is one narrow native
+    // projection (no crossJoin, no packed-argmin re-aggregation)
+    val coarse = kmeansTrainedCents(q)
+    q.select(nearestCodeCol(coarse, col("qe")).as("list_id"))
       .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
       .agg(sum("n_vecs").as("n"), count(lit(1)).as("n_lists_used"),
         max("n_vecs").as("max_list"), min("n_vecs").as("min_list"),

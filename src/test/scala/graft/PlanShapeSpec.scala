@@ -133,7 +133,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // known bounded crossJoins (1-row totals, K-row centroid/query
     // tables); a new BNLJ anywhere else is an all-pairs scale bug
     val allowed = Set("q45_cosine_topk", "q72_heatmap_matrix", "q89_tfidf_topk",
-      "q91_quantized_topk", "q95_surprisal_bits", "q105_kmeans_train",
+      "q91_quantized_topk", "q95_surprisal_bits",
       "q116_unk_mask", // 1-row max-count broadcast onto the vocab
       "q126_zorder_layout", // 1-row global (min,max) bounds broadcast
       "q137_kmv_set_algebra", // n_sources-row sketch-pair theta self-join
@@ -147,7 +147,6 @@ class PlanShapeSpec extends AnyFunSuite {
       "q170_power_iteration", // 1-row 64-value vector broadcast per iteration
       "q193_isotonic_cal", // ≤11-row band-histogram interval theta joins (PAVA min-max)
       "q199_welch_ttest", // |event_type|-row moment-relation pair self-join
-      "q200_silhouette", // K-row centroid broadcast cross join (q105's pattern)
       "q203_quantile_normalize", // bounded pooled-histogram broadcast bracket joins
       "q217_mixture_waterfill", // 1-row budget + 1-row fill-level broadcasts
       "q227_bm25_topk", // 1-row corpus-total + 1-row avgdl broadcasts
@@ -158,8 +157,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q244_sampled_triangles", // 1-row edge census × 1-row sampled-triangle total
       "q246_residual_recall", // q242's exact-side 10-row broadcast theta join
       "q247_hybrid_triangles", // 1-row tau/census broadcasts (q244's combine shape)
-      "q248_trained_coarse_recall", // exact-side theta join + K-row trained-codebook cross joins (q105/q200 pattern)
-      "q249_trained_ivf_imbalance") // K-row trained-codebook cross join (q105's assignment pattern)
+      "q248_trained_coarse_recall") // exact-side 10-row broadcast theta join (q45 shape)
     val offenders = SparkEntry.allQueries
       .filterNot(q => q.name.contains("stream")) // streaming plans need a sink
       .filterNot(q => allowed.contains(q.name))
@@ -188,10 +186,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // corpus row count. This generalizes the q81 check suite-wide
     // (the BNLJ guard's sibling): every allowed global window names
     // its bounded relation; a NEW one anywhere else fails.
+    // (the kmeans/PQ seed inits are now driver-collected bounded
+    // folds — the GlobalLimit(K) row_number windows they carried are
+    // gone from q105/q234/q235/q238/q241/q242/q246/q248/q249 entirely)
     val allowed = Map(
       "q78_mixture_report" -> "per-source mixture rollup (|sources| rows)",
       "q81_token_shards" -> "two-phase prefix sum's block-totals relation (|blocks| rows)",
-      "q105_kmeans_train" -> "centroid init over a GlobalLimit(K) relation",
       "q131_cross_corr" -> "calendar-bounded hourly grid (a decade is 87k rows)",
       "q151_dedup_saturation" -> "per-bucket saturation curve (|buckets| rows)",
       "q188_rrf_fusion" -> "score-domain value histograms (q107 trick), broadcast back",
@@ -205,16 +205,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q222_cluster_sizes" -> "cluster-SIZE census histogram (|distinct sizes| rows)",
       "q225_fold_stability" -> "K-row per-fold moment relation",
       "q229_oov_curve" -> "frequency-of-frequency histogram (one row per distinct count value)",
-      "q234_pq_codebook" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q235_pq_adc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
       "q237_shard_manifest" -> "q81's block-totals prefix relation (|blocks| rows)",
-      "q243_manifest_delta" -> "q81's block-totals prefix relation, base + delta sides",
-      "q238_ivfadc_topk" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q241_residual_ivfadc" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q242_ivfadc_recall" -> "sub-codebook init over a GlobalLimit(K) relation (q105's seed)",
-      "q246_residual_recall" -> "sub-codebook inits (raw + residual) over GlobalLimit(K) relations",
-      "q248_trained_coarse_recall" -> "coarse + sub-codebook inits over GlobalLimit(K) relations",
-      "q249_trained_ivf_imbalance" -> "coarse-codebook init over a GlobalLimit(K) relation (q105's seed)")
+      "q243_manifest_delta" -> "q81's block-totals prefix relation, base + delta sides")
     def globals(name: String): Boolean = {
       // uncached plan per query — an earlier query's persisted subtree
       // (e.g. q248's trained codebook, which CONTAINS the seed's
