@@ -145,5 +145,26 @@ object CacheScope {
   /** `df.scopedPersist()` chaining syntax for builder pipelines. */
   implicit final class ScopedDataset[T](private val ds: Dataset[T]) extends AnyVal {
     def scopedPersist(): Dataset[T] = CacheScope.persist(ds)
+
+    /** [[scopedPersist]] + an immediate materializing `count()`.
+      *
+      * For a persisted relation consumed by SEVERAL branches of ONE
+      * downstream job, lazy materialization is a trap: the branches'
+      * map stages are independent, the scheduler launches them
+      * CONCURRENTLY at job start, and each computes the cached plan
+      * from scratch before any partition lands in the block manager —
+      * an expensive shared upstream (a windowed scan, an interval
+      * join) runs once PER BRANCH instead of once (measured: q122's
+      * five rank iterations re-derived the incident-pair upstream to
+      * ~60 s of task CPU on a 500-node graph). The eager count is one
+      * cheap extra job that pins every partition first, so all
+      * branches read the cache. Use for shared MULTI-consumer
+      * relations; single-consumer persists should stay lazy.
+      */
+    def scopedPersistEager(): Dataset[T] = {
+      val p = CacheScope.persist(ds)
+      p.count()
+      p
+    }
   }
 }

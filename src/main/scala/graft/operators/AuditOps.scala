@@ -240,7 +240,7 @@ object AuditOps {
       .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
       // consumed twice (per-source totals + the pair matrix) — pinned
       // so the corpus shingle pass and its shuffle run once
-      .scopedPersist()
+      .scopedPersistEager()
     // everything below reads only the aggregated (h, srcs) relation:
     // explode fan-out per digest is ≤ |sources| (totals) and
     // ≤ |sources|² (pairs), and both aggregates combine map-side down
@@ -659,7 +659,7 @@ object AuditOps {
       val r = t.select(col("d"), shiftright(col("h"), 20).as("bucket"),
           when(rest === 0, lit(21)).otherwise(lit(21) - length(bin(rest))).as("rho"))
         .groupBy("d", "bucket").agg(max("rho").as("reg"))
-        .scopedPersist()
+        .scopedPersistEager()
       val days = r.select(col("d")).distinct()
       val serve = r.select(explode(expr("sequence(d, d + 6)")).as("ed"),
         col("bucket"), col("reg"))
@@ -997,7 +997,7 @@ object AuditOps {
       val t = docs(spark, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
         .select(col("source"), col("token"), TextHash.base32(col("token")).as("h"))
-        .scopedPersist()
+        .scopedPersistEager()
       val ex = t.groupBy("source").agg(countDistinct("token").as("n_exact"))
       val rest = col("h").bitwiseAND(lit(1048575L))
       val e = t

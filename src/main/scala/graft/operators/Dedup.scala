@@ -39,7 +39,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingleHashesFromWords(col("ws")).as("hs"))
       .filter(size(col("hs")) > 0)
-      .scopedPersist()
+      .scopedPersistEager()
 
   private def hashed(spark: SparkSession, dir: String): DataFrame =
     hashedFromDocs(docs(spark, dir))
@@ -421,7 +421,7 @@ object Dedup {
     val b = hashed(spark, dir)
       .select(col("doc_id"), simhashCol.as("simhash"))
       .withColumn("bkt", expr("simhash >> 20"))
-      .scopedPersist() // self-joined
+      .scopedPersistEager() // self-joined
     // rename-projected sides, not dataset aliases (see
     // api.Vectors.nearDupPairs for the plan-reuse resolution trap)
     b.select(col("bkt"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -492,7 +492,7 @@ object Dedup {
     * carried, not recomputed).
     */
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.scopedPersist()
+    val pairs = pairsIn.scopedPersistEager()
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .scopedPersist()
@@ -804,7 +804,7 @@ object Dedup {
           .as(Seq("st", "dig")))
       .select(col("doc_id"), col("source"), col("nw"),
         col("st").cast("long").as("st"), col("dig"))
-      .scopedPersist()
+      .scopedPersistEager()
     val dup = grams.groupBy("dig")
       .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
       .select("dig")

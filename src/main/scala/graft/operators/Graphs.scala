@@ -55,7 +55,7 @@ object Graphs {
       .withColumn("__ip", islandId(col("__fp")))
       .filter(col("__fe") === 1 || col("__fp") === 1)
       .select("user_id", "t", "__fe", "__fp", "__ie", "__ip")
-      .scopedPersist()
+      .scopedPersistEager()
     def bursts(flag: String, island: String) = flagged.filter(col(flag) === 1)
       .groupBy(col("user_id"), col(island))
       .agg(min(col("t")).as("seg_start"), max(col("t")).as("seg_end"),
@@ -116,7 +116,7 @@ object Graphs {
     */
   def pageRankPpm(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").scopedPersist()
+    val e = edges.join(deg, "src").scopedPersistEager()
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank_ppm", lit(1000000L))
     (1 to iterations).foreach { i =>
@@ -191,7 +191,7 @@ object Graphs {
     // the edge relation feeds the degree count AND both sides of the
     // wedge/closure joins — pin it (and the oriented form, read three
     // times) or the whole upstream derivation re-runs per reference
-    val und = undIn.scopedPersist()
+    val und = undIn.scopedPersistEager()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -203,7 +203,7 @@ object Graphs {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .scopedPersist()
+      .scopedPersistEager()
     val wedges = lowFirst.select(col("src").as("a"), col("dst").as("b"))
       .join(lowFirst.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
     val tris = wedges.join(
@@ -315,7 +315,7 @@ object Graphs {
       .withColumn("keep",
         graft.functions.TextHash.md5Bucket(
           concat_ws(":", col("u"), col("v")), pInv) === 0)
-      .scopedPersist()
+      .scopedPersistEager()
     val census = und.agg(count(lit(1)).as("n_edges"),
       count(when(col("keep"), 1)).as("n_kept"))
     // per-user counts triple-count each triangle (one credit per
@@ -401,25 +401,25 @@ object Graphs {
     * cross joins.
     */
   private[graft] def hybridTriangleCensus(undIn: DataFrame, pInv: Int = 2): DataFrame = {
-    val und = undIn.scopedPersist()
+    val und = undIn.scopedPersistEager()
     val stats = und.agg(count(lit(1)).as("n_edges"))
       .withColumn("tau", floor(sqrt(col("n_edges").cast("double"))).cast("long"))
-      .scopedPersist()
+      .scopedPersistEager()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
       .crossJoin(broadcast(stats.select("tau")))
       .withColumn("high", col("d") > col("tau"))
-      .scopedPersist()
+      .scopedPersistEager()
     val du = deg.select(col("node").as("u"), col("d").as("du"), col("high").as("hu"))
     val dv = deg.select(col("node").as("v"), col("d").as("dv"), col("high").as("hv"))
-    val e = und.join(du, "u").join(dv, "v").scopedPersist()
+    val e = und.join(du, "u").join(dv, "v").scopedPersistEager()
     val oriented = e.select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("src"), col("v").as("dst"), col("hu").as("hsrc")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("hv").as("hsrc"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.hsrc").as("hsrc"))
-      .scopedPersist()
+      .scopedPersistEager()
     // exact part: wedges whose APEX (first-leg source) is low; second
     // leg and closure probe run against the full oriented relation
     val lowLeg = oriented.filter(!col("hsrc"))

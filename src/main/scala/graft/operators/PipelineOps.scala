@@ -585,7 +585,7 @@ object PipelineOps {
     val bi = toks.withColumn("prev", lag("token", 1).over(w))
       .filter(col("prev").isNotNull)
       .select("doc_id", "prev", "token")
-      .scopedPersist()
+      .scopedPersistEager()
     val c2 = bi.groupBy("prev", "token").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val bits = c2.join(c1, "prev").select(col("prev"), col("token"),
@@ -1278,7 +1278,7 @@ object PipelineOps {
       .select(col("doc_id"),
         explode(TextHash.shinglesFromWords(col("__ws"), spanWords)).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
-      .scopedPersist()
+      .scopedPersistEager()
     val dup = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("h")
     sp.join(dup.withColumn("dup", lit(1L)), Seq("h"), "left")

@@ -606,7 +606,7 @@ object Similarity {
     val d = q.select(col("vec_id"), col("qe"), explode(codebookLit(c2)).as("c"))
       .select(col("vec_id"), col("c._1").as("cid"),
         l2Col(col("qe"), col("c._2")).as("d2"))
-      .scopedPersist()
+      .scopedPersistEager()
     val o = d.withColumn("key", col("d2") * KmeansK + col("cid"))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), col("key")).as("cid"), min("d2").as("a2"))
@@ -700,7 +700,7 @@ object Similarity {
     val q = Tables.embeddings(spark, dir)
       .select(transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long")).as("qe"))
-      .scopedPersist()
+      .scopedPersistEager()
     val m = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum(expr("v * v")).as("svv"))
@@ -1558,7 +1558,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
-        .scopedPersist()
+        .scopedPersistEager()
       // ONE ADC scan shared by all three arms: probed lists at
       // nprobe < max are PREFIXES of the nprobe = max list (the coarse
       // ranking doesn't depend on nprobe), and a candidate's ADC score
@@ -1872,7 +1872,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
-        .scopedPersist()
+        .scopedPersistEager()
       // ---- raw chain (q242's scored relation) ----
       val sv = pqSubvectors(qn, "vec_id")
       val c2 = pqTrainedCents(sv, qn)
@@ -2053,7 +2053,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), pqDist(col("qe"), col("qqe")).as("d2"))
         .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= 5)
         .select("q_id", "vec_id")
-        .scopedPersist()
+        .scopedPersistEager()
       // raw PQ chain (independent of the coarse codebook); candidates
       // read the persisted qres for the trained list id and encode the
       // raw vector natively — the codes ⋈ asg joins are gone
